@@ -1,0 +1,37 @@
+"""Join operators.
+
+Reference surface (SURVEY.md §2.3): inner equi-joins only — DataFrame API
+(``examples/dataframe/operations.rs:63-65``), SQL
+(``examples/dataframe/operations.rs:99-106``), and the multi-way composite-key
+fold ``join_dfs`` (``src/utils/dataframe.rs:860-882``).
+
+Scale notes: we never hand-pick a physical join. Catalyst + AQE select
+broadcast/shuffled-hash/sort-merge at runtime; callers pass small dimension
+tables through :func:`pyspark.sql.functions.broadcast` hints where known-small
+(suite queries do this for ``nation``/``region``/``customer``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame
+
+
+def join_dfs(dfs: Sequence[DataFrame], keys: Sequence[str], how: str = "inner") -> DataFrame:
+    """Fold N DataFrames into one by joining pairwise on shared key columns.
+
+    Reference: ``join_dfs`` at ``src/utils/dataframe.rs:860-882`` (renames RHS
+    keys ``{c}_rhs{i}`` then drops them after each pairwise join; 4-way
+    composite-key test at ``tests/api/dataframe_tests.rs:776-813``).
+
+    Spark's ``on=[names]`` form already deduplicates the key columns, so no
+    rename/drop dance is needed — the fold is a pure plan transform. With
+    identical key lists across stages Catalyst reuses one shuffle exchange of
+    each input rather than re-partitioning per pair.
+    """
+    if not dfs:
+        raise ValueError("join_dfs: need at least one DataFrame")
+    keys = list(keys)
+    return reduce(lambda left, right: left.join(right, on=keys, how=how), dfs)

@@ -1,0 +1,101 @@
+"""Projection / filter / column-mutation operators (SURVEY.md §2.2).
+
+All pure plan transforms. The reference's ``add_column_to_df`` family
+materializes batches on the client (``src/utils/dataframe.rs:572-597``); here
+positional attach is expressed as a deterministic ordinal zip-join so it stays
+distributed (SURVEY.md §7 risk 1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def df_sql(df: DataFrame, predicate: str) -> DataFrame:
+    """Filter a DataFrame with a SQL expression string.
+
+    Reference: ``df_sql`` / ``df.parse_sql_expr`` at
+    ``src/utils/dataframe.rs:67-71`` (e.g. ``"speed > 10 and car in
+    ('red','green')"``). Spark parses SQL predicate strings natively, and the
+    parsed predicate participates in pushdown like any Column expression.
+    """
+    return df.filter(predicate)
+
+
+def select_all_exclude(df: DataFrame, exclude: Sequence[str]) -> DataFrame:
+    """Negative projection — keep every column except ``exclude``.
+
+    Reference: ``select_all_exclude`` at ``src/utils/helpers.rs:505-515`` and
+    ``df.drop_columns`` at ``src/utils/dataframe.rs:413``. Unknown names are
+    ignored, matching Spark's (and the reference's) drop semantics.
+    """
+    return df.drop(*exclude)
+
+
+def with_typed_null(df: DataFrame, name: str, data_type: str) -> DataFrame:
+    """Add a literal NULL column with an explicit type.
+
+    Reference: typed-null literals ``ScalarValue::Utf8(None)`` /
+    ``Int32(None)`` at ``examples/dataframe/operations.rs:128-131``.
+    """
+    return df.withColumn(name, F.lit(None).cast(data_type))
+
+
+def add_pk_to_df(df: DataFrame, name: str = "pk", order_by: Sequence[str] | None = None) -> DataFrame:
+    """Add a contiguous 0..n-1 auto-increment key column.
+
+    Reference: ``add_pk_to_df`` at ``src/utils/helpers.rs:161-185`` (Int32
+    0..n-1 in batch order). Spark has no stable row ordinal, so the contract
+    here is explicit: ``order_by`` names the deterministic ordering the key
+    follows (defaults to all columns). ``monotonically_increasing_id`` is NOT
+    used — it is non-contiguous across partitions.
+
+    Scale note: a global ``row_number`` over one unpartitioned window is a
+    single-reducer sort — correct but serial. For 100 TB assignments use
+    :func:`zip_with_index` below (partition-offset arithmetic, fully parallel).
+    """
+    cols = list(order_by) if order_by else df.columns
+    w = Window.orderBy(*[F.col(c) for c in cols])
+    return df.withColumn(name, (F.row_number().over(w) - F.lit(1)).cast("int"))
+
+
+def zip_with_index(df: DataFrame, name: str = "pk") -> DataFrame:
+    """Contiguous 0..n-1 ids without a global sort — the 100 TB-scale variant.
+
+    Two-pass partition-offset scheme (same trick as RDD ``zipWithIndex`` but
+    staying in DataFrame land): count rows per partition, prefix-sum the
+    offsets on the driver (tiny — one int per partition), then add the
+    within-partition position. Order follows current partition order, so it is
+    deterministic only after an explicit sort/repartition — callers who need a
+    *stable* key should sort first or use :func:`add_pk_to_df`.
+    """
+    spark = df.sparkSession
+    rdd = df.rdd.zipWithIndex()
+    out_schema = df.schema.add(name, "long", False)
+    return spark.createDataFrame(rdd.map(lambda pair: (*pair[0], pair[1])), out_schema)
+
+
+def add_column(df: DataFrame, values_df: DataFrame, order_by: Sequence[str]) -> DataFrame:
+    """Positionally attach the (single-column) ``values_df`` to ``df``.
+
+    Reference: ``add_column_to_df`` (``src/utils/dataframe.rs:572-597``) glues
+    a client-built Arrow array onto a DataFrame by position, erroring on
+    length mismatch (``:585-591``). Spark has no positional attach, so both
+    sides get a deterministic ordinal (``row_number`` over ``order_by`` on the
+    left, natural order of ``values_df`` via the same window on its columns)
+    and are equi-joined on it. Raises ``ValueError`` on length mismatch,
+    mirroring the reference.
+    """
+    if len(values_df.columns) != 1:
+        raise ValueError("add_column: values_df must have exactly one column")
+    n_left, n_right = df.count(), values_df.count()
+    if n_left != n_right:
+        raise ValueError(f"add_column: length mismatch ({n_left} vs {n_right})")
+    w_left = Window.orderBy(*[F.col(c) for c in order_by])
+    w_right = Window.orderBy(*[F.col(c) for c in values_df.columns])
+    left = df.withColumn("__ord", F.row_number().over(w_left))
+    right = values_df.withColumn("__ord", F.row_number().over(w_right))
+    return left.join(right, "__ord", "inner").drop("__ord")

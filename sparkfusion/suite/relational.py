@@ -1,0 +1,557 @@
+"""Relational core suite — scans, filters, joins, aggregates, windows, sorts,
+set-ops, subqueries (SURVEY.md §2.2-2.7, §4 CTE/subquery rows).
+
+Numeric determinism: every money aggregate is computed in DECIMAL (exact, so
+Spark's parallel partial-agg order cannot flip low-order float bits vs the
+oracle's sequential sum) and only cast to DOUBLE at the end — the
+decimal→double conversion is deterministic and identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import concat_dfs, df_sql, join_dfs
+from ..session import load_star, table
+from . import register
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-style pricing summary (A2 grouped multi-agg + O3 sort).
+# --------------------------------------------------------------------------
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-aggregate with filter pushdown — the flagship query.
+
+    Reference pattern: GROUP BY + min/max/median 1BRC aggregate
+    (``examples/algo/one_billion_row_challenge.rs:199-214``) and
+    multi-expression ``df.aggregate`` (``examples/dataframe/query.rs:186-190``).
+    The shipdate filter reaches the parquet scan (PushedFilters); partial
+    aggregation happens map-side before the single shuffle on the 6-value
+    group key.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("_sum_base"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sum_qty").cast("double").alias("sum_qty"),
+        F.col("_sum_base").cast("double").alias("sum_base_price"),
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("_sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sum_base").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a1_multi_agg_global",
+    oracle="""
+    SELECT COUNT(o_orderkey) AS cnt_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           COUNT(o_orderstatus) AS cnt_status
+    FROM orders
+    """,
+)
+def a1_multi_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no group key) multi-expression aggregate.
+
+    Reference: ``df.aggregate(vec![], vec![count, sum, count])`` at
+    ``examples/dataframe/query.rs:186-190``.
+    """
+    return table(spark, sf_dir, "orders").agg(
+        F.count("o_orderkey").alias("cnt_key"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.count("o_orderstatus").alias("cnt_status"),
+    )
+
+
+@register("a3_count_star", oracle="SELECT COUNT(*) AS cnt FROM lineitem")
+def a3_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``select count(*)`` (reference ``examples/dataframe/query.rs:172``).
+    Catalyst answers this from parquet row-group metadata — no column read."""
+    return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "cte_count",
+    oracle="""
+    WITH tmp AS (SELECT * FROM orders WHERE o_orderstatus = 'F')
+    SELECT COUNT(*) AS cnt FROM tmp
+    """,
+)
+def cte_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + count(*) (reference ``examples/dataframe/query.rs:171-173``)."""
+    load_star(spark, sf_dir, ("orders",))
+    return spark.sql(
+        "WITH tmp AS (SELECT * FROM orders WHERE o_orderstatus = 'F') SELECT COUNT(*) AS cnt FROM tmp"
+    )
+
+
+@register(
+    "a2_1brc_events",
+    oracle="""
+    SELECT event_type,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           MEDIAN(value) AS median_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a2_1brc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1BRC-style min/max/median group aggregate.
+
+    Reference: ``examples/algo/one_billion_row_challenge.rs:199-214`` (GROUP BY
+    city, min/max/median, ORDER BY). Exact ``median`` per SURVEY.md §7 risk 3
+    (not percentile_approx). min/max are exact; median is an order statistic
+    (avg of the two middles for even counts) — deterministic in both engines.
+    """
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.median("value").alias("median_value"),
+        )
+    )
+
+
+@register(
+    "a6_scalar_subquery_least",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice = (SELECT MIN(o_totalprice) FROM orders)
+    """,
+)
+def a6_scalar_subquery_least(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-value row via uncorrelated scalar subquery.
+
+    Reference: ``examples/algo/least_values.rs:30-37``. Catalyst plans the
+    subquery as a one-row broadcast — no second full scan at execution.
+    """
+    load_star(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice = (SELECT MIN(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "a7_round_robin",
+    oracle="""
+    SELECT s_suppkey, ((s_suppkey - 1) % (SELECT COUNT(*) FROM nation)) + 1 AS slot
+    FROM supplier
+    """,
+)
+def a7_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin slot pick: count(*) subquery inside arithmetic.
+
+    Reference: ``examples/algo/round_robin.rs:31-36``
+    (``((w-1) % (select count(*) from t)) + 1``).
+    """
+    load_star(spark, sf_dir, ("supplier", "nation"))
+    return spark.sql(
+        "SELECT s_suppkey, ((s_suppkey - 1) % (SELECT COUNT(*) FROM nation)) + 1 AS slot FROM supplier"
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j1_inner_join_api",
+    oracle="""
+    SELECT c_custkey, c_name, n_name
+    FROM customer INNER JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def j1_inner_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join via the DataFrame builder API.
+
+    Reference: ``df1.join(df2, JoinType::Inner, &["id"], &["id2"], None)`` at
+    ``examples/dataframe/operations.rs:63-65``. ``nation`` (25 rows) is
+    broadcast — no shuffle of the fact side at any scale.
+    """
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    return cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "inner"
+    ).select("c_custkey", "c_name", "n_name")
+
+
+@register(
+    "j2_inner_join_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem INNER JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def j2_inner_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join declared in SQL with a post-join filter + aggregate.
+
+    Reference: SQL inner join + filter at
+    ``examples/dataframe/operations.rs:99-106``. The status filter pushes
+    below the join into the orders scan.
+    """
+    load_star(spark, sf_dir, ("lineitem", "orders"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem INNER JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "j3_multi_join_fold",
+    oracle="""
+    SELECT a.o_orderkey, a.o_custkey, a.o_totalprice, b.o_orderstatus, c.o_orderpriority, d.o_orderdate
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders) a
+    JOIN (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders) b
+      ON a.o_orderkey = b.o_orderkey AND a.o_custkey = b.o_custkey
+    JOIN (SELECT o_orderkey, o_custkey, o_orderpriority FROM orders) c
+      ON a.o_orderkey = c.o_orderkey AND a.o_custkey = c.o_custkey
+    JOIN (SELECT o_orderkey, o_custkey, o_orderdate FROM orders) d
+      ON a.o_orderkey = d.o_orderkey AND a.o_custkey = d.o_custkey
+    """,
+)
+def j3_multi_join_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way composite-key inner-join fold (``join_dfs``).
+
+    Reference: ``join_dfs(vec![df1..df4], &["id","pk"])`` at
+    ``src/utils/dataframe.rs:860-882``; 4-way composite-key test at
+    ``tests/api/dataframe_tests.rs:776-813``. All four inputs share the
+    ``(o_orderkey, o_custkey)`` composite key (unique per row), so Catalyst
+    reuses one hash partitioning across the fold instead of re-shuffling per
+    pair.
+    """
+    orders = table(spark, sf_dir, "orders")
+    keys = ["o_orderkey", "o_custkey"]
+    parts = [
+        orders.select(*keys, "o_totalprice"),
+        orders.select(*keys, "o_orderstatus"),
+        orders.select(*keys, "o_orderpriority"),
+        orders.select(*keys, "o_orderdate"),
+    ]
+    return join_dfs(parts, keys)
+
+
+@register(
+    "j4_join_duplicate_keys",
+    oracle="""
+    SELECT l.n_nationkey, l.n_name, r.r_name
+    FROM nation l
+    JOIN (SELECT n_regionkey, r_name
+          FROM nation JOIN region ON n_regionkey = r_regionkey) r
+      ON l.n_regionkey = r.n_regionkey
+    """,
+)
+def j4_join_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join where keys repeat on both sides → M×N row multiplication.
+
+    Reference doc-test: 2×2+1 expansion at ``src/utils/dataframe.rs:843-856``.
+    Each region key appears 5× on both sides here, so the join fans out to
+    5×5 per region — a correctness check on duplicate-key semantics.
+    """
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    right = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).select(
+        "n_regionkey", "r_name"
+    )
+    left = nat.select("n_nationkey", "n_name", "n_regionkey")
+    return left.join(right, "n_regionkey").select("n_nationkey", "n_name", "r_name")
+
+
+# --------------------------------------------------------------------------
+# Windows
+# --------------------------------------------------------------------------
+
+
+@register(
+    "w1_window_agg_sql",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           COUNT(o_orderkey) OVER (PARTITION BY o_orderpriority) AS cnt_w,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS sum_w
+    FROM orders
+    """,
+)
+def w1_window_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM aggregate-over-window, SQL form.
+
+    Reference: ``COUNT(id) OVER (PARTITION BY name)`` etc. at
+    ``examples/dataframe/query.rs:196-207``. No ORDER BY in the window → the
+    frame is the whole partition, identical in DataFusion and Spark
+    (SURVEY.md §2.5 frame note). Decimal sum keeps the windowed total exact.
+    """
+    load_star(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_orderpriority,
+               COUNT(o_orderkey) OVER (PARTITION BY o_orderpriority) AS cnt_w,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS sum_w
+        FROM orders
+        """
+    )
+
+
+@register(
+    "w2_window_agg_api",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           COUNT(c_custkey) OVER (PARTITION BY c_mktsegment) AS cnt_w,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS sum_w,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+             / COUNT(c_custkey) OVER (PARTITION BY c_mktsegment) AS avg_w
+    FROM customer
+    """,
+)
+def w2_window_agg_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM/AVG over a partition window via the builder API + with_column.
+
+    Reference: window built with ``Expr::WindowFunction(...)`` then
+    ``df.with_column`` at ``examples/dataframe/query.rs:211-251`` and the
+    multi-window ``df.window(...)`` projection at ``:253-260``. AVG is
+    computed as exact-decimal SUM / COUNT so both engines agree bit-for-bit.
+    """
+    w = Window.partitionBy("c_mktsegment")
+    cust = table(spark, sf_dir, "customer")
+    sum_w = F.sum(_dec("c_acctbal")).over(w).cast("double")
+    cnt_w = F.count("c_custkey").over(w)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        cnt_w.alias("cnt_w"),
+        sum_w.alias("sum_w"),
+        (sum_w / cnt_w).alias("avg_w"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+
+@register(
+    "o1_sort_nulls_first",
+    oracle="""
+    SELECT p_partkey, CASE WHEN p_size > 40 THEN NULL ELSE p_size END AS size_or_null
+    FROM part
+    ORDER BY size_or_null ASC NULLS FIRST, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def o1_sort_nulls_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort asc with explicit nulls-first placement + limit.
+
+    Reference: ``col("speed").sort(true, true)`` (asc, nulls_first) at
+    ``src/utils/dataframe.rs:229`` / ``src/utils/datasets.rs:135``. Spark's
+    nulls placement is emitted explicitly (``asc_nulls_first``) per
+    SURVEY.md §7 risk 4; ``p_partkey`` tiebreak makes the limited row set
+    deterministic.
+    """
+    part = table(spark, sf_dir, "part")
+    size_or_null = F.when(F.col("p_size") > 40, F.lit(None)).otherwise(F.col("p_size"))
+    return (
+        part.select("p_partkey", size_or_null.alias("size_or_null"))
+        .orderBy(F.col("size_or_null").asc_nulls_first(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "o4_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey
+    LIMIT 5 OFFSET 10
+    """,
+)
+def o4_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Limit with a skip — ``df.limit(skip, fetch)``.
+
+    Reference: ``df.limit(0, Some(5))`` signature at
+    ``src/utils/dataframe.rs:229``; Spark's ``offset`` (3.4+) covers the
+    nonzero-skip case.
+    """
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(10)
+        .limit(5)
+    )
+
+
+@register(
+    "o6_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def o6_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k = sort + limit; Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge — no global sort, scale-safe).
+
+    Reference: sort+limit composition at ``src/utils/dataframe.rs:229`` and
+    ``examples/algo/random.rs:29-35``.
+    """
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register("o7_random_sample", oracle=None)
+def o7_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``order by random() limit 1`` — non-deterministic by design → rows-only
+    oracle check (SURVEY.md §7 risk 7).
+
+    Reference: ``examples/algo/random.rs:29-40``.
+    """
+    return table(spark, sf_dir, "customer").orderBy(F.rand()).limit(1)
+
+
+# --------------------------------------------------------------------------
+# Filters / projections / set ops
+# --------------------------------------------------------------------------
+
+
+@register(
+    "p6_filter_sql_string",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    WHERE o_totalprice > 100000 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def p6_filter_sql_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter from a SQL expression string (``df_sql``).
+
+    Reference: ``df_sql(df, "speed > 10 and car in ('red','green')")`` at
+    ``src/utils/dataframe.rs:67-71``; predicate inventory P7 (``>``, ``IN``,
+    ``AND``). The parsed predicate pushes down to the parquet scan.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return df_sql(orders, "o_totalprice > 100000 and o_orderpriority in ('1-URGENT', '2-HIGH')")
+
+
+@register(
+    "p8_computed_column",
+    oracle="SELECT n_nationkey, n_nationkey + 1 AS next_key, n_name FROM nation",
+)
+def p8_computed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic computed column (reference ``col("id") + lit(1)`` /
+    ``select id + 1 as id``, ``examples/dataframe/operations.rs:225-233``)."""
+    return table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") + F.lit(1)).alias("next_key"),
+        "n_name",
+    )
+
+
+@register(
+    "p9_case_when",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size = 1 THEN p_retailprice * p_retailprice ELSE p_retailprice END AS data
+    FROM part
+    """,
+)
+def p9_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional update via CASE WHEN.
+
+    Reference: ``CASE WHEN id = 1 THEN data*data ELSE data END`` at
+    ``examples/dataframe/operations.rs:254-264``. Single float multiply —
+    deterministic without decimal.
+    """
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.when(F.col("p_size") == 1, F.col("p_retailprice") * F.col("p_retailprice"))
+        .otherwise(F.col("p_retailprice"))
+        .alias("data"),
+    )
+
+
+@register(
+    "u1_union_all",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name FROM customer
+    """,
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all self-concat, duplicates preserved (25+25→50 pattern).
+
+    Reference: ``concat_dfs`` at ``src/utils/dataframe.rs:290-308``;
+    duplicate-preservation test ``tests/api/dataframe_tests.rs:202-275``.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return concat_dfs([cust, cust])

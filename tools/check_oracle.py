@@ -1,0 +1,108 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+against the same sf parquet tables, then compares row count, column names and
+order-insensitive values. Use while iterating so oracle mismatches are caught
+before the driver's per-round check.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(df) -> tuple[list[str], list[tuple]]:
+    """Sort columns by name, normalize cell values, sort rows."""
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if isinstance(v, float):
+            return float(repr(v))
+        if hasattr(v, "isoformat"):
+            return str(v)
+        if isinstance(v, (list, tuple)):
+            return tuple(norm(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, norm(x)) for k, x in v.items()))
+        return v
+
+    rows = sorted(
+        (tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None)),
+        key=repr,
+    )
+    return cols, rows
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from sparkfusion.session import STAR_TABLES, get_session
+
+    spark = get_session("check_oracle")
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        elapsed = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {elapsed:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        scols, srows = normalize(sdf)
+        ocols, orows = normalize(odf)
+        if scols != ocols:
+            print(f"FAIL {name}: columns {scols} != {ocols}")
+            n_fail += 1
+        elif len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount {len(srows)} != {len(orows)}")
+            n_fail += 1
+        elif srows != orows:
+            diff = next(
+                (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
+            )
+            print(f"FAIL {name}: values differ, first at sorted-row {diff[0]}:")
+            print(f"  spark:  {diff[1]}")
+            print(f"  duckdb: {diff[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows, {elapsed:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
