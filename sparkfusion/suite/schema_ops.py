@@ -1,0 +1,248 @@
+"""Schema-manipulation suite — the reference's signature column operators
+(SURVEY.md §2.2): projection/exclude/rename, literal + typed-null columns,
+struct literals, columns→JSON, columns→struct, struct field access,
+positional add-column, auto-increment pk, string→typed parse.
+
+Oracle notes:
+- Spark ``to_json`` omits null fields (matching the reference contract,
+  ``src/utils/dataframe.rs:1067-1075``) while DuckDB ``to_json`` emits
+  ``"k":null`` — JSON oracle queries therefore use non-null columns only;
+  null-omission semantics are covered by tests/test_schema_ops.py.
+- Struct-typed result columns hash engine-dependently, so struct queries
+  round-trip through field access and return scalars; a rows-only query
+  returns the raw struct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import (
+    add_column,
+    add_pk_to_df,
+    df_cols_to_json,
+    df_cols_to_struct,
+    select_all_exclude,
+    with_typed_null,
+)
+from ..session import table
+from . import register
+
+
+@register(
+    "p1_p2_projection_alias",
+    oracle="SELECT c_custkey, c_name AS customer_name, c_acctbal AS balance FROM customer",
+)
+def p1_p2_projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection by name + expression alias.
+
+    Reference: ``df.select_columns(&["id","name"])`` at
+    ``examples/dataframe/operations.rs:65`` and alias projection at
+    ``src/utils/dataframe.rs:841``.
+    """
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("customer_name"),
+        F.col("c_acctbal").alias("balance"),
+    )
+
+
+@register(
+    "p3_select_all_exclude",
+    oracle="SELECT c_custkey, c_name, c_nationkey FROM customer",
+)
+def p3_select_all_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative projection (``select_all_exclude`` /
+    ``df.drop_columns``, ``src/utils/helpers.rs:505-515``)."""
+    return select_all_exclude(
+        table(spark, sf_dir, "customer"), ["c_acctbal", "c_mktsegment"]
+    )
+
+
+@register(
+    "p4_rename_column",
+    oracle="SELECT n_nationkey AS nation_id, n_name FROM nation",
+)
+def p4_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename (``df.with_column_renamed``,
+    ``examples/dataframe/actions.rs:163``)."""
+    return (
+        table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .withColumnRenamed("n_nationkey", "nation_id")
+    )
+
+
+@register(
+    "p10_literal_typed_null",
+    oracle="""
+    SELECT n_nationkey,
+           'foo' AS tag,
+           CAST(NULL AS VARCHAR) AS null_str,
+           CAST(NULL AS INTEGER) AS null_int
+    FROM nation
+    """,
+)
+def p10_literal_typed_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal column + typed NULL columns.
+
+    Reference: ``ScalarValue`` literals incl. ``Utf8(None)`` / ``Int32(None)``
+    at ``examples/dataframe/operations.rs:128-131``.
+    """
+    df = table(spark, sf_dir, "nation").select("n_nationkey")
+    df = df.withColumn("tag", F.lit("foo"))
+    df = with_typed_null(df, "null_str", "string")
+    return with_typed_null(df, "null_int", "int")
+
+
+@register(
+    "p11_struct_literal",
+    oracle="SELECT n_nationkey, FALSE AS flag, 42 AS answer FROM nation",
+)
+def p11_struct_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct literal column, verified by extracting its fields back out.
+
+    Reference: ``ScalarValue::Struct`` literal at
+    ``examples/dataframe/create.rs:210-213``; extraction mirrors
+    ``get_field`` (P16, ``examples/algo/one_billion_row_challenge.rs:207-208``).
+    """
+    df = table(spark, sf_dir, "nation").select("n_nationkey")
+    df = df.withColumn(
+        "s", F.struct(F.lit(False).alias("flag"), F.lit(42).alias("answer"))
+    )
+    return df.select(
+        "n_nationkey",
+        F.col("s").getField("flag").alias("flag"),
+        F.col("s").getField("answer").alias("answer"),
+    )
+
+
+@register(
+    "p14_cols_to_json",
+    oracle="""
+    SELECT o_custkey,
+           to_json(struct_pack(o_orderkey := o_orderkey,
+                               o_orderstatus := o_orderstatus,
+                               o_totalprice := o_totalprice)) AS packed
+    FROM orders
+    """,
+)
+def p14_cols_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columns → JSON-text column, sources dropped (``df_cols_to_json``,
+    ``src/utils/dataframe.rs:362-415``). Runs in whole-stage codegen — the
+    reference collects to the client to do this; here it's one expression."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return df_cols_to_json(
+        orders, ["o_orderkey", "o_orderstatus", "o_totalprice"], "packed"
+    )
+
+
+@register(
+    "p15_p16_struct_roundtrip",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def p15_p16_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columns → struct column (P15) then field access back to scalars (P16).
+
+    Reference: ``df_cols_to_struct`` at ``src/utils/dataframe.rs:471-518``;
+    ``get_field(split_row(c), 'city')`` at
+    ``examples/algo/one_billion_row_challenge.rs:207-208``.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    packed = df_cols_to_struct(
+        orders, ["o_orderkey", "o_orderstatus", "o_totalprice"], "s"
+    )
+    return packed.select(
+        F.col("s.o_orderkey").alias("o_orderkey"),
+        F.col("s").getField("o_orderstatus").alias("o_orderstatus"),
+        F.col("s.o_totalprice").alias("o_totalprice"),
+    )
+
+
+@register("p15_struct_raw", oracle=None)
+def p15_struct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw struct-typed result column (rows-only check — struct hashing is
+    engine-dependent). Nested rendering parity is asserted in tests."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return df_cols_to_struct(orders, ["o_orderstatus", "o_totalprice"], "s")
+
+
+@register(
+    "p13_add_pk",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS INTEGER) AS pk
+    FROM customer
+    """,
+)
+def p13_add_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-increment 0..n-1 key with an explicit deterministic ordering.
+
+    Reference: ``add_pk_to_df`` at ``src/utils/helpers.rs:161-185`` (Int32,
+    0..n-1 in batch order — here the documented order is ``c_custkey``).
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return add_pk_to_df(cust, "pk", order_by=["c_custkey"])
+
+
+@register(
+    "p12_add_column",
+    oracle="""
+    WITH lhs AS (
+      SELECT r_regionkey, r_name, ROW_NUMBER() OVER (ORDER BY r_regionkey) AS ord
+      FROM region
+    ), rhs AS (
+      SELECT upper(r_name) AS upper_name, ROW_NUMBER() OVER (ORDER BY upper(r_name)) AS ord
+      FROM region
+    )
+    SELECT r_regionkey, r_name, upper_name
+    FROM lhs JOIN rhs USING (ord)
+    """,
+)
+def p12_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional column attach via deterministic ordinal zip-join.
+
+    Reference: ``add_column_to_df`` family at ``src/utils/dataframe.rs:572-597``
+    and ``src/utils/helpers.rs:220-472`` (client-side array glue, length-checked
+    at ``:585-591``). Here both sides get a ``row_number`` ordinal over a stated
+    order and are equi-joined — distributed, no driver materialization.
+    """
+    reg = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    values = table(spark, sf_dir, "region").select(
+        F.upper("r_name").alias("upper_name")
+    )
+    return add_column(reg, values, order_by=["r_regionkey"])
+
+
+@register(
+    "p18_parse_strings",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(replace(source, 'src', '') AS INTEGER) AS src_num,
+           TRY_CAST(lang AS INTEGER) AS bad_parse
+    FROM documents
+    """,
+)
+def p18_parse_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String→typed parse; invalid input → NULL.
+
+    Reference: ``parse_strings`` at ``src/utils/scalarvalue.rs:32-60`` (bad
+    parse yields null, ``:59``). Spark 4 runs ANSI mode by default where plain
+    CAST throws, so ``try_cast`` reproduces the reference's null-on-error
+    contract exactly.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.replace(F.col("source"), F.lit("src"), F.lit(""))
+        .try_cast("int")
+        .alias("src_num"),
+        F.col("lang").try_cast("int").alias("bad_parse"),
+    )

@@ -1,0 +1,93 @@
+"""Golden-output tests for the schema-manipulation operators — the reference's
+test contracts (null-omission in JSON, missing-column errors, length-mismatch
+errors, pk contiguity) at sf-independent fixture scale."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfusion.operators import (
+    add_column,
+    add_pk_to_df,
+    df_cols_to_json,
+    df_cols_to_struct,
+)
+
+
+@pytest.fixture(scope="module")
+def idnamedata(spark):
+    # the reference's ubiquitous inline fixture (FIXTURES.md A2):
+    # dataframe!("id" => [1,2,3], "name" => ["foo", None, None], "data" => [42,43,44])
+    return spark.createDataFrame(
+        [(1, "foo", 42), (2, None, 43), (3, None, 44)], "id int, name string, data int"
+    )
+
+
+def test_cols_to_json_null_omission(idnamedata):
+    # reference contract: null fields omitted (src/utils/dataframe.rs:1067-1075)
+    out = df_cols_to_json(idnamedata, ["id", "name"], "packed").orderBy("data").collect()
+    assert [r.packed for r in out] == [
+        '{"id":1,"name":"foo"}',
+        '{"id":2}',
+        '{"id":3}',
+    ]
+    assert out[0].asDict().keys() == {"data", "packed"}  # sources dropped
+
+
+def test_cols_to_json_missing_column_raises(idnamedata):
+    # mirrors src/utils/dataframe.rs:1051-1063
+    with pytest.raises(ValueError, match="columns not found"):
+        df_cols_to_json(idnamedata, ["id", "nope"], "packed")
+
+
+def test_cols_to_struct_nested_values(idnamedata):
+    out = df_cols_to_struct(idnamedata, ["id", "name"], "s").orderBy("data").collect()
+    assert out[0].s.asDict() == {"id": 1, "name": "foo"}
+    assert out[1].s.asDict() == {"id": 2, "name": None}
+    assert out[0].asDict().keys() == {"data", "s"}
+
+
+def test_cols_to_json_all_null_row(spark):
+    # all-null column case (src/utils/dataframe.rs:1068-1069) → empty object
+    df = spark.createDataFrame([(1, None)], "id int, name string")
+    out = df_cols_to_json(df, ["name"], "packed").collect()
+    assert out[0].packed == "{}"
+    # and json round-trip parses
+    assert json.loads(out[0].packed) == {}
+
+
+def test_add_pk_contiguous(idnamedata):
+    out = add_pk_to_df(idnamedata, "pk", order_by=["id"]).orderBy("id").collect()
+    assert [r.pk for r in out] == [0, 1, 2]
+    assert dict(out[0].asDict())["pk"] == 0
+    assert out[0].__fields__[-1] == "pk"
+
+
+def test_add_column_positional(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+    vals = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    out = add_column(df, vals, order_by=["id"]).orderBy("id").collect()
+    assert [(r.id, r.v) for r in out] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_add_column_length_mismatch_raises(spark):
+    # mirrors the reference's length check (src/utils/dataframe.rs:585-591)
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    vals = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="length mismatch"):
+        add_column(df, vals, order_by=["id"])
+
+
+def test_typed_null_schema(spark):
+    from sparkfusion.operators import with_typed_null
+
+    df = spark.createDataFrame([(1,)], "id int")
+    out = with_typed_null(df, "ns", "string")
+    out = with_typed_null(out, "ni", "int")
+    schema = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert schema == {"id": "int", "ns": "string", "ni": "int"}
+    row = out.collect()[0]
+    assert row.ns is None and row.ni is None
