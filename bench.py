@@ -1,0 +1,89 @@
+"""Bench harness — runs the headline suite queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Per BASELINE.md: the three reference criterion micro-benches map to
+bench_cols_to_json / bench_cols_to_struct / bench_add_column and the 1BRC
+macro example maps to bench_1brc (a2_1brc_events). Each query is forced to
+full execution with a noop-style action (count over the materialized result)
+— no driver-side pandas conversion in the timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline queries (suite name -> bench name); extended as operators land
+HEADLINE = {
+    "q1_pricing_summary": "q1_pricing_summary",
+    "j2_inner_join_sql": "j2_join_agg",
+    "j3_multi_join_fold": "j3_multi_join_fold",
+    "w1_window_agg_sql": "w1_window_agg",
+    "a2_1brc_events": "bench_1brc",
+    "o6_topk": "o6_topk",
+    "u1_union_all": "u1_union_all",
+    "p14_cols_to_json": "bench_cols_to_json",
+    "p15_p16_struct_roundtrip": "bench_cols_to_struct",
+    "p13_add_pk": "bench_add_column",
+    "dedup_exact": "dedup_exact",
+    "dedup_minhash_pairs": "dedup_minhash",
+    "sim_cosine_topk": "sim_cosine_topk",
+    "text_quality_score": "text_quality",
+}
+
+REPEATS = 3
+
+
+def _run_once(fn, spark, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    # force full execution of every operator in the plan without collecting
+    # result rows to the python driver
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    from sparkfusion.session import get_session
+    from sparkfusion.suite import queries
+
+    spark = get_session("sparkfusion-bench")
+    qs = queries()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    results: dict[str, float] = {}
+    for suite_name, bench_name in HEADLINE.items():
+        if suite_name not in qs:
+            continue
+        fn = qs[suite_name]
+        try:
+            _run_once(fn, spark, SF_DIR)  # warm-up (scan caching, codegen)
+            times = [_run_once(fn, spark, SF_DIR) for _ in range(REPEATS)]
+            results[bench_name] = round(statistics.median(times), 4)
+        except Exception as ex:  # a broken query must not sink the whole bench
+            print(f"bench error {bench_name}: {ex}", file=sys.stderr)
+            results[bench_name] = -1.0
+    total = round(sum(t for t in results.values() if t > 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

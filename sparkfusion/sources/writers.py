@@ -1,0 +1,51 @@
+"""Writers / sinks (SURVEY.md §2.1 S11-S13, S15, S18).
+
+``mode("overwrite")`` everywhere mirrors the reference's put-semantics
+(DataFrameWriteOptions default). All writers accept ``s3a://`` URIs, which
+covers the reference's S3 sink (``src/utils/aws.rs:198-236``) — multipart
+upload, chunking, and retry are the S3A committer's job, not application code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """Parquet sink (S11/S12; reference ``df.write_parquet``,
+    ``src/utils/datasets.rs:112-114`` and the manual stream→buffer writer at
+    ``src/utils/dataframe.rs:693-705`` — engine-internal in Spark).
+
+    ``partition_by`` adds hive-style directory partitioning — the 100 TB
+    layout lever the reference lacks entirely.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (S18 analog of ``df_to_json_bytes``,
+    ``src/utils/dataframe.rs:813-823`` — distributed file form)."""
+    df.write.mode(mode).json(path)
+
+
+def df_to_json_rows(df: DataFrame) -> list[str]:
+    """DF → JSON strings on the driver (S18/C3 exact form;
+    reference ``df_to_json_bytes`` and ``record_batches_to_json_rows``,
+    ``examples/dataframe/actions.rs:112-133``). Driver-side by contract —
+    use :func:`write_json` for anything large."""
+    return df.toJSON().collect()
+
+
+def write_csv_to_parquet(spark: SparkSession, csv_path: str, out_path: str,
+                         header: bool = True) -> DataFrame:
+    """CSV→Parquet materialization (S13; reference ``write_csv_to_parquet``,
+    ``src/utils/datasets.rs:87-120``). Returns the re-read parquet frame."""
+    from .readers import read_csv
+
+    df = read_csv(spark, csv_path, header=header)
+    write_parquet(df, out_path)
+    return spark.read.parquet(out_path)

@@ -1,0 +1,159 @@
+"""Sources/sinks suite (SURVEY.md §2.1).
+
+File-producing queries write under /tmp/sparkfusion_io (overwrite mode) and
+re-read — the oracle then checks the round-tripped values against the
+original star table, proving the sink+scan pair lossless. CSV round-trips
+stick to int/string columns (float text round-trips are format-dependent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import table
+from ..sources import (
+    get_empty_df,
+    get_random_df,
+    read_batch,
+    read_csv,
+    read_literal,
+    write_csv_to_parquet,
+    write_parquet,
+)
+from . import register
+
+IO_DIR = "/tmp/sparkfusion_io"
+
+
+@register(
+    "s1_s3_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s1_s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → CSV scan with header + inferred schema, registered as a view.
+
+    Reference: ``ctx.read_csv(path, CsvReadOptions::default())``
+    (``src/utils/datasets.rs:54-56``) + ``register_csv``
+    (``examples/algo/one_billion_row_challenge.rs:122``).
+    """
+    path = os.path.join(IO_DIR, "nation_csv")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    nat.write.mode("overwrite").option("header", True).csv(path)
+    df = read_csv(spark, path, header=True, infer_schema=True)
+    df.createOrReplaceTempView("nation_from_csv")
+    return spark.sql("SELECT n_nationkey, n_name, n_regionkey FROM nation_from_csv")
+
+
+@register(
+    "s2_csv_no_header",
+    oracle="SELECT r_regionkey AS column_1, r_name AS column_2 FROM region",
+)
+def s2_csv_no_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headerless CSV scan → auto-named ``column_1..`` (DataFusion convention).
+
+    Reference: ``CsvReadOptions::new().has_header(false)`` at
+    ``examples/algo/one_billion_row_challenge.rs:121-123``.
+    """
+    from ..sources import read_csv_no_header
+
+    path = os.path.join(IO_DIR, "region_csv_nh")
+    table(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode(
+        "overwrite"
+    ).option("header", False).csv(path)
+    return read_csv_no_header(spark, path)
+
+
+@register(
+    "s4_s5_s11_parquet_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier WHERE s_acctbal > 0",
+)
+def s4_s5_s11_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink → parquet scan → registered view → SQL over it.
+
+    Reference: ``df.write_parquet`` (``src/utils/datasets.rs:112-114``),
+    ``ctx.read_parquet`` (``:184-185``), ``register_parquet``
+    (``examples/dataframe/query.rs:118-123``). The ``s_acctbal > 0`` filter is
+    applied on the re-read side so PushedFilters hits the round-tripped file.
+    """
+    from ..sources import register_parquet
+
+    path = os.path.join(IO_DIR, "supplier_pq")
+    write_parquet(table(spark, sf_dir, "supplier"), path)
+    register_parquet(spark, "supplier_rt", path)
+    return spark.sql(
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier_rt WHERE s_acctbal > 0"
+    )
+
+
+@register(
+    "s7_memory_batch",
+    oracle="""
+    SELECT * FROM (VALUES (1, 'foo', 42), (2, 'bar', 43), (3, 'baz', 44))
+      AS t(id, name, data)
+    """,
+)
+def s7_memory_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory batch source (reference ``ctx.read_batch``/``register_batch``,
+    ``examples/dataframe/query.rs:41``) — the ``idnamedata`` fixture."""
+    return read_batch(
+        spark,
+        [(1, "foo", 42), (2, "bar", 43), (3, "baz", 44)],
+        schema="id int, name string, data int",
+        name="mem_batch",
+    )
+
+
+@register(
+    "s8_literal_dataframe",
+    oracle="""
+    SELECT * FROM (VALUES (1, 'foo'), (2, 'bar'), (3, 'baz')) AS t(id, name)
+    """,
+)
+def s8_literal_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dataframe!`` macro analog (``examples/dataframe/create.rs:258-261``)."""
+    return read_literal(spark, id=[1, 2, 3], name=["foo", "bar", "baz"])
+
+
+@register("s9_empty_df", oracle=None)
+def s9_empty_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0-row 0-col frame (``get_empty_df``, ``src/utils/helpers.rs:34-38``;
+    distinct from 1-row ``read_empty``, ``:27-30``) — rows-only check."""
+    return get_empty_df(spark)
+
+
+@register("s10_random_df", oracle=None)
+def s10_random_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random frame generator (``get_random_df``,
+    ``src/utils/helpers.rs:69-127``) — non-deterministic → rows-only."""
+    return get_random_df(spark, ["int", "float", "string", "bool"], rows=100)
+
+
+@register(
+    "s13_csv_to_parquet",
+    oracle="SELECT c_custkey, c_name, c_nationkey FROM customer",
+)
+def s13_csv_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV→Parquet materialization (``write_csv_to_parquet``,
+    ``src/utils/datasets.rs:87-120``)."""
+    csv_path = os.path.join(IO_DIR, "customer_csv")
+    pq_path = os.path.join(IO_DIR, "customer_pq")
+    table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey").write.mode(
+        "overwrite"
+    ).option("header", True).csv(csv_path)
+    return write_csv_to_parquet(spark, csv_path, pq_path)
+
+
+@register(
+    "s18_json_sink_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def s18_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink → JSON scan round-trip (``df_to_json_bytes``,
+    ``src/utils/dataframe.rs:813-823``; file form of ``df.toJSON``)."""
+    path = os.path.join(IO_DIR, "region_json")
+    reg = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    reg.write.mode("overwrite").json(path)
+    return spark.read.schema("r_regionkey int, r_name string").json(path)

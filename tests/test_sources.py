@@ -1,0 +1,75 @@
+"""Tests for sources/sinks & generators (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkfusion.sources import (
+    get_empty_df,
+    get_random_df,
+    read_batch,
+    read_csv_no_header,
+    read_empty,
+    read_literal,
+)
+
+
+def test_empty_df_shapes(spark):
+    e = get_empty_df(spark)
+    assert e.count() == 0 and e.columns == []
+    # the reference documents read_empty() as 1 row x 0 cols (helpers.rs:27-30)
+    r = read_empty(spark)
+    assert r.count() == 1 and r.columns == []
+
+
+def test_random_df_types_and_rows(spark):
+    df = get_random_df(spark, ["int", "float", "string", "bool"], rows=50)
+    assert df.columns == ["column_1", "column_2", "column_3", "column_4"]
+    types = [f.dataType.simpleString() for f in df.schema.fields]
+    assert types == ["int", "float", "string", "boolean"]
+    rows = df.collect()
+    assert len(rows) == 50
+    lengths = {len(r.column_3) for r in rows}
+    assert all(1 <= n <= 50 for n in lengths)
+
+
+def test_random_df_rejects_unknown_type(spark):
+    with pytest.raises(ValueError, match="unsupported type"):
+        get_random_df(spark, ["decimal"], rows=1)
+
+
+def test_read_literal_mismatch(spark):
+    with pytest.raises(ValueError, match="length mismatch"):
+        read_literal(spark, id=[1, 2], name=["a"])
+
+
+def test_read_literal_values(spark):
+    rows = read_literal(spark, id=[1, 2], name=["a", "b"]).orderBy("id").collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_read_batch_pandas(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    df = read_batch(spark, pdf, name="pdf_view")
+    assert df.count() == 3
+    assert spark.sql("SELECT count(*) AS n FROM pdf_view").collect()[0].n == 3
+
+
+def test_read_batch_arrow_table(spark):
+    import pyarrow as pa
+
+    t = pa.table({"x": [1, 2], "y": ["a", "b"]})
+    df = read_batch(spark, t)
+    assert sorted(r.x for r in df.collect()) == [1, 2]
+
+
+def test_csv_no_header_naming(spark, tmp_path):
+    p = str(tmp_path / "nh_csv")
+    spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string").write.mode(
+        "overwrite"
+    ).option("header", False).csv(p)
+    df = read_csv_no_header(spark, p)
+    assert df.columns == ["column_1", "column_2"]
+    assert df.count() == 2
