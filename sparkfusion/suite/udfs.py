@@ -1,0 +1,140 @@
+"""UDF suite (SURVEY.md §2.10): scalar UDF, SQL-registered UDF,
+struct-returning UDF, and the full 1BRC pipeline in both UDF and pure-builtin
+forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import (
+    register_split_text,
+    split_row_builtin,
+    split_row_pandas_udf,
+    split_text_builtin,
+)
+from ..session import table
+from . import register
+
+
+@register(
+    "x1_udf_split_text",
+    oracle="SELECT p_partkey, split_part(p_type, ' ', 1) AS first_word FROM part",
+)
+def x1_udf_split_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar UDF Utf8→Utf8 (X1).
+
+    Reference: ``create_udf("split_text", ...)`` invoked through the expr API
+    at ``examples/udf/udf.rs:17-59``. Arrow-batched pandas UDF — the Spark
+    analog of the reference's whole-array processing.
+    """
+    from ..functions.udfs import make_split_text_pandas_udf
+
+    split_text = make_split_text_pandas_udf(" ")
+    return table(spark, sf_dir, "part").select(
+        "p_partkey", split_text("p_type").alias("first_word")
+    )
+
+
+@register(
+    "x2_udf_sql_registered",
+    oracle="SELECT p_partkey, split_part(p_type, ' ', 1) AS first_word FROM part",
+)
+def x2_udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF registered into the SQL catalog (X2; reference
+    ``ctx.register_udf`` → ``select split_text(name) from t``,
+    ``examples/udf/udf.rs:96-106``)."""
+    from ..session import load_star
+
+    load_star(spark, sf_dir, ("part",))
+    register_split_text(spark, "split_text", " ")
+    return spark.sql("SELECT p_partkey, split_text(p_type) AS first_word FROM part")
+
+
+@register(
+    "f7_split_builtin",
+    oracle="SELECT p_partkey, split_part(p_type, ' ', 1) AS first_word FROM part",
+)
+def f7_split_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics with zero Python: ``F.split(c)[0]`` in whole-stage
+    codegen (SURVEY.md §2.8 F7) — the production default."""
+    return table(spark, sf_dir, "part").select(
+        "p_partkey", split_text_builtin("p_type", " ").alias("first_word")
+    )
+
+
+_1BRC_ORACLE = """
+WITH packed AS (
+  SELECT event_type || ';' || CAST(value AS VARCHAR) AS raw FROM events
+), parsed AS (
+  SELECT split_part(raw, ';', 1) AS city,
+         CAST(split_part(raw, ';', 2) AS DOUBLE) AS temperature
+  FROM packed
+)
+SELECT city,
+       MIN(temperature) AS min_t,
+       MAX(temperature) AS max_t,
+       MEDIAN(temperature) AS median_t
+FROM parsed
+GROUP BY city
+ORDER BY city
+LIMIT 100
+"""
+
+
+def _packed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → single 'city;temp' text column, the 1BRC input shape
+    (reference fixture: headerless semicolon CSV,
+    ``examples/algo/one_billion_row_challenge.rs:13-112``)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.col("event_type"), F.lit(";"), F.col("value").cast("string")).alias("raw")
+    )
+
+
+@register("x3_udf_struct_1brc", oracle=_1BRC_ORACLE)
+def x3_udf_struct_1brc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 1BRC pipeline with a struct-returning pandas UDF (X3):
+    parse 'city;temp' → struct{city,temperature} → get_field → GROUP BY city
+    min/max/median → ORDER BY → LIMIT.
+
+    Reference: ``split_row`` UDF + query at
+    ``examples/algo/one_billion_row_challenge.rs:125-214``.
+    """
+    parsed = _packed_events(spark, sf_dir).select(
+        split_row_pandas_udf("raw").alias("s")
+    )
+    return (
+        parsed.select(
+            F.col("s").getField("city").alias("city"),
+            F.col("s").getField("temperature").alias("temperature"),
+        )
+        .groupBy("city")
+        .agg(
+            F.min("temperature").alias("min_t"),
+            F.max("temperature").alias("max_t"),
+            F.median("temperature").alias("median_t"),
+        )
+        .orderBy("city")
+        .limit(100)
+    )
+
+
+@register("x3_builtin_struct_1brc", oracle=_1BRC_ORACLE)
+def x3_builtin_struct_1brc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 1BRC pipeline with the pure-builtin struct parse — no Python
+    worker round-trip; the perf-sane default (SURVEY.md §7 order-of-work 5).
+    """
+    parsed = _packed_events(spark, sf_dir).select(split_row_builtin("raw").alias("s"))
+    return (
+        parsed.select("s.city", "s.temperature")
+        .groupBy("city")
+        .agg(
+            F.min("temperature").alias("min_t"),
+            F.max("temperature").alias("max_t"),
+            F.median("temperature").alias("median_t"),
+        )
+        .orderBy("city")
+        .limit(100)
+    )

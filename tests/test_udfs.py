@@ -1,0 +1,54 @@
+"""UDF surface tests (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkfusion.functions import (
+    register_split_text,
+    split_row_builtin,
+    split_row_pandas_udf,
+    split_text_builtin,
+)
+
+
+def test_split_text_builtin(spark):
+    df = spark.createDataFrame([("file.txt",), ("noext",)], "name string")
+    out = df.select(split_text_builtin("name").alias("base")).collect()
+    assert [r.base for r in out] == ["file", "noext"]
+
+
+def test_split_text_pandas_udf_matches_builtin(spark):
+    from sparkfusion.functions.udfs import make_split_text_pandas_udf
+
+    df = spark.createDataFrame([("a.b.c",), ("x",), ("",)], "name string")
+    udf_out = [r[0] for r in df.select(make_split_text_pandas_udf(".")("name")).collect()]
+    builtin_out = [r[0] for r in df.select(split_text_builtin("name")).collect()]
+    assert udf_out == builtin_out
+
+
+def test_register_split_text_sql(spark):
+    register_split_text(spark, "split_text_t", ".")
+    spark.createDataFrame([("f.parquet",)], "name string").createOrReplaceTempView("t_udf")
+    row = spark.sql("SELECT split_text_t(name) AS base FROM t_udf").collect()[0]
+    assert row.base == "f"
+
+
+def test_split_row_null_safety(spark):
+    # malformed rows -> null fields, not errors (reference null-safe builders)
+    df = spark.createDataFrame(
+        [("Oslo;4.5",), ("Bad",), ("X;notanumber",)], "raw string"
+    )
+    for form in (split_row_builtin("raw"), split_row_pandas_udf("raw")):
+        rows = df.select(form.alias("s")).select("s.city", "s.temperature").collect()
+        assert rows[0].city == "Oslo" and rows[0].temperature == 4.5
+        assert rows[1].city == "Bad" and rows[1].temperature is None
+        assert rows[2].city == "X" and rows[2].temperature is None
+
+
+def test_udf_deterministic_by_default(spark):
+    # X4: Volatility::Immutable analog — pandas UDFs default deterministic
+    from sparkfusion.functions.udfs import make_split_text_pandas_udf
+
+    udf_col = make_split_text_pandas_udf(".")("x")
+    assert "nondeterministic" not in repr(udf_col).lower()
