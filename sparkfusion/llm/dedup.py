@@ -1,0 +1,292 @@
+"""Deduplication operators for LLM corpora (exact, n-gram Jaccard,
+MinHash+LSH, SimHash).
+
+Scale design (the whole point — these must hold at 100 TB):
+
+- **exact**: one shuffle on a 128-bit fingerprint; partial agg map-side.
+- **minhash_lsh**: signatures via ONE groupBy over exploded distinct shingles
+  (k min-aggregates computed together, map-side combined); candidates via a
+  bucket equi-join — never an all-pairs product. Identical-doc floods make
+  hot buckets → AQE skew-join handles it (enabled in session defaults).
+- **simhash**: candidates via byte-banding (pairs must share one of four
+  8-bit bands) — again an equi-join, not a cross join.
+- **ngram_jaccard**: exact verification, run only on candidate pairs (its
+  all-pairs form exists for tests/oracle at toy scale).
+
+Everything is hash-based on md5 so the DuckDB oracle can replicate the math
+exactly; swap in xxhash64 for production speed (same plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, words
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word ``n``-gram shingles of the lowercased text.
+
+    Documents shorter than ``n`` words yield an empty array (guarded —
+    ``sequence`` would otherwise produce a descending range).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = words(F.lower(c))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(F.array()))
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows — the long form every hash family consumes."""
+    return df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by canonical-text fingerprint.
+
+    Returns (fp, keeper_id, n_dups): one row per distinct content, keeper =
+    min id. One shuffle on the fingerprint; at 100 TB this is the cheapest
+    possible dedup pass (and the first one a pipeline should run).
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one row per distinct canonical content (min-id wins).
+
+    Implemented as a self-join against the keeper set rather than
+    ``dropDuplicates`` so the keeper choice is deterministic (min id), which
+    ``dropDuplicates`` does not guarantee.
+    """
+    keepers = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pair similarity)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs.
+
+    Without ``candidates``: pairs are generated from shared shingles (docs
+    with no shingle in common never meet — inverted-index join, not a cross
+    join). With ``candidates`` (id_a, id_b): verification runs only on those.
+    Returns (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "inner")
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Hash family: ``md5(seed || '|' || shingle)`` — the lexicographic min of
+    the hex digest is the min of the 128-bit integer, so ``F.min`` over
+    strings is a valid min-hash. All k mins are computed in ONE groupBy
+    (map-side partial agg), i.e. a single shuffle of the exploded shingles.
+    Returns (id, m0..m{k-1}).
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"m{s}")
+        for s in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: band the k-wide signature into ``bands`` groups of
+    ``k/bands`` rows, bucket per band by hashing the band slice, and
+    equi-join docs sharing any (band, bucket). Returns distinct (id_a, id_b),
+    id_a < id_b.
+
+    With k=16, b=4 (r=4): P(candidate) = 1-(1-j^4)^4 — ~50% at j≈0.55, >99%
+    at j≈0.9 — tuned for near-dup detection. The join is on (band, bucket):
+    shuffle volume = docs × bands, never quadratic.
+    """
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"m{b * r + i}") for i in range(r)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(bands)]),
+                F.array(*band_cols),
+            )
+        ).alias("band_idx", "bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
+    return (
+        a.join(b, ["band_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash-LSH candidates → exact Jaccard
+    verification → pairs above threshold. The production 100 TB shape:
+    LSH prunes the pair space, exact verification touches only candidates."""
+    cands = minhash_lsh_pairs(df, id_col, text_col, k, bands, n)
+    return jaccard_pairs(df, id_col, text_col, n, threshold, candidates=cands)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit term-frequency-weighted SimHash per document.
+
+    Token hash: first 8 hex chars of md5 → int (md5 keeps the oracle
+    replicable; xxhash64 is the production swap). Bit b of the output is set
+    iff the tf-weighted vote of token-hash bits is positive — the textbook
+    Charikar construction; unweighted voting saturates on shared-vocabulary
+    corpora. Plan: token tf groupBy → explode × 32 bit positions → two more
+    groupBys — all map-side combinable, final shuffle ∝ docs × 32.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(words(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    bits = tf.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        h.alias("h"),
+        "tf",
+    ).select(
+        F.col(id_col),
+        "b",
+        # dynamic shift amounts need expr form — the python shiftright wrapper
+        # only accepts int literals
+        F.when(F.expr("shiftright(h, b) & 1") == 1, F.col("tf"))
+        .otherwise(-F.col("tf"))
+        .alias("contrib"),
+    )
+    bit_votes = bits.groupBy(id_col, "b").agg(F.sum("contrib").alias("vote"))
+    return bit_votes.groupBy(id_col).agg(
+        F.sum(
+            # 1L: long shift — int 1<<31 would overflow to negative
+            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash: byte-band candidate join + Hamming verify.
+
+    A pair within Hamming distance ≤ 6 of a 32-bit hash usually agrees on at
+    least one of the four 8-bit bands (pigeonhole guarantees it for
+    distance ≤ 3; bands are a recall/cost dial). The candidate join is an
+    equi-join on (byte_idx, byte_value) — no cross join at any scale.
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    sig = simhash(df, id_col, text_col)
+    bytes_df = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("byte_idx"),
+    ).withColumn("byte_val", F.expr("shiftright(simhash, byte_idx * 8) & 255"))
+    a = bytes_df.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "byte_idx", "byte_val"
+    )
+    b = bytes_df.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "byte_idx", "byte_val"
+    )
+    return (
+        a.join(b, ["byte_idx", "byte_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,417 @@
+"""LLM-data-pipeline suite: text analysis, dedup families, similarity search,
+multimodal plumbing — each oracle-replicated in DuckDB SQL (same md5-based
+hash math, same double-precision cosine folds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import dedup, multimodal, similarity, text
+from ..session import table
+from . import register
+
+# shared oracle CTE fragments ------------------------------------------------
+
+# canonical word list of lowercased text (matches llm.text.words ∘ lower)
+_W = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '')"
+
+# distinct 3-gram shingles (matches llm.dedup.shingles n=3)
+_SHINGLES_CTE = f"""
+docs_w AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM docs_w
+)
+"""
+
+_JACCARD_CTE = f"""
+{_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+         inter / (sa.sz + sb.sz - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS[lang]) + "]"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+        len(list_intersect({_W}, {_stop_list('en')})) AS h_en,
+        len(list_intersect({_W}, {_stop_list('es')})) AS h_es,
+        len(list_intersect({_W}, {_stop_list('de')})) AS h_de,
+        len(list_intersect({_W}, {_stop_list('fr')})) AS h_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE WHEN greatest(h_en, h_es, h_de, h_fr) <= 0 THEN 'und'
+           WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+           WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+           WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID over ``documents`` (map-only pass,
+    pure JVM expressions — no shuffle, no Python)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+      0.25 * (CASE WHEN length(text) >= 20 AND length(text) <= 5000 THEN 1.0 ELSE 0.0 END)
+      + 0.25 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                      / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END))
+      + 0.25 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END))
+      + 0.25 * (CASE WHEN nw > 0
+                      AND (length(text) - (nw - 1.0)) / nw >= 3
+                      AND (length(text) - (nw - 1.0)) / nw <= 10
+                     THEN 1.0 ELSE 0.0 END) AS quality
+    FROM (SELECT doc_id, text,
+                 len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''))::DOUBLE AS nw
+          FROM documents)
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length / punctuation / alpha ratio / mean
+    word length) — the corpus-filter heuristic stack."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_W}) AS n_words,
+           len(regexp_extract_all(lower(text), '{text.TOKEN_RE}')) AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace word count + BPE-ish regex token count per document."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.word_count("text").alias("n_words"),
+        text.token_count("text").alias("n_tokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized md5 document fingerprint (exact-dedup key)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: one shuffle on the content fingerprint, min-id
+    keeper. The first (and cheapest) pass of any 100 TB dedup pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_CTE}
+    SELECT id_a, id_b, inter, size_a, size_b, jaccard
+    FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via inverted-index join
+    (docs sharing no shingle never meet — no cross join)."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
+    r = k // bands
+    mins = ",\n    ".join(
+        f"MIN(md5('{s}|' || shingle)) AS m{s}" for s in range(k)
+    )
+    band_exprs = ",\n      ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"m{b * r + i}" for i in range(r))
+        + f")) AS band{b}"
+        for b in range(bands)
+    )
+    banded_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, band{b} AS bucket FROM bands"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_JACCARD_CTE},
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, {band_exprs}
+      FROM sig
+    ),
+    banded AS (
+{banded_union}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT j.id_a, j.id_b, j.inter, j.size_a, j.size_b, j.jaccard
+    FROM jac j JOIN cands c ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.jaccard >= 0.5
+    """
+
+
+@register("dedup_minhash_pairs", oracle=_minhash_oracle())
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash(k=16)+LSH(4 bands) near-dup pipeline: signature in one
+    groupBy, candidates from a bucket equi-join, exact Jaccard verification
+    on candidates only — the production 100 TB shape."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5
+    )
+
+
+_SIMHASH_ORACLE = r"""
+WITH docs_w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM docs_w
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+),
+hashed AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tf
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END AS contrib
+  FROM hashed, (SELECT unnest(generate_series(0, 31)) AS b)
+),
+votes AS (SELECT doc_id, b, SUM(contrib) AS vote FROM bits GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+),
+bytes AS (
+  SELECT doc_id, simhash, byte_idx, (simhash >> (byte_idx * 8)) & 255 AS byte_val
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS byte_idx)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bytes a JOIN bytes b
+    ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cands
+WHERE bit_count(xor(sh_a, sh_b)) <= 2
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_SIMHASH_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-weighted SimHash near-dup pairs: 32-bit signatures, byte-band
+    candidate equi-join, Hamming ≤ 2 verification."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=2)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs form — the
+    verification baseline; ``bits>0`` sign-bucket LSH is the scale path).
+    Double-precision sequential fold matches DuckDB bit-for-bit."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.45, bits=0)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT q.q_id, e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 9) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id != q.q_id
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (query = vec 0): broadcast query +
+    per-partition heap (TakeOrderedAndProject) — corpus never shuffles."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=10)
+
+
+@register(
+    "sim_ann_topk",
+    oracle="""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, bucket FROM bucketed WHERE vec_id = 0)
+    SELECT q.q_id, e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 9) AS cos
+    FROM bucketed e JOIN q ON e.bucket = q.bucket
+    WHERE e.vec_id != q.q_id
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket ANN top-k: only the query's LSH bucket is ranked
+    (~1/16 of the corpus at 4 bits) — the scale path, recall < 1 by design."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.ann_topk(emb, q, "vec_id", "embedding", k=10, bits=4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_media_meta",
+    oracle="""
+    SELECT doc_id AS media_id, 'txt' AS format, strlen(text) AS n_bytes, doc_id AS source_id
+    FROM documents
+    """,
+)
+def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media table: typed metadata struct over binary payloads
+    (fields projected out for the oracle — struct hashing is engine-specific)."""
+    media = multimodal.to_media_table(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return media.select(
+        "media_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.source_id").alias("source_id"),
+    )
+
+
+@register(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           (('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1)::INTEGER AS width,
+           (('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1)::INTEGER AS height,
+           3 AS channels,
+           md5(text) AS phash
+    FROM documents
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` decode pass (deterministic stub decode —
+    md5-derived dims; a real PIL/ffmpeg decoder drops into the same
+    partition iterator)."""
+    media = multimodal.to_media_table(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return multimodal.decode_media(media, decode_stub=True)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS media_id, md5(text) AS digest,
+             ('0x' || substr(md5(text), 9, 2))::BIGINT % 64 + 1 AS n_frames
+      FROM documents
+    )
+    SELECT media_id, idx::INTEGER AS frame_idx,
+           md5(digest || ':' || idx::VARCHAR) AS frame_hash
+    FROM base, unnest(generate_series(0, (n_frames - 1)::BIGINT, 10)) AS t(idx)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1 media row → N frame rows) through
+    ``mapInPandas`` — the video-pipeline plumbing shape."""
+    media = multimodal.to_media_table(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return multimodal.frame_sample(media, every_n=10, decode_stub=True)

@@ -1,0 +1,112 @@
+"""Tests for the LLM-data-pipeline operators: planted duplicates must be
+found, stubs must plumb, buckets must prune."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfusion.llm import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different content about spark query engines and joins"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (4, "el rapido zorro marron salta sobre el perro perezoso y la casa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_planted_duplicate(corpus):
+    groups = dedup.exact_dedup_groups(corpus, "doc_id", "text").collect()
+    dup_groups = [g for g in groups if g.n_dups > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0].keeper_id == 0 and dup_groups[0].n_dups == 2
+    kept = dedup.exact_dedup(corpus, "doc_id", "text")
+    assert kept.count() == 4
+    assert 3 not in {r.doc_id for r in kept.collect()}
+
+
+def test_jaccard_finds_near_dup(corpus):
+    pairs = dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5).collect()
+    pair_ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in pair_ids  # near-dup
+    assert (0, 3) in pair_ids  # exact dup -> jaccard 1.0
+    exact = next(r for r in pairs if (r.id_a, r.id_b) == (0, 3))
+    assert exact.jaccard == 1.0
+    assert (0, 2) not in pair_ids
+
+
+def test_minhash_pipeline_matches_planted(corpus):
+    pairs = dedup.minhash_dedup_pairs(
+        corpus, "doc_id", "text", k=16, bands=4, threshold=0.5
+    ).collect()
+    pair_ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 3) in pair_ids and (0, 1) in pair_ids
+    assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_simhash_exact_dup_distance_zero(corpus):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(corpus, "doc_id", "text").collect()}
+    assert sigs[0] == sigs[3]
+    assert 0 <= sigs[0] < 2**32
+    pairs = dedup.simhash_pairs(corpus, "doc_id", "text", max_hamming=2).collect()
+    assert (0, 3) in {(r.id_a, r.id_b) for r in pairs}
+
+
+def test_lang_id_und_and_scores(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat of the mat and it is that"), (2, "zzz qqq xxx")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.pred for r in df.select("doc_id", text.lang_id("text").alias("pred")).collect()}
+    assert rows[1] == "en" and rows[2] == "und"
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    from sparkfusion.session import table
+
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.select(text.quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_similarity_topk_ann_subset(spark, sf_dir):
+    from sparkfusion.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = similarity.brute_force_topk(emb, q, k=5).collect()
+    assert len(exact) == 5
+    cosines = [r.cos for r in exact]
+    assert cosines == sorted(cosines, reverse=True)
+    ann = similarity.ann_topk(emb, q, k=5, bits=4).collect()
+    # ANN examines a bucket subset; its best hit can't beat exact best
+    assert ann[0].cos <= exact[0].cos + 1e-12
+
+
+def test_multimodal_stub_plumbing(corpus):
+    media = multimodal.to_media_table(corpus, "doc_id", "text")
+    assert [f.name for f in media.schema.fields] == ["media_id", "content", "meta"]
+    feats = multimodal.decode_media(media, decode_stub=True).collect()
+    assert len(feats) == 5
+    f0 = next(f for f in feats if f.media_id == 0)
+    f3 = next(f for f in feats if f.media_id == 3)
+    assert (f0.width, f0.height, f0.phash) == (f3.width, f3.height, f3.phash)  # same bytes
+    assert 1 <= f0.width <= 1920 and 1 <= f0.height <= 1080
+
+    frames = multimodal.frame_sample(media, every_n=10).collect()
+    assert all(f.frame_idx % 10 == 0 for f in frames)
+    assert len({f.media_id for f in frames}) == 5
+
+
+def test_multimodal_real_decode_raises(corpus):
+    media = multimodal.to_media_table(corpus, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.decode_media(media, decode_stub=False).collect()
