@@ -1,0 +1,180 @@
+"""Windowed / stateful streaming operators over the ``events`` table.
+
+``events.ts`` is parquet TIMESTAMP(NANOS) (read as epoch-nanos long under
+``nanosAsLong``); every operator converts to µs timestamps explicitly
+(SURVEY.md §7 risk 2) before watermarking.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState
+
+def _ts_convert():
+    # integer div — float division can round ns/1000 across the µs boundary.
+    # built lazily: F.expr needs an active SparkSession
+    return F.timestamp_micros(F.expr("ts div 1000"))
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (driver for local tests;
+    swap for Kafka in production — the downstream plans are identical)."""
+    from ..session import _ensure_read_confs, table
+
+    _ensure_read_confs(spark)
+    static_schema = table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(static_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", _ts_convert())
+
+
+def run_stream_to_table(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a (finite) streaming DataFrame to completion through a memory
+    sink; returns the materialized result as a batch DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return result.sparkSession.table(name)
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "1 hour",
+                        watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window count+sum per event_type.
+
+    Output: (window_start epoch-seconds, event_type, n_events, sum_value).
+    The decimal cast keeps sum_value exact (same contract as the batch suite).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(events: DataFrame, width: str = "2 hours", slide: str = "1 hour",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Watermarked sliding-window count per event_type — each event lands in
+    width/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of silence.
+
+    Output: (user_id, session_start, session_end epoch-seconds, n_events).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization — the lag/gap/cumsum islands construction
+    (pyspark_guide 'Sessionization'); same semantics as
+    :func:`session_window_agg` for closed sessions, usable on historical data.
+
+    Output: (user_id, session_id, session_start, session_end epoch-µs,
+    n_events). ``session_end`` is the last event time + gap, matching Spark's
+    session_window end for closed sessions. All arithmetic is integer
+    microseconds — no float rounding at session boundaries.
+    """
+    w_user = Window.partitionBy("user_id").orderBy("ts_us")
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_gap = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    ).withColumn("prev_ts", F.lag("ts_us").over(w_user))
+    with_flag = with_gap.withColumn(
+        "new_session",
+        (F.col("prev_ts").isNull() | (F.col("ts_us") - F.col("prev_ts") > gap_us)).cast("int"),
+    )
+    with_id = with_flag.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_id.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("session_start"),
+        (F.max("ts_us") + gap_us).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_STATE_SCHEMA = "n_events long, sum_value double"
+_OUT_SCHEMA = "user_id long, n_events long, sum_value double"
+
+
+def _update_user_state(
+    key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user totals — the custom stateful operator shape
+    (``applyInPandasWithState``). Emits the updated running totals once per
+    micro-batch in which the user appears."""
+    if state.exists:
+        n, s = state.get
+    else:
+        n, s = 0, 0.0
+    for pdf in batches:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: running (count, sum) per user via
+    ``applyInPandasWithState`` (state store-backed; RocksDB in production).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

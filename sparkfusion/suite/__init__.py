@@ -60,11 +60,15 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import relational  # noqa: F401
+    # unconditional imports: a broken suite module must fail loudly, not
+    # silently drop its queries from the driver contract
+    from . import (  # noqa: F401
+        llm_suite,
+        relational,
+        schema_ops,
+        sources_suite,
+        streaming_suite,
+        udfs,
+    )
 
-    for mod in ("schema_ops", "sources_suite", "udfs", "llm_suite", "interchange_suite"):
-        try:
-            __import__(f"{__name__}.{mod}", fromlist=[mod])
-        except ImportError:
-            pass
     _LOADED = True

@@ -1,0 +1,123 @@
+"""Streaming suite: each query drives a real Structured Streaming job (file
+source → watermarked windowed/stateful aggregation → memory sink) to
+completion and returns the materialized result. Oracles are the equivalent
+batch aggregations in DuckDB — a finite replay in complete/update mode must
+reproduce the batch answer exactly.
+
+Window starts are returned as epoch-seconds BIGINT so the comparison is
+timestamp-representation-free. events.ts is ns in parquet; Spark truncates to
+µs — hour/minute bucket boundaries are unaffected (sub-µs remainders cannot
+cross a bucket edge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import (
+    read_events_stream,
+    run_stream_to_table,
+    session_window_agg,
+    sessionize_batch,
+    sliding_window_agg,
+    stateful_user_counts,
+    tumbling_window_agg,
+)
+from . import register
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1-hour window: count + exact decimal sum per
+    event_type, driven through a real streaming query (memory sink,
+    complete mode)."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(tumbling_window_agg(stream), "complete")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT event_type,
+             epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT - offs AS window_start
+      FROM events, (SELECT unnest([0, 3600]) AS offs)
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM buckets
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h window counts — every event contributes to two windows
+    (the oracle unrolls the two bucket starts per event)."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(sliding_window_agg(stream), "complete")
+
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts_us) AS session_start, MAX(ts_us) + 1800000000 AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("stream_session_window", oracle=_SESSION_ORACLE)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user through a real streaming query;
+    the oracle is the classic lag/gap/cumsum islands construction.
+
+    Note: epoch-second session bounds — Spark's session_window end is last
+    event + gap, truncated here to whole seconds on both sides.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_table(session_window_agg(stream), "complete")
+    return out
+
+
+@register("stream_stateful_counts", oracle=None)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): running
+    per-user totals. Rows-only check — the per-batch emission pattern is
+    streaming-specific (each user's latest running total)."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(stateful_user_counts(stream), "update")
+
+
+@register("batch_sessionize", oracle=_SESSION_ORACLE)
+def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization over historical events (lag/gap/cumsum) —
+    identical session boundaries to the streaming session_window for closed
+    sessions."""
+    from ..session import events_with_ts
+
+    ev = events_with_ts(spark, sf_dir).select("user_id", "ts")
+    out = sessionize_batch(ev, gap_minutes=30)
+    return out.select("user_id", "session_start", "session_end", "n_events")

@@ -1,0 +1,62 @@
+"""Streaming tests: real streaming queries through memory sinks, watermark
+behavior, session equivalence between streaming and batch constructions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkfusion.session import events_with_ts, table
+from sparkfusion.streaming import (
+    read_events_stream,
+    run_stream_to_table,
+    session_window_agg,
+    sessionize_batch,
+    stateful_user_counts,
+    tumbling_window_agg,
+)
+
+
+def test_tumbling_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_table(tumbling_window_agg(stream), "complete")
+    streamed_total = out.agg(F.sum("n_events").alias("n")).collect()[0].n
+    batch_total = table(spark, sf_dir, "events").count()
+    assert streamed_total == batch_total
+
+
+def test_session_stream_equals_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    streamed = run_stream_to_table(session_window_agg(stream), "complete")
+    batch = sessionize_batch(
+        events_with_ts(spark, sf_dir).select("user_id", "ts"), gap_minutes=30
+    ).select("user_id", "session_start", "session_end", "n_events")
+    assert streamed.count() == batch.count()
+    # identical row sets
+    assert (
+        streamed.exceptAll(
+            batch.select("user_id", "session_start", "session_end", "n_events")
+        ).count()
+        == 0
+    )
+
+
+def test_stateful_running_counts(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_table(stateful_user_counts(stream), "update")
+    per_user = {r.user_id: r.n_events for r in out.collect()}
+    batch = {
+        r.user_id: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_user == batch
+
+
+def test_watermark_is_set(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_window_agg(stream, watermark="10 minutes")
+    assert agg.isStreaming
+    # watermark shows up in the analyzed plan
+    assert "watermark" in agg._jdf.queryExecution().analyzed().toString().lower()
