@@ -1,0 +1,99 @@
+"""Physical-plan shape tests — the 100 TB design assertions.
+
+Correctness says what a query returns; these tests pin HOW it executes:
+filters reach the parquet scan, projections prune columns, small dims
+broadcast, top-k never does a global sort, hot paths stay in whole-stage
+codegen. A regression here is a scale regression even when results stay
+right.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfusion.session import table
+
+
+def plan_of(df, execute: bool = False) -> str:
+    if execute:
+        # AQE finalizes the physical plan (incl. codegen stages) only at
+        # runtime, and only on this DataFrame's own QueryExecution — a write
+        # action would spawn a separate one
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    from sparkfusion.suite.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, sf_dir)
+    plan = plan_of(df, execute=True)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the FileScan output list carries only the needed 7 of
+    # 11 columns (ReadSchema in toString() is truncated, so parse the scan list)
+    scan_cols = plan.split("FileScan parquet [")[1].split("]")[0]
+    for col in ("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"):
+        assert col in scan_cols
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert col not in scan_cols
+    # '*(N)' prefixes mark whole-stage-codegen stages in the final plan
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_j1_broadcasts_dimension(spark, sf_dir):
+    from sparkfusion.suite.relational import j1_inner_join_api
+
+    plan = plan_of(j1_inner_join_api(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_o6_topk_no_global_sort(spark, sf_dir):
+    from sparkfusion.suite.relational import o6_topk
+
+    plan = plan_of(o6_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # a global sort would need this
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = table(spark, sf_dir, "lineitem").select("l_orderkey").filter(F.col("l_orderkey") > 100)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_orderkey" in read_schema and "l_quantity" not in read_schema
+    assert "PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,100)]" in plan
+
+
+def test_count_star_uses_metadata_only_scan(spark, sf_dir):
+    from sparkfusion.suite.relational import a3_count_star
+
+    plan = plan_of(a3_count_star(spark, sf_dir))
+    # Spark rewrites count(*) over parquet into a row-group metadata scan
+    assert "ReadSchema: struct<>" in plan
+
+
+def test_sim_topk_broadcasts_query(spark, sf_dir):
+    from sparkfusion.suite.llm_suite import sim_cosine_topk
+
+    plan = plan_of(sim_cosine_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_exact_partial_aggregation(spark, sf_dir):
+    from sparkfusion.suite.llm_suite import dedup_exact
+
+    plan = plan_of(dedup_exact(spark, sf_dir))
+    # two HashAggregates around one exchange = map-side partial agg
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(fp" in plan
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    from sparkfusion.suite.llm_suite import dedup_minhash_pairs
+
+    plan = plan_of(dedup_minhash_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
