@@ -35,8 +35,11 @@ HEADLINE = {
     "p13_add_pk": "bench_add_column",
     "dedup_exact": "dedup_exact",
     "dedup_minhash_pairs": "dedup_minhash",
+    "dedup_simhash_pairs": "dedup_simhash",
     "sim_cosine_topk": "sim_cosine_topk",
     "text_quality_score": "text_quality",
+    "batch_sessionize": "batch_sessionize",
+    "stream_tumbling_window": "stream_tumbling",
 }
 
 REPEATS = 3

@@ -86,26 +86,25 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def jaccard_pairs(
-    df: DataFrame,
+def _jaccard_over_shingles(
+    sh: DataFrame,
     id_col: str,
-    text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
+    threshold: float,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for document pairs.
+    """Jaccard verification over a pre-exploded (id, shingle) frame.
 
-    Without ``candidates``: pairs are generated from shared shingles (docs
-    with no shingle in common never meet — inverted-index join, not a cross
-    join). With ``candidates`` (id_a, id_b): verification runs only on those.
-    Returns (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
+    With ``candidates``, the shingle frame is first semi-joined down to
+    candidate documents (typically a tiny fraction of the corpus), so the
+    inverted-index intersection join touches only candidate docs' shingles —
+    this is what keeps verification cheap after LSH pruning at scale.
     """
-    sh = exploded_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    if candidates is not None:
+        a = a.join(candidates.select("id_a").distinct(), "id_a", "left_semi")
+        b = b.join(candidates.select("id_b").distinct(), "id_b", "left_semi")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -126,13 +125,33 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
 
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs.
+
+    Without ``candidates``: pairs are generated from shared shingles (docs
+    with no shingle in common never meet — inverted-index join, not a cross
+    join). With ``candidates`` (id_a, id_b): verification runs only on those.
+    Returns (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n).cache()
+    return _jaccard_over_shingles(sh, id_col, threshold, candidates)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
@@ -142,7 +161,7 @@ def minhash_signatures(
     (map-side partial agg), i.e. a single shuffle of the exploded shingles.
     Returns (id, m0..m{k-1}).
     """
-    sh = exploded_shingles(df, id_col, text_col, n)
+    sh = shingles_df if shingles_df is not None else exploded_shingles(df, id_col, text_col, n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"m{s}")
         for s in range(k)
@@ -157,6 +176,7 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the k-wide signature into ``bands`` groups of
     ``k/bands`` rows, bucket per band by hashing the band slice, and
@@ -168,7 +188,7 @@ def minhash_lsh_pairs(
     shuffle volume = docs × bands, never quadratic.
     """
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n)
+    sig = minhash_signatures(df, id_col, text_col, k, n, shingles_df=shingles_df)
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"m{b * r + i}") for i in range(r)])).alias(
             f"band{b}"
@@ -205,9 +225,12 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash-LSH candidates → exact Jaccard
     verification → pairs above threshold. The production 100 TB shape:
-    LSH prunes the pair space, exact verification touches only candidates."""
-    cands = minhash_lsh_pairs(df, id_col, text_col, k, bands, n)
-    return jaccard_pairs(df, id_col, text_col, n, threshold, candidates=cands)
+    LSH prunes the pair space, exact verification touches only candidate
+    docs' shingles. The exploded-shingle frame is computed once and cached —
+    signature generation and verification share it."""
+    sh = exploded_shingles(df, id_col, text_col, n).cache()
+    cands = minhash_lsh_pairs(df, id_col, text_col, k, bands, n, shingles_df=sh)
+    return _jaccard_over_shingles(sh, id_col, threshold, candidates=cands)
 
 
 # ---------------------------------------------------------------------------
