@@ -65,6 +65,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         llm_suite,
         relational,
+        relational_ext,
         schema_ops,
         sources_suite,
         streaming_suite,

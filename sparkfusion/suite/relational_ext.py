@@ -1,0 +1,222 @@
+"""Relational extensions beyond the reference's exercised surface.
+
+The reference only exercises INNER joins and UNION ALL (SURVEY.md §2.3/§2.7
+"not present" notes); DataFusion supports the rest and Spark gives them
+natively — exposed here so a reference user has the full relational algebra:
+outer/semi/anti joins, INTERSECT/EXCEPT/DISTINCT, ROLLUP, PIVOT, and
+approximate aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import table
+from . import register
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(12,2)")
+
+
+@register(
+    "j5_left_outer_join",
+    oracle="""
+    SELECT n_nationkey, n_name, c_cnt
+    FROM nation LEFT JOIN (
+      SELECT c_nationkey, COUNT(*) AS c_cnt FROM customer GROUP BY c_nationkey
+    ) c ON n_nationkey = c_nationkey
+    """,
+)
+def j5_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — unmatched nations keep NULL counts."""
+    nat = table(spark, sf_dir, "nation")
+    counts = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    return nat.join(
+        counts, nat.n_nationkey == counts.c_nationkey, "left"
+    ).select("n_nationkey", "n_name", "c_cnt")
+
+
+@register(
+    "j6_semi_join",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+    """,
+)
+def j6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS — no row multiplication, RHS never projected."""
+    sup = table(spark, sf_dir, "supplier")
+    big = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return sup.join(
+        big, sup.s_suppkey == big.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "j7_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS — customers who never ordered."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j8_full_outer_join",
+    oracle="""
+    SELECT a.k AS k_high, b.k AS k_low, a.n AS n_high, b.n AS n_low
+    FROM (SELECT o_orderpriority AS k, COUNT(*) AS n FROM orders WHERE o_totalprice > 150000 GROUP BY 1) a
+    FULL OUTER JOIN (SELECT o_orderpriority AS k, COUNT(*) AS n FROM orders WHERE o_totalprice < 5000 GROUP BY 1) b
+      ON a.k = b.k
+    """,
+)
+def j8_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over two aggregate sides."""
+    orders = table(spark, sf_dir, "orders")
+    high = (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .groupBy(F.col("o_orderpriority").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    low = (
+        orders.filter(F.col("o_totalprice") < 5000)
+        .groupBy(F.col("o_orderpriority").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return high.alias("a").join(
+        low.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer"
+    ).select(
+        F.col("a.k").alias("k_high"),
+        F.col("b.k").alias("k_low"),
+        F.col("a.n").alias("n_high"),
+        F.col("b.n").alias("n_low"),
+    )
+
+
+@register(
+    "u2_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — nations having both customers and suppliers."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@register(
+    "u3_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — nations with customers but no suppliers.
+    ``subtract`` is Spark's set-difference (``exceptAll`` would be the bag
+    form, which is NOT what SQL EXCEPT means)."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)
+
+
+@register(
+    "u4_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def u4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection."""
+    return table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "a8_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, flag+status, grand total)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "a9_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "O",
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "F"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on linestatus with explicit value list (no extra scan for value
+    discovery — always pass values at scale)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+    )
+
+
+@register("a10_approx_distinct", oracle=None)
+def a10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB cardinality tool
+    (rows-only check: approximation is engine-specific by design)."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register(
+    "a11_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def a11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — two independent groupings in one pass."""
+    from ..session import load_star
+
+    load_star(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
