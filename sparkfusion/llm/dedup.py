@@ -45,8 +45,19 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) rows — the long form every hash family consumes."""
-    return df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+    """(id, shingle) rows — the long form every hash family consumes.
+
+    Repartitioned by id BEFORE exploding: the shuffle moves compact documents
+    (not exploded shingles), spreads the hash computation across all cores
+    even when the input is a single parquet file, and HashPartitioning(id)
+    already satisfies the downstream per-id groupBys — no second exchange of
+    the exploded rows.
+    """
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -250,9 +261,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     corpora. Plan: token tf groupBy → explode × 32 bit positions → two more
     groupBys — all map-side combinable, final shuffle ∝ docs × 32.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(words(F.lower(F.col(text_col)))).alias("tok"),
+    toks = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))  # parallelize hashing; co-partitions groupBys
+        .select(F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("tok"))
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
@@ -290,7 +302,10 @@ def simhash_pairs(
     equi-join on (byte_idx, byte_value) — no cross join at any scale.
     Returns (id_a, id_b, hamming), id_a < id_b.
     """
-    sig = simhash(df, id_col, text_col)
+    # cache: the signature frame (one small row per doc) feeds BOTH sides of
+    # the byte-band self-join — without it the whole token-explosion pipeline
+    # runs twice
+    sig = simhash(df, id_col, text_col).cache()
     bytes_df = sig.select(
         F.col(id_col),
         F.col("simhash"),
