@@ -69,6 +69,7 @@ def _load_all() -> None:
         schema_ops,
         sources_suite,
         streaming_suite,
+        temporal_suite,
         udfs,
     )
 

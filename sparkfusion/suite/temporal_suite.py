@@ -1,0 +1,165 @@
+"""Temporal & analytical extension suite: as-of join, bucketized range join,
+top-k per group, CUBE, UNPIVOT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.temporal import as_of_join, range_join_bucketed
+from ..session import events_with_ts, table
+from ..streaming import sessionize_batch
+from . import register
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with integer epoch-µs ts (determinism-friendly)."""
+    return events_with_ts(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+
+
+@register(
+    "j9_asof_join",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, epoch_us(ts) AS r_ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT l.user_id, l.ts_us, l.event_id, r.value AS last_view_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.r_ts
+    """,
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent prior view value.
+
+    Union-and-fill construction (one shuffle + one sort per key — no native
+    asof needed); oracle is DuckDB's native ASOF LEFT JOIN.
+    """
+    ev = _events_us(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us"), "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_us"), F.col("value").alias("last_view_value")
+    )
+    return as_of_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        value_cols=["last_view_value"],
+    )
+
+
+@register(
+    "j10_range_join",
+    oracle="""
+    WITH sessions AS (
+      SELECT user_id, session_start, session_end FROM (
+        WITH ordered AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events
+        ), flagged AS (
+          SELECT user_id, ts_us,
+                 CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+          FROM ordered
+        ), numbered AS (
+          SELECT user_id, ts_us,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id, MIN(ts_us) AS session_start, MAX(ts_us) + 1800000000 AS session_end
+        FROM numbered GROUP BY user_id, sid
+      )
+    ), err AS (
+      SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id, s.user_id, s.session_start
+    FROM err e JOIN sessions s
+      ON e.ts_us >= s.session_start AND e.ts_us <= s.session_end
+    """,
+)
+def j10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO equi-key: which user sessions were active when each
+    error event fired. Bucketized to an equi-join on a time bucket (1-hour
+    width ≈ session length) + exact range filter — never a cross join.
+    """
+    ev = _events_us(spark, sf_dir)
+    sessions = sessionize_batch(
+        events_with_ts(spark, sf_dir).select("user_id", "ts"), gap_minutes=30
+    ).select("user_id", "session_start", "session_end")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts_us")
+    joined = range_join_bucketed(
+        errors, sessions, "ts_us", "session_start", "session_end",
+        bucket_width=3_600_000_000,
+    )
+    return joined.select("event_id", "user_id", "session_start")
+
+
+@register(
+    "w3_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def w3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (guide 'Top-K per group'): the
+    partitioned sort replaces a per-group global sort; deterministic tiebreak
+    on the key."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "a12_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping combinations in one pass."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "p20_unpivot",
+    oracle="""
+    SELECT s_suppkey, metric, val FROM (
+      SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 'nationkey' AS metric, s_nationkey::DOUBLE AS val FROM supplier
+    )
+    """,
+)
+def p20_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide→long reshape (Spark 3.4 ``unpivot``)."""
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").cast("double").alias("nationkey"),
+    )
+    return sup.unpivot("s_suppkey", ["acctbal", "nationkey"], "metric", "val")

@@ -1,0 +1,50 @@
+"""As-of join and range join operator semantics on controlled fixtures."""
+
+from __future__ import annotations
+
+from sparkfusion.operators.temporal import as_of_join, range_join_bucketed
+
+
+def test_asof_basic_and_tie(spark):
+    left = spark.createDataFrame(
+        [("u1", 100, "a"), ("u1", 205, "b"), ("u2", 100, "c")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, 1.0), ("u1", 200, 2.0), ("u1", 300, 3.0)],
+        "k string, ts long, v double",
+    )
+    out = {
+        (r.k, r.ts): r.v
+        for r in as_of_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    assert out[("u1", 100)] == 1.0  # tie: right row AT left ts is visible
+    assert out[("u1", 205)] == 2.0  # most recent prior, not 3.0
+    assert out[("u2", 100)] is None  # no right rows for key -> NULL
+
+
+def test_asof_no_lookahead(spark):
+    left = spark.createDataFrame([("u1", 50, "early")], "k string, ts long, tag string")
+    right = spark.createDataFrame([("u1", 60, 9.0)], "k string, ts long, v double")
+    rows = as_of_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    assert rows[0].v is None  # future right rows never leak backward
+
+
+def test_range_join_bucketed_exact(spark):
+    points = spark.createDataFrame([(1, 5), (2, 15), (3, 25), (4, 250)], "pid long, t long")
+    intervals = spark.createDataFrame(
+        [(10, 0, 20), (11, 14, 30)], "iid long, s long, e long"
+    )
+    out = sorted(
+        (r.pid, r.iid)
+        for r in range_join_bucketed(points, intervals, "t", "s", "e", bucket_width=10).collect()
+    )
+    # t=5 in [0,20]; t=15 in both; t=25 in [14,30]; t=250 in none
+    assert out == [(1, 10), (2, 10), (2, 11), (3, 11)]
+
+
+def test_range_join_interval_spanning_many_buckets(spark):
+    points = spark.createDataFrame([(1, 95)], "pid long, t long")
+    intervals = spark.createDataFrame([(7, 0, 100)], "iid long, s long, e long")
+    out = range_join_bucketed(points, intervals, "t", "s", "e", bucket_width=10).collect()
+    assert len(out) == 1  # exploded to 11 buckets but deduped by the equi-join+filter
