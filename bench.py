@@ -40,6 +40,8 @@ HEADLINE = {
     "text_quality_score": "text_quality",
     "batch_sessionize": "batch_sessionize",
     "stream_tumbling_window": "stream_tumbling",
+    "j9_asof_join": "j9_asof_join",
+    "j10_range_join": "j10_range_join",
 }
 
 REPEATS = 3

@@ -17,6 +17,7 @@ from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def join_dfs(dfs: Sequence[DataFrame], keys: Sequence[str], how: str = "inner") -> DataFrame:
@@ -35,3 +36,29 @@ def join_dfs(dfs: Sequence[DataFrame], keys: Sequence[str], how: str = "inner") 
         raise ValueError("join_dfs: need at least one DataFrame")
     keys = list(keys)
     return reduce(lambda left, right: left.join(right, on=keys, how=how), dfs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: hot left-side keys are spread over ``salt``
+    sub-partitions; the (smaller) right side is replicated ``salt`` times.
+
+    The manual form of what AQE's skew-join splitting does at runtime —
+    useful when the skew is known up front (a handful of mega-keys in a
+    100 TB fact table) or AQE is unavailable. Left salt is derived
+    deterministically from the partition id, so results are a pure join
+    equivalence. Replication factor × right size is the cost — use only when
+    the right side is modest.
+    """
+    from pyspark.sql.functions import broadcast
+
+    salted_left = left.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
+    salts = left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+    salted_right = right.crossJoin(broadcast(salts))
+    out = salted_left.join(salted_right, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

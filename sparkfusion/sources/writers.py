@@ -40,6 +40,28 @@ def df_to_json_rows(df: DataFrame) -> list[str]:
     return df.toJSON().collect()
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist as a bucketed (+optionally sorted) managed table.
+
+    The 100 TB join lever the reference has no analog for: two tables
+    bucketed on the same key with the same bucket count join WITHOUT any
+    shuffle — the Exchange disappears from the plan (asserted in
+    tests/test_plans.py). Bucket pruning also serves point lookups.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+    return df.sparkSession.table(name)
+
+
 def write_csv_to_parquet(spark: SparkSession, csv_path: str, out_path: str,
                          header: bool = True) -> DataFrame:
     """CSV→Parquet materialization (S13; reference ``write_csv_to_parquet``,

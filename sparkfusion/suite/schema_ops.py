@@ -222,6 +222,29 @@ def p12_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f8_timestamp_parse",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso_text,
+           epoch(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'))::BIGINT AS parsed_epoch
+    FROM orders
+    """,
+)
+def f8_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp ⇄ text round-trip (F8: the reference parses ISO timestamp
+    strings from CSV into Timestamp, ``data/csv/cars.csv`` schema inference).
+    Explicit format pattern on both engines; epoch-seconds BIGINT for a
+    representation-free comparison."""
+    orders = table(spark, sf_dir, "orders")
+    iso = F.date_format(F.col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+    return orders.select(
+        "o_orderkey",
+        iso.alias("iso_text"),
+        F.to_timestamp(iso, "yyyy-MM-dd HH:mm:ss").cast("long").alias("parsed_epoch"),
+    )
+
+
+@register(
     "p18_parse_strings",
     oracle="""
     SELECT doc_id,

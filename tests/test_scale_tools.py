@@ -1,0 +1,60 @@
+"""Scale-tool tests: salted joins preserve semantics, bucketed tables join
+without a shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkfusion.operators.joins import salted_join
+from sparkfusion.session import table
+from sparkfusion.sources.writers import write_bucketed_table
+
+
+def test_salted_join_equivalence(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    plain = cust.join(nat, "c_nationkey").select("c_custkey", "n_name")
+    salted = salted_join(cust, nat, "c_nationkey", salt=4).select("c_custkey", "n_name")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_left_rows_not_duplicated(spark):
+    left = spark.createDataFrame([(1, "a")] * 100, "k int, x string")  # one hot key
+    right = spark.createDataFrame([(1, 9.0)], "k int, v double")
+    out = salted_join(left, right, "k", salt=8)
+    assert out.count() == 100  # each left row matched exactly once
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    for t in ("orders_b", "li_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-based strategy so the bucketing effect is visible
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t1 = write_bucketed_table(orders, "orders_b", 8, ["o_orderkey"], ["o_orderkey"])
+        t2 = write_bucketed_table(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "li_b", 8,
+            ["o_orderkey"], ["o_orderkey"],
+        )
+        joined = t1.join(t2, "o_orderkey")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed tables: SortMergeJoin with NO shuffle exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == t2.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        for t in ("orders_b", "li_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
