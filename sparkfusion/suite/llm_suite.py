@@ -295,6 +295,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.45, bits=0)
 
 
+@register(
+    "dedup_embedding_lsh",
+    oracle="""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) AS cos
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) >= 0.4
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with sign-bucket LSH candidate pruning — the 100 TB
+    path (pairs only form within a bucket: equi-join, ~1/2^bits of the pair
+    space scanned; recall < 1 vs the exact form by design)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4, bits=4)
+
+
+@register(
+    "p21_json_extract",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k
+    FROM events
+    """,
+)
+def p21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a text column (inverse of P14 cols→JSON;
+    the ``events.props`` payload is the fixture's JSON reference,
+    FIXTURES.md §B)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
