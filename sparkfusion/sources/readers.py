@@ -94,10 +94,8 @@ def read_literal(spark: SparkSession, **columns: Sequence) -> DataFrame:
     """Literal dataframe builder (S8) — the ``dataframe!`` macro analog.
 
     Reference: ``dataframe!("id" => [1,2,3], "name" => ["foo","bar","baz"])``
-    at ``examples/dataframe/create.rs:258-261``.
-
-    >>> read_literal(spark, id=[1, 2], name=["a", "b"]).columns
-    ['id', 'name']
+    at ``examples/dataframe/create.rs:258-261``, e.g.
+    ``read_literal(spark, id=[1, 2], name=["a", "b"])``.
     """
     if not columns:
         raise ValueError("read_literal: need at least one column")

@@ -129,6 +129,33 @@ def w3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w4_lag_lead_rank",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(event_id) OVER w AS prev_event,
+           LEAD(event_id) OVER w AS next_event,
+           RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def w4_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset (lag/lead) + ranking window functions — beyond the reference's
+    aggregate-only window surface (SURVEY.md §2.5 'no ranking or offset
+    functions appear'); deterministic orderings via event_id tiebreaks."""
+    ev = _events_us(spark, sf_dir)
+    w_time = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_rank = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w_time).alias("prev_event"),
+        F.lead("event_id").over(w_time).alias("next_event"),
+        F.rank().over(w_rank).alias("value_rank"),
+    )
+
+
+@register(
     "a12_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n

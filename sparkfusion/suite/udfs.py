@@ -121,6 +121,33 @@ def x3_udf_struct_1brc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("algo_1brc_csv_pipeline", oracle=_1BRC_ORACLE)
+def algo_1brc_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's COMPLETE 1BRC shape end-to-end: headerless
+    single-column CSV on disk → ``register_csv`` with DataFusion column
+    naming → struct parse → get_field → GROUP BY min/max/median → ORDER BY →
+    LIMIT (``examples/algo/one_billion_row_challenge.rs:115-219``)."""
+    import os
+
+    from ..sources import read_csv_no_header
+
+    path = "/tmp/sparkfusion_io/brc_csv"
+    _packed_events(spark, sf_dir).write.mode("overwrite").text(path)
+    raw = read_csv_no_header(spark, path, schema="column_1 string")
+    parsed = raw.select(split_row_builtin("column_1").alias("s"))
+    return (
+        parsed.select("s.city", "s.temperature")
+        .groupBy("city")
+        .agg(
+            F.min("temperature").alias("min_t"),
+            F.max("temperature").alias("max_t"),
+            F.median("temperature").alias("median_t"),
+        )
+        .orderBy("city")
+        .limit(100)
+    )
+
+
 @register("x3_builtin_struct_1brc", oracle=_1BRC_ORACLE)
 def x3_builtin_struct_1brc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same 1BRC pipeline with the pure-builtin struct parse — no Python
