@@ -37,6 +37,7 @@ HEADLINE = {
     "dedup_minhash_pairs": "dedup_minhash",
     "dedup_simhash_pairs": "dedup_simhash",
     "sim_cosine_topk": "sim_cosine_topk",
+    "sim_cosine_topk_np": "sim_cosine_topk_np",
     "text_quality_score": "text_quality",
     "batch_sessionize": "batch_sessionize",
     "stream_tumbling_window": "stream_tumbling",

@@ -99,6 +99,52 @@ def ann_topk(
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
 
 
+def brute_force_topk_np(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Vectorized brute-force top-k: Arrow batches → numpy/BLAS matmul.
+
+    The expression-fold form (:func:`brute_force_topk`) evaluates one
+    interpreted fold per pair — fine to ~10^4 vectors. This variant scores
+    each partition's batch as a single ``matrix @ query`` product inside
+    ``mapInPandas`` (one Python worker pass, no shuffle), then merges
+    per-partition heaps via orderBy+limit. This is the 100 TB brute-force
+    shape: compute-bound BLAS, linear scan, broadcast query.
+
+    Results are rounded to 9 decimals like every cosine here — BLAS pairwise
+    summation agrees with the sequential fold well past that precision.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_row = query_df.select(F.col(id_col), F.col(emb_col)).head()
+    q_id = q_row[0]
+    q_vec = np.asarray(q_row[1], dtype=np.float64)
+    q_unit = q_vec / np.linalg.norm(q_vec)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((q_id, q_unit))
+
+    out_schema = f"q_id long, {id_col} long, cos double"
+
+    def score(batches):
+        qid, qu = bc.value
+        for pdf in batches:
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[emb_col]])
+            norms = np.linalg.norm(mat, axis=1)
+            cos = (mat @ qu) / np.where(norms == 0, 1.0, norms)
+            out = pd.DataFrame(
+                {"q_id": qid, id_col: pdf[id_col], "cos": np.round(cos, 9)}
+            )
+            yield out[out[id_col] != qid]
+
+    scored = df.select(id_col, emb_col).mapInPandas(score, out_schema)
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -364,6 +364,27 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_cosine_topk_np",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT q.q_id, e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 9) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id != q.q_id
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow→numpy BLAS) brute-force top-k — same answer as
+    ``sim_cosine_topk``, compute-bound matmul per partition instead of
+    per-pair expression folds; the large-corpus scan shape."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.brute_force_topk_np(emb, q, "vec_id", "embedding", k=10)
+
+
+@register(
     "sim_ann_topk",
     oracle="""
     WITH bucketed AS (
