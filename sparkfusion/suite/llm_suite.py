@@ -180,8 +180,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
     r = k // bands
+    params = dedup.minhash_params(k)
     mins = ",\n    ".join(
-        f"MIN(md5('{s}|' || shingle)) AS m{s}" for s in range(k)
+        f"MIN((__h * {a} + {b}) % {dedup.MINHASH_P}) AS m{s}"
+        for s, (a, b) in enumerate(params)
     )
     band_exprs = ",\n      ".join(
         "md5(concat_ws('|', "
@@ -195,9 +197,12 @@ def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
     )
     return f"""
     WITH {_JACCARD_CTE},
+    based AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS __h FROM sh
+    ),
     sig AS (
       SELECT doc_id, {mins}
-      FROM sh GROUP BY doc_id
+      FROM based GROUP BY doc_id
     ),
     bands AS (
       SELECT doc_id, {band_exprs}
