@@ -34,6 +34,11 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
     Documents shorter than ``n`` words yield an empty array (guarded —
     ``sequence`` would otherwise produce a descending range).
+
+    PERF CAVEAT: as a single Column expression the word split is inlined
+    into the transform lambda, where Catalyst performs no common-
+    subexpression elimination — it re-runs per array element. Use
+    :func:`exploded_shingles` (two-projection form) in any hot path.
     """
     c = F.col(col) if isinstance(col, str) else col
     w = words(F.lower(c))
