@@ -62,6 +62,35 @@ def write_bucketed_table(
     return df.sparkSession.table(name)
 
 
+def compact_parquet(spark: SparkSession, path: str, target_files: int) -> int:
+    """Small-file compaction: rewrite a parquet dataset into ``target_files``
+    files (staging dir + atomic-ish swap).
+
+    The operational op every long-running 100 TB ingest needs — streaming and
+    per-task writers accrete small files that destroy scan throughput
+    (per-file open cost, tiny row groups). ``coalesce`` avoids a shuffle.
+    Returns the file count after compaction.
+    """
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + "__compacting"
+    df = spark.read.parquet(path)
+    df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with schema evolution by merge — the reference's
+    ``Schema::try_merge`` behavior (``src/utils/helpers.rs:231,279,334,387``):
+    files written with different (compatible) schemas union into one frame,
+    absent columns null-filled. Costs a footer scan of every file — turn on
+    only for evolving datasets."""
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def write_csv_to_parquet(spark: SparkSession, csv_path: str, out_path: str,
                          header: bool = True) -> DataFrame:
     """CSV→Parquet materialization (S13; reference ``write_csv_to_parquet``,
