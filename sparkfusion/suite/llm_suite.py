@@ -417,6 +417,19 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, q, "vec_id", "embedding", k=10, bits=4)
 
 
+@register("sim_ivf_topk", oracle=None)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-k: seeded-KMeans coarse quantizer, nprobe=4 of 16
+    cells scanned. Rows-only check — KMeans is iterative (not
+    SQL-expressible); determinism and recall are covered by tests/test_ivf.py."""
+    from ..llm.ivf import ivf_build, ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    assigned, centroids = ivf_build(emb, k=16, seed=42)
+    return ivf_topk(assigned, centroids, q, k=10, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
