@@ -11,11 +11,16 @@ All real content lives in ``sparkfusion.suite`` — each suite module registers
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sparkfusion import suite
+# the driver may import this module with any cwd — anchor the package path
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkfusion import suite  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

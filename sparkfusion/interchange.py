@@ -96,6 +96,36 @@ def read_parquet_bytes(spark: SparkSession, raw: bytes) -> DataFrame:
     return spark.createDataFrame(pd.read_parquet(io.BytesIO(raw)))
 
 
+def execute_stream(df: DataFrame, max_records_per_batch: int = 10_000):
+    """Pull-based incremental batch consumption — the reference's
+    ``df.execute_stream()`` / ``RecordBatchStream`` (SURVEY.md §1.1,
+    ``src/utils/dataframe.rs:105``): yields pyarrow RecordBatches one at a
+    time without materializing the full result on the driver.
+
+    Implemented over ``toLocalIterator`` (partition-at-a-time pull; executors
+    compute ahead of the consumer) re-batched through pandas→Arrow. This is
+    execution streaming, NOT event streaming (that's
+    :mod:`sparkfusion.streaming`).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    schema = pa.Schema.from_pandas(df.limit(0).toPandas(), preserve_index=False)
+    rows_iter = df.toLocalIterator(prefetchPartitions=True)
+    buf: list = []
+    for row in rows_iter:
+        buf.append(row.asDict(recursive=True))
+        if len(buf) >= max_records_per_batch:
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(buf), schema=schema, preserve_index=False
+            )
+            buf = []
+    if buf:
+        yield pa.RecordBatch.from_pandas(
+            pd.DataFrame(buf), schema=schema, preserve_index=False
+        )
+
+
 def sort_df(df: DataFrame, col: str, asc: bool = True, nulls_first: bool = True) -> DataFrame:
     """Two-flag sort matching the reference's ``col.sort(asc, nulls_first)``
     (O1/O2; ``src/utils/dataframe.rs:229``). Spark's nulls placement defaults

@@ -91,3 +91,12 @@ def test_sort_df_flag_matrix(spark):
     assert vals(True, False) == [1, 3, None]
     assert vals(False, True) == [None, 3, 1]
     assert vals(False, False) == [3, 1, None]
+
+
+def test_execute_stream_batches(spark):
+    df = spark.range(2500).withColumnRenamed("id", "v")
+    batches = list(ic.execute_stream(df, max_records_per_batch=1000))
+    assert len(batches) == 3
+    assert sum(b.num_rows for b in batches) == 2500
+    all_vals = sorted(v for b in batches for v in b.column("v").to_pylist())
+    assert all_vals == list(range(2500))
