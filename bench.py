@@ -24,6 +24,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: headline queries (suite name -> bench name); extended as operators land
 HEADLINE = {
     "q1_pricing_summary": "q1_pricing_summary",
+    "q3_shipping_priority": "q3_shipping_priority",
+    "q5_local_supplier_volume": "q5_local_supplier",
     "j2_inner_join_sql": "j2_join_agg",
     "j3_multi_join_fold": "j3_multi_join_fold",
     "w1_window_agg_sql": "w1_window_agg",
