@@ -52,6 +52,58 @@ def sign_bucket(emb: Column, bits: int = 4) -> Column:
     return out
 
 
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH, rounded to 6 decimals so
+    the exact same literals can be embedded in oracle SQL."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in rng.randn(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign(emb · plane_j).
+
+    The real SimHash-for-vectors construction — unlike :func:`sign_bucket`
+    (which thresholds raw dimensions), buckets are balanced regardless of the
+    data's per-dimension skew. Collision probability for two vectors at angle
+    θ is (1 - θ/π)^n_planes.
+    """
+    out = F.lit(0)
+    for j, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(p) for p in plane])
+        out = out + F.when(dot(emb, plane_col) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def rp_ann_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k over random-hyperplane buckets (the production LSH; the
+    sign-bucket variant remains as the dependency-free teaching form)."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    q = query_df.select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).alias("q_emb"),
+        hyperplane_bucket(F.col(emb_col), planes).alias("bucket"),
+    )
+    corpus = df.withColumn("bucket", hyperplane_bucket(F.col(emb_col), planes))
+    scored = (
+        corpus.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("cos", cosine_r9(F.col(emb_col), F.col("q_emb")))
+        .select("q_id", F.col(id_col), "cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
 def brute_force_topk(
     df: DataFrame,
     query_df: DataFrame,

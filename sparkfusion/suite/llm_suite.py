@@ -417,6 +417,36 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, q, "vec_id", "embedding", k=10, bits=4)
 
 
+def _rp_oracle(n_planes: int = 4, seed: int = 42, dim: int = 64) -> str:
+    planes = similarity.random_hyperplanes(dim, n_planes, seed)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {p}::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {bucket_terms} AS bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, bucket FROM bucketed WHERE vec_id = 0)
+    SELECT q.q_id, e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 9) AS cos
+    FROM bucketed e JOIN q ON e.bucket = q.bucket
+    WHERE e.vec_id != q.q_id
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@register("sim_rp_ann_topk", oracle=_rp_oracle())
+def sim_rp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN top-k: seeded planes shared verbatim with
+    the oracle (6-decimal literals); bucket = sign bits of plane dot
+    products. The balanced-bucket production LSH."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.rp_ann_topk(emb, q, "vec_id", "embedding", k=10, n_planes=4)
+
+
 @register("sim_ivf_topk", oracle=None)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN top-k: seeded-KMeans coarse quantizer, nprobe=4 of 16

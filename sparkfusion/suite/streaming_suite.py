@@ -102,6 +102,33 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_events
+    FROM events JOIN supplier ON (user_id % 100) + 1 = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (supplier, broadcast) before aggregating — the standard
+    streaming-enrichment shape; the static side is re-read per micro-batch,
+    so dim updates flow in without restarting the query."""
+    from pyspark.sql import functions as F
+
+    from ..session import table
+    from ..streaming import read_events_stream, run_stream_to_table
+
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "sk", (F.col("user_id") % 100 + 1)
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    enriched = stream.join(F.broadcast(sup), stream.sk == sup.s_suppkey)
+    agg = enriched.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_stream_to_table(agg, "complete")
+
+
 @register("stream_stateful_counts", oracle=None)
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): running
