@@ -129,6 +129,25 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(agg, "complete")
 
 
+@register(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` on the stream keeps the
+    first event per (user, type); with the watermark, per-key state expires
+    once the key can no longer recur — the unbounded-state guard every
+    100 TB/day dedup stream needs."""
+    from ..streaming import read_events_stream, run_stream_to_table
+
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = stream.select("user_id", "event_type", "ts").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    out = run_stream_to_table(deduped.select("user_id", "event_type"), "append")
+    return out
+
+
 @register("stream_stateful_counts", oracle=None)
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): running
