@@ -41,6 +41,23 @@ def cosine_r9(a: Column, b: Column) -> Column:
     return F.round(cosine(a, b), 9)
 
 
+def norm(emb: Column) -> Column:
+    """Euclidean norm of a float-array column (double fold)."""
+    return F.sqrt(dot(emb, emb))
+
+
+def cosine_r9_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from pre-computed norms, rounded to 9 decimals.
+
+    Same double math and operation order as :func:`cosine_r9`
+    (``dot(a,b) / sqrt(dot(a,a)) / sqrt(dot(b,b))``) — bit-identical results —
+    but the two self-dot folds are materialized once per row *before* the
+    candidate join instead of re-folded per pair: for a candidate join with
+    fan-out ``f`` this removes ``2·f - 2`` array folds per row (~3× less fold
+    work at f≈1). The norm columns survive the join as ordinary columns."""
+    return F.round(dot(a, b) / norm_a / norm_b, 9)
+
+
 def sign_bucket(emb: Column, bits: int = 4) -> Column:
     """Deterministic LSH bucket id from the sign bits of the first ``bits``
     dimensions. A stand-in for random-hyperplane LSH that both engines can
@@ -93,12 +110,20 @@ def rp_ann_topk(
         F.col(id_col).alias("q_id"),
         F.col(emb_col).alias("q_emb"),
         hyperplane_bucket(F.col(emb_col), planes).alias("bucket"),
+        norm(F.col(emb_col)).alias("q_norm"),
     )
-    corpus = df.withColumn("bucket", hyperplane_bucket(F.col(emb_col), planes))
+    corpus = df.withColumn("bucket", hyperplane_bucket(F.col(emb_col), planes)).withColumn(
+        "c_norm", norm(F.col(emb_col))
+    )
     scored = (
         corpus.join(F.broadcast(q), "bucket")
         .filter(F.col(id_col) != F.col("q_id"))
-        .withColumn("cos", cosine_r9(F.col(emb_col), F.col("q_emb")))
+        .withColumn(
+            "cos",
+            cosine_r9_pre(
+                F.col(emb_col), F.col("q_emb"), F.col("c_norm"), F.col("q_norm")
+            ),
+        )
         .select("q_id", F.col(id_col), "cos")
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
@@ -115,11 +140,19 @@ def brute_force_topk(
     the corpus. Plans as broadcast-join + per-partition heap (orderBy+limit →
     TakeOrderedAndProject): no shuffle of the corpus."""
     q = query_df.select(
-        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("q_norm"),
     )
     scored = (
-        df.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
-        .withColumn("cos", cosine_r9(F.col(emb_col), F.col("q_emb")))
+        df.withColumn("c_norm", norm(F.col(emb_col)))
+        .join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+        .withColumn(
+            "cos",
+            cosine_r9_pre(
+                F.col(emb_col), F.col("q_emb"), F.col("c_norm"), F.col("q_norm")
+            ),
+        )
         .select("q_id", F.col(id_col), "cos")
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
@@ -140,12 +173,20 @@ def ann_topk(
         F.col(id_col).alias("q_id"),
         F.col(emb_col).alias("q_emb"),
         sign_bucket(F.col(emb_col), bits).alias("bucket"),
+        norm(F.col(emb_col)).alias("q_norm"),
     )
-    corpus = df.withColumn("bucket", sign_bucket(F.col(emb_col), bits))
+    corpus = df.withColumn("bucket", sign_bucket(F.col(emb_col), bits)).withColumn(
+        "c_norm", norm(F.col(emb_col))
+    )
     scored = (
         corpus.join(F.broadcast(q), "bucket")
         .filter(F.col(id_col) != F.col("q_id"))
-        .withColumn("cos", cosine_r9(F.col(emb_col), F.col("q_emb")))
+        .withColumn(
+            "cos",
+            cosine_r9_pre(
+                F.col(emb_col), F.col("q_emb"), F.col("c_norm"), F.col("q_norm")
+            ),
+        )
         .select("q_id", F.col(id_col), "cos")
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
@@ -180,7 +221,8 @@ def brute_force_topk_np(
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((q_id, q_unit))
 
-    out_schema = f"q_id long, {id_col} long, cos double"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"q_id {id_type}, {id_col} {id_type}, cos double"
 
     def score(batches):
         qid, qu = bc.value
@@ -210,8 +252,16 @@ def cosine_pairs(
     ``bits>0``: sign-bucket LSH — pairs must share a bucket (equi-join),
     the 100 TB path. Returns (id_a, id_b, cos), id_a < id_b.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("ea"),
+        norm(F.col(emb_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("eb"),
+        norm(F.col(emb_col)).alias("nb"),
+    )
     if bits > 0:
         a = a.withColumn("bucket", sign_bucket(F.col("ea"), bits))
         b = b.withColumn("bucket", sign_bucket(F.col("eb"), bits))
@@ -219,7 +269,9 @@ def cosine_pairs(
     else:
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        joined.withColumn("cos", cosine_r9(F.col("ea"), F.col("eb")))
+        joined.withColumn(
+            "cos", cosine_r9_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -54,8 +54,21 @@ def salted_join(
     deterministically from the partition id, so results are a pure join
     equivalence. Replication factor × right size is the cost — use only when
     the right side is modest.
+
+    Only inner/left/semi/anti joins are equivalence-preserving under right-side
+    replication: a right or full outer join would emit each unmatched right row
+    ``salt`` times (once per replica). Those forms raise ``ValueError``.
     """
     from pyspark.sql.functions import broadcast
+
+    allowed = {"inner", "left", "left_outer", "leftouter", "semi", "left_semi",
+               "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — right-side replication "
+            "duplicates unmatched right rows under right/full outer joins; "
+            f"use one of {sorted(allowed)}"
+        )
 
     salted_left = left.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
     salts = left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))

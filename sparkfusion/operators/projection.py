@@ -72,10 +72,48 @@ def zip_with_index(df: DataFrame, name: str = "pk") -> DataFrame:
     deterministic only after an explicit sort/repartition — callers who need a
     *stable* key should sort first or use :func:`add_pk_to_df`.
     """
+    from pyspark.sql.types import StructType
+
     spark = df.sparkSession
     rdd = df.rdd.zipWithIndex()
-    out_schema = df.schema.add(name, "long", False)
+    # copy before .add — StructType.add mutates in place, and df.schema is a
+    # cached object: mutating it corrupts the source frame for later calls
+    out_schema = StructType(list(df.schema.fields)).add(name, "long", False)
     return spark.createDataFrame(rdd.map(lambda pair: (*pair[0], pair[1])), out_schema)
+
+
+def zip_with_index_df(df: DataFrame, name: str = "pk") -> DataFrame:
+    """Contiguous 0..n-1 ids, pure-DataFrame (Spark Connect-safe) variant of
+    :func:`zip_with_index` — no RDD API, so it works where the RDD surface is
+    unavailable (Connect) and stays inside Catalyst.
+
+    Same two-pass partition-offset scheme, expressed relationally: tag each
+    row with its partition id and a within-partition ordinal
+    (``monotonically_increasing_id`` is strictly increasing *within* a
+    partition, so a window ordered by it yields the intra-partition position);
+    compute per-partition counts (one row per partition — tiny), prefix-sum
+    them with a window over that tiny frame, broadcast-join the offsets back.
+    No global sort, no single reducer: the only total ordering is over the
+    partition-count frame (#partitions rows).
+
+    Determinism caveat (same as :func:`zip_with_index`): ids follow current
+    partition layout, so they are stable only for a deterministic source scan;
+    sort first or use :func:`add_pk_to_df` for an order-defined key.
+    """
+    tagged = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).drop("__cnt")
+    w_pos = Window.partitionBy("__pid").orderBy("__mid")
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn(name, (F.row_number().over(w_pos) - 1 + F.col("__off")).cast("long"))
+        .drop("__pid", "__mid", "__off")
+    )
 
 
 def add_column(df: DataFrame, values_df: DataFrame, order_by: Sequence[str]) -> DataFrame:
@@ -86,16 +124,29 @@ def add_column(df: DataFrame, values_df: DataFrame, order_by: Sequence[str]) -> 
     length mismatch (``:585-591``). Spark has no positional attach, so both
     sides get a deterministic ordinal (``row_number`` over ``order_by`` on the
     left, natural order of ``values_df`` via the same window on its columns)
-    and are equi-joined on it. Raises ``ValueError`` on length mismatch,
-    mirroring the reference.
+    and are equi-joined on it. Errors on length mismatch, mirroring the
+    reference — but *lazily*: instead of two eager ``count()`` driver jobs
+    (two full passes before any useful work), the ordinal join is FULL OUTER
+    with a presence marker on each side, and the attached value is wrapped in
+    a ``raise_error`` guard that fires during the same single pass that
+    produces the result. Zero extra jobs; the mismatch check is free.
     """
     if len(values_df.columns) != 1:
         raise ValueError("add_column: values_df must have exactly one column")
-    n_left, n_right = df.count(), values_df.count()
-    if n_left != n_right:
-        raise ValueError(f"add_column: length mismatch ({n_left} vs {n_right})")
+    val_col = values_df.columns[0]
     w_left = Window.orderBy(*[F.col(c) for c in order_by])
     w_right = Window.orderBy(*[F.col(c) for c in values_df.columns])
-    left = df.withColumn("__ord", F.row_number().over(w_left))
-    right = values_df.withColumn("__ord", F.row_number().over(w_right))
-    return left.join(right, "__ord", "inner").drop("__ord")
+    left = df.withColumn("__ord", F.row_number().over(w_left)).withColumn(
+        "__l", F.lit(1)
+    )
+    right = values_df.withColumn("__ord", F.row_number().over(w_right)).withColumn(
+        "__r", F.lit(1)
+    )
+    joined = left.join(right, "__ord", "full_outer")
+    guarded = F.when(
+        F.col("__l").isNull() | F.col("__r").isNull(),
+        F.raise_error(F.lit("add_column: length mismatch between df and values_df")),
+    ).otherwise(F.col(val_col))
+    return joined.withColumn(val_col, guarded.cast(right.schema[val_col].dataType)).drop(
+        "__ord", "__l", "__r"
+    )

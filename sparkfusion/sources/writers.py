@@ -75,10 +75,18 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int) -> int:
     import shutil
 
     staging = path.rstrip("/") + "__compacting"
+    retired = path.rstrip("/") + "__old"
     df = spark.read.parquet(path)
     df.coalesce(target_files).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
+    # Swap order matters for crash safety: park the live dir aside FIRST, then
+    # promote staging, then delete the parked copy — a crash at any point
+    # leaves either the old or the new data at (or one rename from) `path`,
+    # never an empty path. (rmtree-before-rename would.)
+    if os.path.exists(retired):
+        shutil.rmtree(retired)
+    os.rename(path, retired)
     os.rename(staging, path)
+    shutil.rmtree(retired)
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
 
 

@@ -286,18 +286,28 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     oracle="""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) >= 0.45
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs form — the
-    verification baseline; ``bits>0`` sign-bucket LSH is the scale path).
+    """Embedding-cosine near-dup pairs, sign-bucket banded candidates (the
+    100 TB path: equi-join on bucket, never all-pairs). The exact all-pairs
+    form (``bits=0``) is retained as a pytest-only recall reference — see
+    tests/test_llm.py — and is deliberately NOT registered in the suite.
     Double-precision sequential fold matches DuckDB bit-for-bit."""
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.45, bits=0)
+    return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.45, bits=4)
 
 
 @register(

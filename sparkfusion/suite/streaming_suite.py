@@ -134,14 +134,19 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming deduplication: ``dropDuplicates`` on the stream keeps the
-    first event per (user, type); with the watermark, per-key state expires
-    once the key can no longer recur — the unbounded-state guard every
-    100 TB/day dedup stream needs."""
+    """Streaming deduplication with *bounded* state:
+    ``dropDuplicatesWithinWatermark`` evicts a key's state once the watermark
+    passes its event time + delay — the unbounded-state guard every
+    100 TB/day dedup stream needs. (Plain ``dropDuplicates`` on a key subset
+    that omits the event-time column never evicts state; the watermark there
+    only drops late rows.) The delay is the dedup horizon: re-occurrences
+    farther apart than the delay are emitted again. Here the delay (35 d)
+    exceeds the test data's 30-day span, so output equals global DISTINCT;
+    production would size it to the real re-occurrence window."""
     from ..streaming import read_events_stream, run_stream_to_table
 
-    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    deduped = stream.select("user_id", "event_type", "ts").dropDuplicates(
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "35 days")
+    deduped = stream.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
     out = run_stream_to_table(deduped.select("user_id", "event_type"), "append")

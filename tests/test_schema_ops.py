@@ -74,11 +74,39 @@ def test_add_column_positional(spark):
 
 
 def test_add_column_length_mismatch_raises(spark):
-    # mirrors the reference's length check (src/utils/dataframe.rs:585-591)
+    # mirrors the reference's length check (src/utils/dataframe.rs:585-591);
+    # the check is lazy (raise_error in-plan, no count() jobs) so it fires at
+    # action time, not construction time
     df = spark.createDataFrame([(1,), (2,)], "id int")
     vals = spark.createDataFrame([("a",)], "v string")
-    with pytest.raises(ValueError, match="length mismatch"):
-        add_column(df, vals, order_by=["id"])
+    with pytest.raises(Exception, match="length mismatch"):
+        add_column(df, vals, order_by=["id"]).collect()
+
+
+def test_add_column_plan_has_no_count_jobs(spark):
+    # the guard must ride the single result pass — construction runs 0 jobs
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    vals = spark.createDataFrame([("a",), ("b",)], "v string")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    out = add_column(df, vals, order_by=["id"])  # no action yet
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before
+    assert [(r.id, r.v) for r in out.orderBy("id").collect()] == [(1, "a"), (2, "b")]
+
+
+def test_zip_with_index_variants_contiguous(spark):
+    # both the RDD and the Connect-safe DataFrame variants must assign a
+    # contiguous 0..n-1 key across partitions
+    from sparkfusion.operators import zip_with_index, zip_with_index_df
+
+    df = spark.range(0, 1000, 1, 8).select(F.col("id").alias("x"))
+    for fn in (zip_with_index, zip_with_index_df):
+        out = fn(df, "pk")
+        pks = sorted(r.pk for r in out.collect())
+        assert pks == list(range(1000)), fn.__name__
+        # key follows partition order: within the same layout, x==pk here
+        assert all(r.x == r.pk for r in fn(df, "pk").collect()), fn.__name__
 
 
 def test_typed_null_schema(spark):
