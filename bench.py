@@ -50,6 +50,24 @@ HEADLINE = {
 REPEATS = 3
 
 
+def _extra_benches():
+    """Bench-only variants (not suite queries — no oracle by construction).
+
+    dedup_minhash_xx: the xxhash64 production hash path for minhash — same
+    plan shape as dedup_minhash (md5, oracle path); the delta between the two
+    is the md5-vs-xxhash cost. Statistical equivalence is asserted in
+    tests/test_llm.py.
+    """
+    from sparkfusion.llm.dedup import minhash_dedup_pairs
+    from sparkfusion.session import table
+
+    def dedup_minhash_xx(spark, sf_dir):
+        docs = table(spark, sf_dir, "documents")
+        return minhash_dedup_pairs(docs, "doc_id", "text", hash_fn="xxhash64")
+
+    return {"dedup_minhash_xx": dedup_minhash_xx}
+
+
 def _run_once(fn, spark, sf_dir: str) -> float:
     t0 = time.time()
     df = fn(spark, sf_dir)
@@ -67,11 +85,11 @@ def main() -> None:
     qs = queries()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
+    to_run = {name: qs[s] for s, name in HEADLINE.items() if s in qs}
+    to_run.update(_extra_benches())
+
     results: dict[str, float] = {}
-    for suite_name, bench_name in HEADLINE.items():
-        if suite_name not in qs:
-            continue
-        fn = qs[suite_name]
+    for bench_name, fn in to_run.items():
         try:
             _run_once(fn, spark, SF_DIR)  # warm-up (scan caching, codegen)
             times = [_run_once(fn, spark, SF_DIR) for _ in range(REPEATS)]

@@ -182,6 +182,34 @@ def jaccard_pairs(
 MINHASH_P = 4_294_967_311
 
 
+def base_hash32(col: Column, hash_fn: str = "md5") -> Column:
+    """32-bit base hash of a string column, selectable implementation.
+
+    ``md5``: first 8 hex chars → long — exactly replicable in the DuckDB
+    oracle (``conv(substr(md5(x),1,8),16,10)``), the correctness path.
+    ``xxhash64``: JVM-intrinsic xxHash64 masked to 32 bits — ~3× cheaper
+    (no hex round-trip, no cryptographic rounds), the production path.
+    Both yield uniform values in [0, 2^32); the minhash/simhash math above
+    them is identical, so the two paths are statistically equivalent — they
+    find the same exact-duplicate pairs (identical shingle sets → identical
+    signatures under either hash) and the same near-dup pairs in expectation
+    (asserted in tests/test_llm.py).
+    """
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col).bitwiseAND(F.lit((1 << 32) - 1))
+    raise ValueError(f"base_hash32: unknown hash_fn {hash_fn!r} (md5|xxhash64)")
+
+
+def band_bucket(cols: list[Column], hash_fn: str = "md5") -> Column:
+    """Bucket id for an LSH band slice (hash of the concatenated mins)."""
+    joined = F.concat_ws("|", *cols)
+    if hash_fn == "xxhash64":
+        return F.xxhash64(joined).cast("string")
+    return F.md5(joined)
+
+
 def minhash_params(k: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) constants of the k affine hash functions
     ``m_s(h) = (a_s * h + b_s) mod P`` over the 32-bit base hash. ``a`` is
@@ -194,11 +222,12 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3,
-    shingles_df: DataFrame | None = None,
+    shingles_df: DataFrame | None = None, hash_fn: str = "md5",
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    One md5 per shingle → 32-bit base hash → k affine universal hashes
+    One base hash per shingle (md5 for oracle replicability, xxhash64 for
+    production — see :func:`base_hash32`) → k affine universal hashes
     ``(a_s*h + b_s) mod P`` minimized per document. Integer mins over a
     single hash beat k independent string-md5 mins ~3× while staying exactly
     replicable in the oracle's SQL. All k mins are computed in ONE groupBy
@@ -206,8 +235,7 @@ def minhash_signatures(
     Returns (id, m0..m{k-1}).
     """
     sh = shingles_df if shingles_df is not None else exploded_shingles(df, id_col, text_col, n)
-    h32 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
-    based = sh.select(F.col(id_col), h32.alias("__h"))
+    based = sh.select(F.col(id_col), base_hash32(F.col("shingle"), hash_fn).alias("__h"))
     aggs = [
         F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{s}")
         for s, (a, b) in enumerate(minhash_params(k))
@@ -223,6 +251,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     shingles_df: DataFrame | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs: band the k-wide signature into ``bands`` groups of
     ``k/bands`` rows, bucket per band by hashing the band slice, and
@@ -234,9 +263,10 @@ def minhash_lsh_pairs(
     shuffle volume = docs × bands, never quadratic.
     """
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n, shingles_df=shingles_df)
+    sig = minhash_signatures(df, id_col, text_col, k, n, shingles_df=shingles_df,
+                             hash_fn=hash_fn)
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"m{b * r + i}") for i in range(r)])).alias(
+        band_bucket([F.col(f"m{b * r + i}") for i in range(r)], hash_fn).alias(
             f"band{b}"
         )
         for b in range(bands)
@@ -268,14 +298,17 @@ def minhash_dedup_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash-LSH candidates → exact Jaccard
     verification → pairs above threshold. The production 100 TB shape:
     LSH prunes the pair space, exact verification touches only candidate
     docs' shingles. The exploded-shingle frame is computed once and cached —
-    signature generation and verification share it."""
+    signature generation and verification share it. ``hash_fn="xxhash64"``
+    is the production base hash (~3× cheaper); md5 is the oracle path."""
     sh = exploded_shingles(df, id_col, text_col, n).cache()
-    cands = minhash_lsh_pairs(df, id_col, text_col, k, bands, n, shingles_df=sh)
+    cands = minhash_lsh_pairs(df, id_col, text_col, k, bands, n, shingles_df=sh,
+                              hash_fn=hash_fn)
     return _jaccard_over_shingles(sh, id_col, threshold, candidates=cands)
 
 
@@ -286,11 +319,11 @@ def minhash_dedup_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, hash_fn: str = "md5") -> DataFrame:
     """32-bit term-frequency-weighted SimHash per document.
 
-    Token hash: first 8 hex chars of md5 → int (md5 keeps the oracle
-    replicable; xxhash64 is the production swap). Bit b of the output is set
+    Token hash: :func:`base_hash32` (md5 keeps the oracle replicable;
+    ``hash_fn="xxhash64"`` is the production swap). Bit b of the output is set
     iff the tf-weighted vote of token-hash bits is positive — the textbook
     Charikar construction; unweighted voting saturates on shared-vocabulary
     corpora. Plan: token tf groupBy → explode × 32 bit positions → two more
@@ -302,7 +335,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("tok"))
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    h = base_hash32(F.col("tok"), hash_fn)
     bits = tf.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
@@ -327,7 +360,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: byte-band candidate join + Hamming verify.
 
@@ -340,7 +374,7 @@ def simhash_pairs(
     # cache: the signature frame (one small row per doc) feeds BOTH sides of
     # the byte-band self-join — without it the whole token-explosion pipeline
     # runs twice
-    sig = simhash(df, id_col, text_col).cache()
+    sig = simhash(df, id_col, text_col, hash_fn=hash_fn).cache()
     bytes_df = sig.select(
         F.col(id_col),
         F.col("simhash"),

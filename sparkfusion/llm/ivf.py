@@ -54,6 +54,80 @@ def ivf_build(
     return assigned, centroids
 
 
+def euclid_r9(a, b):
+    """Euclidean distance of two float-array columns: sequential fold of
+    squared diffs in double, sqrt, rounded to 9 decimals — the rounding
+    absorbs ≤1-ulp summation-order differences vs DuckDB's ``list_distance``
+    so argmin cell assignment is cross-engine identical."""
+    diff2 = F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.round(F.sqrt(diff2), 9)
+
+
+def ivf_seeded_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-Flat top-k with a *deterministic* data-derived coarse quantizer:
+    the centroids are the embeddings of the first ``n_cells`` ids (a
+    degenerate but fully SQL-expressible KMeans init — both engines can name
+    the exact same centroid rows, so assignment, probe selection, and ranking
+    are cross-engine reproducible). :func:`ivf_build`'s seeded KMeans is the
+    production quantizer (better-balanced cells); its recall and determinism
+    are covered in tests/test_ivf.py. Same plan shape either way: broadcast
+    centroids, argmin-assign (one map pass), probe = ``nprobe`` nearest cells
+    by centroid cosine, rank only vectors in probed cells.
+
+    At 100 TB the assigned corpus is written partitioned by ``cell`` so the
+    probe is a partition-pruned scan; here the cell filter is a broadcast
+    semi-join with the probed-cell frame (nprobe rows).
+    """
+    cents = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell"), F.col(emb_col).alias("c_emb")
+    )
+    pairs = (
+        df.select(id_col, emb_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d", euclid_r9(F.col(emb_col), F.col("c_emb")))
+    )
+    assigned = (
+        pairs.groupBy(id_col)
+        .agg(
+            F.min(F.struct("d", "cell")).alias("m"),
+            F.first(emb_col).alias(emb_col),
+        )
+        .select(id_col, emb_col, F.col("m.cell").alias("cell"))
+    )
+    q = query_df.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("c_cos", cosine_r9(F.col("c_emb"), F.col("q_emb")))
+        .orderBy(F.col("c_cos").desc(), F.col("cell"))
+        .limit(nprobe)
+        .select("cell", "q_id", "q_emb")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "cell")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("cos", cosine_r9(F.col(emb_col), F.col("q_emb")))
+        .select("q_id", F.col(id_col), "cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,

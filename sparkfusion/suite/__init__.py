@@ -58,6 +58,26 @@ _LOADED = False
 # queries() per round (observed: CORRECTNESS_r01 covered exactly the first 50
 # registered names, cut mid-module). Round 1 green-checked these 50; push them
 # to the back so the 47 still-unchecked queries are verified in round 2.
+# Priority order: r1-unchecked first, then round-2+ additions, then the
+# r1-green set — so new queries never displace a §2 operator still waiting
+# for its first driver-side green row.
+_R1_UNCHECKED = (
+    "a10_approx_distinct", "a11_grouping_sets", "p1_p2_projection_alias",
+    "p3_select_all_exclude", "p4_rename_column", "p10_literal_typed_null",
+    "p11_struct_literal", "p14_cols_to_json", "p15_p16_struct_roundtrip",
+    "p15_struct_raw", "p13_add_pk", "p12_add_column", "f8_timestamp_parse",
+    "p18_parse_strings", "s1_s3_csv_roundtrip", "s2_csv_no_header",
+    "s4_s5_s11_parquet_roundtrip", "s7_memory_batch", "s8_literal_dataframe",
+    "s9_empty_df", "s10_random_df", "s13_csv_to_parquet",
+    "s18_json_sink_roundtrip", "stream_tumbling_window", "stream_sliding_window",
+    "stream_session_window", "stream_static_join", "stream_dedup",
+    "stream_stateful_counts", "batch_sessionize", "j9_asof_join",
+    "j10_range_join", "w3_topk_per_group", "w4_lag_lead_rank", "a12_cube",
+    "p20_unpivot", "q3_shipping_priority", "q5_local_supplier_volume",
+    "arr_functions", "udaf_weighted_mean", "udtf_split_rows",
+    "x1_udf_split_text", "x2_udf_sql_registered", "f7_split_builtin",
+    "x3_udf_struct_1brc", "algo_1brc_csv_pipeline", "x3_builtin_struct_1brc",
+)
 _R1_CHECKED = (
     "text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_pairs", "dedup_simhash_pairs",
@@ -96,10 +116,14 @@ def _load_all() -> None:
         udfs,
     )
 
-    # Reorder: driver-unchecked queries first (see _R1_CHECKED note above).
-    checked = set(_R1_CHECKED)
-    ordered = {k: v for k, v in REGISTRY.items() if k not in checked}
-    ordered.update({k: REGISTRY[k] for k in _R1_CHECKED if k in REGISTRY})
+    # Reorder: r1-unchecked first, then new additions, then the r1-green set
+    # (see note above _R1_UNCHECKED).
+    front = [k for k in _R1_UNCHECKED if k in REGISTRY]
+    seen = set(front) | set(_R1_CHECKED)
+    middle = [k for k in REGISTRY if k not in seen]
+    back = [k for k in _R1_CHECKED if k in REGISTRY]
+    ordered = {k: REGISTRY[k] for k in front + middle + back}
+    assert len(ordered) == len(REGISTRY)
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

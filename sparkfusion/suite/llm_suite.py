@@ -457,17 +457,47 @@ def sim_rp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rp_ann_topk(emb, q, "vec_id", "embedding", k=10, n_planes=4)
 
 
-@register("sim_ivf_topk", oracle=None)
+@register(
+    "sim_ivf_topk",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(vec_id AS INTEGER) AS cell, embedding
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cell FROM cents c
+              ORDER BY round(list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 9) ASC,
+                       c.cell ASC
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cell FROM cents c, q
+      ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 9) DESC,
+               c.cell ASC
+      LIMIT 2
+    )
+    SELECT q.q_id, a.vec_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 9) AS cos
+    FROM assigned a JOIN probe p ON a.cell = p.cell CROSS JOIN q
+    WHERE a.vec_id <> q.q_id
+    ORDER BY cos DESC, a.vec_id
+    LIMIT 10
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN top-k: seeded-KMeans coarse quantizer, nprobe=4 of 16
-    cells scanned. Rows-only check — KMeans is iterative (not
-    SQL-expressible); determinism and recall are covered by tests/test_ivf.py."""
-    from ..llm.ivf import ivf_build, ivf_topk
+    """IVF-Flat ANN top-k, deterministic data-derived quantizer (centroids =
+    embeddings of vec_id 0..7, nprobe=2) — fully oracle-checkable because
+    both engines name the exact same centroid rows. The seeded-KMeans
+    quantizer (:func:`sparkfusion.llm.ivf.ivf_build`) is the production
+    trainer; its recall/determinism are asserted in tests/test_ivf.py."""
+    from ..llm.ivf import ivf_seeded_topk
 
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
-    assigned, centroids = ivf_build(emb, k=16, seed=42)
-    return ivf_topk(assigned, centroids, q, k=10, nprobe=4)
+    return ivf_seeded_topk(emb, q, "vec_id", "embedding", k=10, n_cells=8, nprobe=2)
 
 
 # ---------------------------------------------------------------------------

@@ -472,14 +472,45 @@ def o6_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("o7_random_sample", oracle=None)
+@register(
+    "o7_random_sample",
+    oracle="""
+    SELECT * FROM customer
+    ORDER BY md5(CAST(c_custkey AS VARCHAR))
+    LIMIT 1
+    """,
+)
 def o7_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``order by random() limit 1`` — non-deterministic by design → rows-only
-    oracle check (SURVEY.md §7 risk 7).
-
-    Reference: ``examples/algo/random.rs:29-40``.
+    """Random-row pick, reproducible form: order by a hash of the key instead
+    of ``rand()``. Statistically uniform over the key space but deterministic,
+    so experiment splits replay and the oracle hash-matches — the production
+    sampling idiom at 100 TB (``rand()``-ordered sampling is not re-runnable
+    and cannot be audited). ``orderBy(F.rand()).limit(1)`` remains the literal
+    reference translation (``examples/algo/random.rs:29-40``); same plan shape
+    either way (TakeOrderedAndProject, no full sort).
     """
-    return table(spark, sf_dir, "customer").orderBy(F.rand()).limit(1)
+    cust = table(spark, sf_dir, "customer")
+    return cust.orderBy(F.md5(F.col("c_custkey").cast("string"))).limit(1)
+
+
+@register(
+    "o8_hash_sample",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE md5(CAST(c_custkey AS VARCHAR)) < '1a'
+    """,
+)
+def o8_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% Bernoulli sample via hash thresholding
+    (md5(key) < '1a' ≈ 0x1a/0x100 ≈ 10.2%). The held-out-split primitive for
+    training pipelines: membership is a pure function of the key, so the
+    split is identical across runs, engines, and data shuffles — unlike
+    ``df.sample()``, whose content is partition-layout-dependent. Map-only,
+    no shuffle; the predicate is sargable after projection pushdown."""
+    cust = table(spark, sf_dir, "customer")
+    return cust.select("c_custkey", "c_name", "c_acctbal").filter(
+        F.md5(F.col("c_custkey").cast("string")) < "1a"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -216,13 +216,40 @@ def a13_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a10_approx_distinct", oracle=None)
+@register(
+    "a10_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_tol, TRUE AS orders_within_tol
+    FROM lineitem
+    """,
+)
 def a10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — the 100 TB cardinality tool
-    (rows-only check: approximation is engine-specific by design)."""
+    """HyperLogLog++ approximate distinct — the 100 TB cardinality tool.
+    HLL estimates are engine-specific, so the raw estimate can't hash-match
+    an oracle; instead the query emits the exact count plus a boolean
+    asserting the HLL estimate landed within 3×rsd (15%) of it. The oracle
+    expects TRUE — a drifting HLL implementation fails the gate, and the
+    exact columns are value-checked as usual. (At 100 TB you'd run *only*
+    the HLL side — one pass, constant memory; countDistinct shuffles every
+    distinct value.)"""
+    tol = 0.15
     return table(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey") - F.count_distinct("l_partkey")
+            )
+            <= tol * F.count_distinct("l_partkey")
+        ).alias("parts_within_tol"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey") - F.count_distinct("l_orderkey")
+            )
+            <= tol * F.count_distinct("l_orderkey")
+        ).alias("orders_within_tol"),
     )
 
 

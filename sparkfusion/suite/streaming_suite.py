@@ -153,13 +153,24 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("stream_stateful_counts", oracle=None)
+@register(
+    "stream_stateful_counts",
+    oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): running
-    per-user totals. Rows-only check — the per-batch emission pattern is
-    streaming-specific (each user's latest running total)."""
+    per-user totals. Update mode emits each user's running total once per
+    micro-batch it appears in; the test source is a single parquet file →
+    exactly one batch → the emission equals the final per-user totals, so
+    the integer count column is oracle-checkable. ``sum_value`` (a pandas
+    float sum, summation-order-sensitive) is computed in the operator but
+    projected out here — cross-engine float-sum equality is not part of the
+    contract (see the DECIMAL rule in the suite docstring)."""
+    from pyspark.sql import functions as F
+
     stream = read_events_stream(spark, sf_dir)
-    return run_stream_to_table(stateful_user_counts(stream), "update")
+    out = run_stream_to_table(stateful_user_counts(stream), "update")
+    return out.select("user_id", "n_events")
 
 
 @register("batch_sessionize", oracle=_SESSION_ORACLE)

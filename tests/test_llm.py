@@ -50,6 +50,27 @@ def test_minhash_pipeline_matches_planted(corpus):
     assert all(r.jaccard >= 0.5 for r in pairs)
 
 
+def test_xxhash_path_equivalence(corpus):
+    """The xxhash64 production hash must behave like the md5 oracle hash:
+    exact duplicates get identical signatures (always found), and the planted
+    near-dup survives banding under both hash families."""
+    # bands=8 (r=2): candidate probability for the j~0.67 planted near-dup is
+    # ~0.99 per hash family — bands=4 would leave a ~40% legitimate miss rate
+    # (LSH recall, not a hash defect)
+    xx = dedup.minhash_dedup_pairs(
+        corpus, "doc_id", "text", k=16, bands=8, threshold=0.5, hash_fn="xxhash64"
+    ).collect()
+    xx_ids = {(r.id_a, r.id_b) for r in xx}
+    assert (0, 3) in xx_ids  # exact dup: identical shingles -> identical sigs
+    assert (0, 1) in xx_ids  # planted near-dup
+    sigs = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash(corpus, "doc_id", "text", hash_fn="xxhash64").collect()
+    }
+    assert sigs[0] == sigs[3]
+    assert 0 <= sigs[0] < 2**32
+
+
 def test_simhash_exact_dup_distance_zero(corpus):
     sigs = {r.doc_id: r.simhash for r in dedup.simhash(corpus, "doc_id", "text").collect()}
     assert sigs[0] == sigs[3]
