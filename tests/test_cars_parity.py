@@ -90,3 +90,43 @@ def test_pk_and_self_concat(cars):
     assert pks == list(range(25))
     doubled = concat_dfs([cars, cars])
     assert doubled.count() == 50  # duplicates preserved (reference 25+25→50)
+
+
+def test_sort_null_ordering_variants_golden(spark):
+    """Golden four-way null-placement matrix, mirroring the reference's
+    explicit (asc, nulls_first) sort flags (col("speed").sort(true, true),
+    src/utils/dataframe.rs:229; ordering cases tests/api/dataframe_tests.rs).
+    Spark's *defaults* differ per direction (asc->nulls first, desc->nulls
+    last), so every suite sort emits explicit placement — asserted here."""
+    df = spark.createDataFrame(
+        [(None,), (1.0,), (3.0,), (2.0,)], "speed double"
+    )
+
+    def seq(col):
+        return [r.speed for r in df.orderBy(col).collect()]
+
+    assert seq(F.col("speed").asc_nulls_first()) == [None, 1.0, 2.0, 3.0]
+    assert seq(F.col("speed").asc_nulls_last()) == [1.0, 2.0, 3.0, None]
+    assert seq(F.col("speed").desc_nulls_first()) == [None, 3.0, 2.0, 1.0]
+    assert seq(F.col("speed").desc_nulls_last()) == [3.0, 2.0, 1.0, None]
+    # defaults match the explicit forms they alias
+    assert seq(F.col("speed").asc()) == seq(F.col("speed").asc_nulls_first())
+    assert seq(F.col("speed").desc()) == seq(F.col("speed").desc_nulls_last())
+
+
+def test_sort_limit_golden_head5(cars):
+    """End-to-end golden mirroring the reference's sort+limit doctest shape
+    (sort speed asc nulls_first, limit 5 — src/utils/dataframe.rs:229):
+    the five slowest cars are the duplicated low green speeds."""
+    head = (
+        cars.orderBy(F.col("speed").asc_nulls_first(), F.col("time").asc())
+        .limit(5)
+        .collect()
+    )
+    assert [(r.car, r.speed) for r in head] == [
+        ("green", 15.0),
+        ("green", 15.0),
+        ("green", 16.0),
+        ("green", 16.0),
+        ("green", 17.0),
+    ]

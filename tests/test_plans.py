@@ -97,3 +97,45 @@ def test_minhash_no_cartesian(spark, sf_dir):
     plan = plan_of(dedup_minhash_pairs(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_all_filters_pushed(spark, sf_dir):
+    from sparkfusion.suite.tpch_like import q6_revenue_forecast
+
+    # scan metadata (PushedFilters list) is elided at 100 chars by default —
+    # widen it so the assertion sees the full filter list
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = plan_of(q6_revenue_forecast(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    # every predicate is a scan-level pushed filter: date window, discount
+    # band, quantity cap — the whole query is pruned IO + a 1-row agg
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in plan, frag
+    scan_cols = plan.split("FileScan parquet [")[1].split("]")[0]
+    assert "l_returnflag" not in scan_cols  # pruned
+
+
+def test_q10_broadcasts_nation_topk_no_sort(spark, sf_dir):
+    from sparkfusion.suite.tpch_like import q10_returned_items
+
+    plan = plan_of(q10_returned_items(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_q18_semi_join_preaggregates(spark, sf_dir):
+    from sparkfusion.suite.tpch_like import q18_large_volume_customer
+
+    plan = plan_of(q18_large_volume_customer(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
