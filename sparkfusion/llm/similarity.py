@@ -244,14 +244,27 @@ def cosine_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.4,
-    bits: int = 0,
+    bits: int = 4,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ threshold.
 
-    ``bits=0``: exact all-pairs (toy scale / verification only).
-    ``bits>0``: sign-bucket LSH — pairs must share a bucket (equi-join),
-    the 100 TB path. Returns (id_a, id_b, cos), id_a < id_b.
+    Default (``bits>0``): sign-bucket LSH — pairs must share a bucket
+    (equi-join), the 100 TB path; shuffle is linear in rows, candidate count
+    ∝ Σ bucket², never all-pairs.
+
+    ``exact=True``: all-pairs O(n²) theta-join — verification/toy scale
+    ONLY (this is the plan shape the repo bans at scale, so it is opt-in;
+    ``bits`` is ignored). Raises if ``exact=False`` and ``bits < 1`` so no
+    caller can reach the cartesian form by accident.
+
+    Returns (id_a, id_b, cos), id_a < id_b.
     """
+    if not exact and bits < 1:
+        raise ValueError(
+            "bits must be >= 1 for the LSH path; pass exact=True to opt in "
+            "to the all-pairs O(n^2) join (toy scale / verification only)"
+        )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("ea"),
@@ -262,12 +275,12 @@ def cosine_pairs(
         F.col(emb_col).alias("eb"),
         norm(F.col(emb_col)).alias("nb"),
     )
-    if bits > 0:
+    if exact:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
         a = a.withColumn("bucket", sign_bucket(F.col("ea"), bits))
         b = b.withColumn("bucket", sign_bucket(F.col("eb"), bits))
         joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    else:
-        joined = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         joined.withColumn(
             "cos", cosine_r9_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))

@@ -265,18 +265,28 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: small-quantity-order revenue with a per-part
     correlated average. Expressed as a join against the grouped per-part
-    averages (what a decorrelating optimizer produces anyway) — one shuffle
-    of (partkey, avg), broadcast back. AVG over integer-valued doubles is
-    order-insensitive (exact in binary), so no decimal dance is needed for
-    the threshold; revenue stays DECIMAL until the final /7.0."""
+    averages (what a decorrelating optimizer produces anyway). The average's
+    input is semi-joined to the filtered (broadcast-small) Brand#9 part set
+    BEFORE the groupBy — only ~1/brands of lineitem is aggregated and the
+    resulting (partkey, avg) frame is one row per *Brand#9* part, so the
+    broadcast back stays KB-scale at any SF (an all-parts average would be
+    one row per distinct part: GBs at 100 TB → driver OOM). AVG over
+    integer-valued doubles is order-insensitive (exact in binary), so no
+    decimal dance is needed for the threshold; revenue stays DECIMAL until
+    the final /7.0."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
-    avgs = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+    li_brand = li.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("sp_partkey"))),
+        li.l_partkey == F.col("sp_partkey"),
+        "left_semi",
+    )
+    avgs = li_brand.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(avgs), li.l_partkey == F.col("ap_partkey"))
+        li_brand.join(F.broadcast(part), li_brand.l_partkey == part.p_partkey)
+        .join(F.broadcast(avgs), li_brand.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (

@@ -113,15 +113,18 @@ def test_similarity_topk_ann_subset(spark, sf_dir):
 
 
 def test_cosine_pairs_banded_recall_vs_exact(spark, sf_dir):
-    """The exact all-pairs form (bits=0) lives here as the recall reference;
-    the suite registers only the banded (bits=4) plan — no O(n²) join ships.
-    Banded pairs must be a subset of exact pairs with identical cosines."""
+    """The exact all-pairs form (exact=True opt-in) lives here as the recall
+    reference; the suite registers only the banded (bits=4) plan — no O(n²)
+    join ships. Banded pairs must be a subset of exact pairs with identical
+    cosines."""
     from sparkfusion.session import table
 
     emb = table(spark, sf_dir, "embeddings")
     exact = {
         (r.id_a, r.id_b): r.cos
-        for r in similarity.cosine_pairs(emb, "vec_id", "embedding", 0.45, bits=0).collect()
+        for r in similarity.cosine_pairs(
+            emb, "vec_id", "embedding", 0.45, exact=True
+        ).collect()
     }
     banded = {
         (r.id_a, r.id_b): r.cos

@@ -139,3 +139,30 @@ def test_q18_semi_join_preaggregates(spark, sf_dir):
     plan = plan_of(q18_large_volume_customer(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q17_avg_input_is_brand_filtered(spark, sf_dir):
+    """The per-part average must aggregate only Brand#9 parts' lineitems —
+    an all-parts average broadcasts one row per distinct part (GBs at 100 TB).
+    Both consumers of lineitem (the avg branch and the revenue branch) are
+    semi-joined to the filtered part set, so the plan carries two LeftSemi
+    broadcast joins and the avg's broadcast output is brand-pruned."""
+    from sparkfusion.suite.tpch_like import q17_small_qty_revenue
+
+    plan = plan_of(q17_small_qty_revenue(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # all joins broadcast-sized
+
+
+def test_cosine_pairs_default_no_cartesian(spark, sf_dir):
+    """Library default for cosine_pairs must plan as a bucket equi-join —
+    never the all-pairs theta-join (that form is exact=True opt-in only)."""
+    from sparkfusion.llm.similarity import cosine_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    plan = plan_of(cosine_pairs(emb, "vec_id", "embedding", 0.45))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError, match="exact=True"):
+        cosine_pairs(emb, "vec_id", "embedding", 0.45, bits=0)
