@@ -26,6 +26,13 @@ HEADLINE = {
     "q1_pricing_summary": "q1_pricing_summary",
     "q3_shipping_priority": "q3_shipping_priority",
     "q5_local_supplier_volume": "q5_local_supplier",
+    "q6_revenue_forecast": "q6_revenue_forecast",
+    "q10_returned_items": "q10_returned_items",
+    "q14_promo_effect": "q14_promo_effect",
+    "q17_small_qty_revenue": "q17_small_qty_revenue",
+    "q18_large_volume_customer": "q18_large_volume_customer",
+    "q9_product_profit": "q9_product_profit",
+    "q13_order_distribution": "q13_order_distribution",
     "j2_inner_join_sql": "j2_join_agg",
     "j3_multi_join_fold": "j3_multi_join_fold",
     "w1_window_agg_sql": "w1_window_agg",

@@ -78,6 +78,31 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     return wordified.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
+def cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    A shingle shared by m documents contributes m² rows to any inverted-index
+    self-join — one boilerplate phrase in 10⁶ docs is 10¹² join rows. Capping
+    df is the standard MinHash-practice fix: hot shingles carry ~zero
+    similarity signal (they are corpus stopwords) but all of the quadratic
+    cost. The hot set itself is tiny (only shingles with df > cap), so the
+    anti-join broadcasts.
+
+    Recall trade (document before use): similarity is then computed over the
+    capped shingle universe — a pair whose overlap consists ONLY of hot
+    shingles is missed, and Jaccard values change where hot shingles made up
+    part of a doc's shingle set. With ``max_df`` ≥ corpus size the result is
+    exactly the uncapped one.
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -161,16 +186,22 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs.
 
     Without ``candidates``: pairs are generated from shared shingles (docs
     with no shingle in common never meet — inverted-index join, not a cross
-    join). With ``candidates`` (id_a, id_b): verification runs only on those.
+    join). A shingle shared by m docs still contributes m² join rows, so for
+    direct (uncandidated) use at scale pass ``max_df`` to drop hot shingles
+    (see :func:`cap_shingle_df` for the recall trade). With ``candidates``
+    (id_a, id_b): verification runs only on those.
     Returns (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
     """
-    sh = exploded_shingles(df, id_col, text_col, n).cache()
-    return _jaccard_over_shingles(sh, id_col, threshold, candidates)
+    sh = exploded_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        sh = cap_shingle_df(sh, max_df)
+    return _jaccard_over_shingles(sh.cache(), id_col, threshold, candidates)
 
 
 # ---------------------------------------------------------------------------
@@ -299,14 +330,21 @@ def minhash_dedup_pairs(
     n: int = 3,
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash-LSH candidates → exact Jaccard
     verification → pairs above threshold. The production 100 TB shape:
     LSH prunes the pair space, exact verification touches only candidate
     docs' shingles. The exploded-shingle frame is computed once and cached —
     signature generation and verification share it. ``hash_fn="xxhash64"``
-    is the production base hash (~3× cheaper); md5 is the oracle path."""
-    sh = exploded_shingles(df, id_col, text_col, n).cache()
+    is the production base hash (~3× cheaper); md5 is the oracle path.
+    ``max_df`` drops corpus-stopword shingles before signatures AND
+    verification (recall trade in :func:`cap_shingle_df`) — recommended at
+    scale so identical boilerplate can't flood LSH buckets."""
+    sh = exploded_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        sh = cap_shingle_df(sh, max_df)
+    sh = sh.cache()
     cands = minhash_lsh_pairs(df, id_col, text_col, k, bands, n, shingles_df=sh,
                               hash_fn=hash_fn)
     return _jaccard_over_shingles(sh, id_col, threshold, candidates=cands)

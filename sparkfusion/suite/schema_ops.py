@@ -269,3 +269,34 @@ def p18_parse_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("src_num"),
         F.col("lang").try_cast("int").alias("bad_parse"),
     )
+
+
+@register(
+    "c5_c6_introspection",
+    oracle="""
+    SELECT column_name AS col_name,
+           (SELECT COUNT(*) FROM region) = 0 AS region_empty,
+           (SELECT COUNT(*) FROM region WHERE r_regionkey < 0) = 0
+               AS filtered_probe_empty
+    FROM (DESCRIBE region)
+    """,
+)
+def c5_c6_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-interchange introspection as a checkable query: column names
+    (C5, ``get_column_names``, reference ``src/utils/dataframe.rs:131-142``)
+    and the emptiness probe (C6, ``is_empty``, ``:104-111``, which
+    short-circuits on the first non-empty partition). The driver-side answers
+    are re-entered as a literal one-row-per-column frame so the oracle can
+    verify them; the probes run on the full table (non-empty) and an
+    impossible filter (empty) to pin both boolean outcomes.
+    """
+    from ..interchange import get_column_names, is_empty
+
+    region = table(spark, sf_dir, "region")
+    names = get_column_names(region)
+    region_empty = is_empty(region)
+    filtered_empty = is_empty(region.filter(F.col("r_regionkey") < 0))
+    return spark.createDataFrame(
+        [(n, region_empty, filtered_empty) for n in names],
+        "col_name string, region_empty boolean, filtered_probe_empty boolean",
+    )

@@ -41,6 +41,42 @@ def test_jaccard_finds_near_dup(corpus):
     assert (0, 2) not in pair_ids
 
 
+def test_max_df_cap_equivalence_and_pruning(corpus):
+    """max_df ≥ corpus size must be a no-op (exact equivalence to the uncapped
+    form, both for direct Jaccard and the full MinHash pipeline); a tight cap
+    must drop hot shingles — the planted pair that overlaps only on the
+    corpus-wide hot phrase disappears, which is the documented recall trade."""
+    uncapped = {
+        (r.id_a, r.id_b, r.inter, r.size_a, r.size_b, r.jaccard)
+        for r in dedup.jaccard_pairs(corpus, "doc_id", "text", threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.inter, r.size_a, r.size_b, r.jaccard)
+        for r in dedup.jaccard_pairs(
+            corpus, "doc_id", "text", threshold=0.5, max_df=10**9
+        ).collect()
+    }
+    assert capped == uncapped
+    mh_un = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.5).collect()
+    }
+    mh_cap = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(
+            corpus, "doc_id", "text", threshold=0.5, max_df=10**9
+        ).collect()
+    }
+    assert mh_cap == mh_un
+    # docs 0/1/3 share every "quick brown fox..." shingle (df=3); max_df=2
+    # removes them all, so only the exact-dup pair (identical remainder — both
+    # empty shingle sets drop out entirely) can survive: no pairs at all
+    tight = dedup.jaccard_pairs(
+        corpus, "doc_id", "text", threshold=0.1, max_df=2
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in tight} < {(0, 1), (0, 3), (1, 3)}
+
+
 def test_minhash_pipeline_matches_planted(corpus):
     pairs = dedup.minhash_dedup_pairs(
         corpus, "doc_id", "text", k=16, bands=4, threshold=0.5
