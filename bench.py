@@ -44,6 +44,7 @@ HEADLINE = {
     "p13_add_pk": "bench_add_column",
     "dedup_exact": "dedup_exact",
     "dedup_minhash_pairs": "dedup_minhash",
+    "dedup_minhash_capped": "dedup_minhash_capped",
     "dedup_simhash_pairs": "dedup_simhash",
     "sim_cosine_topk": "sim_cosine_topk",
     "sim_cosine_topk_np": "sim_cosine_topk_np",
@@ -55,6 +56,18 @@ HEADLINE = {
 }
 
 REPEATS = 3
+
+
+def _loadavg() -> float:
+    """1-minute load average — recorded in the output JSON so a contended run
+    can never masquerade as a code regression (see BASELINE.md round-2/3
+    contention post-mortems). Bench timings on this box inflate 2-4x when a
+    concurrent JVM is running."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):  # non-Linux fallback
+        return -1.0
 
 
 def _extra_benches():
@@ -88,6 +101,15 @@ def main() -> None:
     from sparkfusion.session import get_session
     from sparkfusion.suite import queries
 
+    load_start = _loadavg()
+    if load_start > 2.0:
+        print(
+            f"bench WARNING: loadavg {load_start} > 2 at start — another process "
+            "is using this box; timings will NOT be comparable to BASELINE.md. "
+            "Re-run solo for a valid artifact.",
+            file=sys.stderr,
+        )
+
     spark = get_session("sparkfusion-bench")
     qs = queries()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -107,6 +129,14 @@ def main() -> None:
             print(f"bench error {bench_name}: {ex}", file=sys.stderr)
             results[bench_name] = -1.0
     total = round(sum(t for t in results.values() if t > 0), 4)
+    load_end = _loadavg()
+    contended = load_start > 2.0 or load_end > float(os.cpu_count() or 32) + 2
+    if contended:
+        print(
+            f"bench WARNING: run contended (loadavg start={load_start} "
+            f"end={load_end}); artifact flagged.",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -115,6 +145,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
+                "contended": contended,
             }
         )
     )

@@ -85,8 +85,10 @@ def cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
     self-join — one boilerplate phrase in 10⁶ docs is 10¹² join rows. Capping
     df is the standard MinHash-practice fix: hot shingles carry ~zero
     similarity signal (they are corpus stopwords) but all of the quadratic
-    cost. The hot set itself is tiny (only shingles with df > cap), so the
-    anti-join broadcasts.
+    cost. The hot set is small only when ``max_df`` is a sane fraction of the
+    corpus (production default: ~10-20% of document count); a tiny cap on a
+    huge corpus makes it unbounded, so no broadcast hint is forced here —
+    AQE picks broadcast when the aggregated hot set is in fact small.
 
     Recall trade (document before use): similarity is then computed over the
     capped shingle universe — a pair whose overlap consists ONLY of hot
@@ -100,7 +102,7 @@ def cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
         .filter(F.col("__df") > max_df)
         .select("shingle")
     )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh.join(hot, "shingle", "left_anti")
 
 
 # ---------------------------------------------------------------------------

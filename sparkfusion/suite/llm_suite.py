@@ -28,12 +28,15 @@ sh AS (
 )
 """
 
-_JACCARD_CTE = f"""
-{_SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+def _jaccard_cte(rel: str = "sh", extra: str = "") -> str:
+    """Jaccard CTE chain over a shingle relation ``rel`` (default the raw
+    ``sh``; ``extra`` appends intermediate CTEs, e.g. a df-capped ``shc``)."""
+    return f"""
+{_SHINGLES_CTE}{extra},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM {rel} GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {rel} a JOIN {rel} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 jac AS (
@@ -44,6 +47,9 @@ jac AS (
   JOIN sizes sb ON sb.doc_id = id_b
 )
 """
+
+
+_JACCARD_CTE = _jaccard_cte()
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +184,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
-def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
+def _minhash_oracle(k: int = 16, bands: int = 4, capped: bool = False) -> str:
+    """MinHash+LSH oracle; with ``capped`` the whole pipeline (signatures,
+    sizes, verification) runs over the df-capped shingle set ``shc`` —
+    max_df = corpus_count // 5, the 20%-of-corpus production default."""
+    rel = "sh"
+    extra = ""
+    if capped:
+        rel = "shc"
+        extra = """,
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING COUNT(*) <= (SELECT COUNT(*) // 5 FROM documents)),
+shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN ok USING (shingle))"""
     r = k // bands
     params = dedup.minhash_params(k)
     mins = ",\n    ".join(
@@ -196,9 +213,9 @@ def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
         for b in range(bands)
     )
     return f"""
-    WITH {_JACCARD_CTE},
+    WITH {_jaccard_cte(rel, extra)},
     based AS (
-      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS __h FROM sh
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS __h FROM {rel}
     ),
     sig AS (
       SELECT doc_id, {mins}
@@ -230,6 +247,23 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(
         docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5
+    )
+
+
+@register("dedup_minhash_capped", oracle=_minhash_oracle(capped=True))
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the production ``max_df`` hot-shingle cap (20% of
+    corpus = count // 5): shingles shared by more than a fifth of all
+    documents are corpus boilerplate — ~zero similarity signal, all of the
+    m² inverted-index cost. On this synthetic corpus no shingle is that hot,
+    so the answer equals ``dedup_minhash_pairs`` (the cap's recall trade is
+    pinned on an adversarial fixture in tests/test_llm.py); at real-corpus
+    scale the cap is what keeps LSH buckets bounded. The corpus count is one
+    cheap metadata-only pass (parquet row-count), not a collect."""
+    docs = table(spark, sf_dir, "documents")
+    max_df = docs.count() // 5
+    return dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5, max_df=max_df
     )
 
 

@@ -335,7 +335,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey, COUNT(*) AS numcust,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
     FROM customer, thr
-    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * CAST(n AS DECIMAL(10,0)) > s
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * CAST(n AS DECIMAL(19,0)) > s
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
@@ -365,7 +365,7 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.crossJoin(F.broadcast(thr))
         .filter(
-            F.col("c_acctbal").cast(_DEC) * F.col("n").cast("decimal(10,0)")
+            F.col("c_acctbal").cast(_DEC) * F.col("n").cast("decimal(19,0)")
             > F.col("s")
         )
         .join(

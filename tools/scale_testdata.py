@@ -68,13 +68,21 @@ def _copy_of(df: DataFrame, name: str, i: int) -> DataFrame:
             "text", F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}$1")
         )
     if name == "embeddings" and i > 0:
+        # rotate left by copy index, wrapped to the vector dimension: a raw
+        # rot >= dim would yield a negative slice length (error) or, at
+        # rot == dim, an identity rotation that re-plants cross-copy exact
+        # duplicates. NB when copies > dim the wrap reaches rot == 0 and the
+        # decorrelation guarantee lapses for those copies — guarded in
+        # scale() which asserts copies < dim.
         n = F.size(F.col("embedding"))
-        rot = i  # rotate left by copy index
+        rot = F.lit(i) % n
         out = out.withColumn(
             "embedding",
-            F.concat(
-                F.slice(F.col("embedding"), rot + 1, n - rot),
-                F.slice(F.col("embedding"), 1, rot),
+            F.when(rot == 0, F.col("embedding")).otherwise(
+                F.concat(
+                    F.slice(F.col("embedding"), rot + 1, n - rot),
+                    F.slice(F.col("embedding"), 1, rot),
+                )
             ),
         )
     return out
@@ -90,6 +98,12 @@ def scale(src: str, dst: str, copies: int) -> None:
         print(f"{name}: copied")
     for name in SHIFT_KEYS:
         base = table(spark, src, name)
+        if name == "embeddings":
+            dim = len(base.select("embedding").first()[0])
+            assert copies < dim, (
+                f"copies={copies} >= embedding dim {dim}: rotation would wrap "
+                "to identity and re-plant cross-copy exact-dup pairs"
+            )
         union = _copy_of(base, name, 0)
         for i in range(1, copies):
             union = union.unionByName(_copy_of(base, name, i))
