@@ -1,8 +1,9 @@
 """Windowed / stateful streaming operators over the ``events`` table.
 
-``events.ts`` is parquet TIMESTAMP(NANOS) (read as epoch-nanos long under
-``nanosAsLong``); every operator converts to µs timestamps explicitly
-(SURVEY.md §7 risk 2) before watermarking.
+``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) (reads as
+epoch-nanos long under ``nanosAsLong``) and plain ``timestamp[us]``;
+``read_events_stream`` normalizes either to a µs TIMESTAMP before
+watermarking (SURVEY.md §7 risk 2).
 """
 
 from __future__ import annotations
@@ -17,10 +18,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState
 
-def _ts_convert():
-    # integer div — float division can round ns/1000 across the µs boundary.
-    # built lazily: F.expr needs an active SparkSession
-    return F.timestamp_micros(F.expr("ts div 1000"))
+def _ts_convert(dtype: str):
+    """ts → µs TIMESTAMP, whichever footer vintage arrived (see module doc)."""
+    if dtype in ("bigint", "long"):
+        # integer div — float division can round ns/1000 across the µs boundary
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,13 +32,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import _ensure_read_confs, table
 
     _ensure_read_confs(spark)
-    static_schema = table(spark, sf_dir, "events").schema
+    static = table(spark, sf_dir, "events")
     stream = (
-        spark.readStream.schema(static_schema)
+        spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", _ts_convert())
+    return stream.withColumn("ts", _ts_convert(dict(static.dtypes)["ts"]))
 
 
 def run_stream_to_table(result: DataFrame, output_mode: str = "complete") -> DataFrame:
