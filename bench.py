@@ -70,6 +70,54 @@ def _loadavg() -> float:
         return -1.0
 
 
+def _cpu_sample() -> tuple[int, int]:
+    """(total, busy) jiffies across all CPUs from /proc/stat line 1."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return 0, 0
+    total = sum(vals)
+    idle = vals[3] + vals[4]  # idle + iowait
+    return total, total - idle
+
+
+def _own_cpu() -> int:
+    """utime+stime (+ reaped children's cutime+cstime) jiffies summed over
+    this process and every live descendant — the bench python, the Spark JVM
+    it spawns, and the JVM's python workers. Deltas of this against
+    /proc/stat busy time attribute CPU to *foreign* processes exactly:
+    loadavg can't distinguish our own 32-thread JVM from a competitor, this
+    does (the BENCH_r04_solo post-mortem: loadavg start/end sampling missed a
+    mid-run competitor entirely)."""
+    procs: dict[int, tuple[int, int]] = {}
+    try:
+        pids = [d for d in os.listdir("/proc") if d.isdigit()]
+    except OSError:
+        return 0
+    for d in pids:
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+            rest = s[s.rindex(")") + 2 :].split()
+            procs[int(d)] = (
+                int(rest[1]),  # ppid
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+            )
+        except (OSError, ValueError, IndexError):
+            continue
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    own, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            own += procs[p][1]
+            stack.extend(children.get(p, []))
+    return own
+
+
 def _extra_benches():
     """Bench-only variants (not suite queries — no oracle by construction).
 
@@ -117,6 +165,10 @@ def main() -> None:
     to_run = {name: qs[s] for s, name in HEADLINE.items() if s in qs}
     to_run.update(_extra_benches())
 
+    cpu_total0, cpu_busy0 = _cpu_sample()
+    own0 = _own_cpu()
+    load_max = load_start
+
     results: dict[str, float] = {}
     for bench_name, fn in to_run.items():
         try:
@@ -128,13 +180,23 @@ def main() -> None:
         except Exception as ex:  # a broken query must not sink the whole bench
             print(f"bench error {bench_name}: {ex}", file=sys.stderr)
             results[bench_name] = -1.0
+        load_max = max(load_max, _loadavg())
     total = round(sum(t for t in results.values() if t > 0), 4)
     load_end = _loadavg()
-    contended = load_start > 2.0 or load_end > float(os.cpu_count() or 32) + 2
+
+    cpu_total1, cpu_busy1 = _cpu_sample()
+    own1 = _own_cpu()
+    # share of the WHOLE BOX's cpu-time foreign processes consumed during the
+    # run; 0.05 ≈ 1.6 cores continuously on 32 — enough to perturb timings
+    cpu_span = cpu_total1 - cpu_total0
+    foreign = max(0, (cpu_busy1 - cpu_busy0) - (own1 - own0))
+    foreign_frac = round(foreign / cpu_span, 4) if cpu_span > 0 else -1.0
+    contended = load_start > 2.0 or foreign_frac > 0.05
     if contended:
         print(
             f"bench WARNING: run contended (loadavg start={load_start} "
-            f"end={load_end}); artifact flagged.",
+            f"max={load_max} end={load_end}, foreign_cpu_frac={foreign_frac}); "
+            "artifact flagged.",
             file=sys.stderr,
         )
     print(
@@ -146,7 +208,9 @@ def main() -> None:
                 "queries": results,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg_start": load_start,
+                "loadavg_max": load_max,
                 "loadavg_end": load_end,
+                "foreign_cpu_frac": foreign_frac,
                 "contended": contended,
             }
         )

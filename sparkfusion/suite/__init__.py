@@ -54,53 +54,48 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-# The driver's correctness gate checks at most the FIRST 50 entries of
-# queries() per round (observed: CORRECTNESS_r01/r02 each covered exactly the
-# first 50 registered names). Rounds 1+2 green-checked 95 queries between
-# them; round 3 fronts the remaining 8 without a green driver row
-# (3 TPC-H shapes registered after r2's window closed, o7/sim_ivf which
-# gained oracles after their r1 rows-only check, and the 3 rows-only-by-design
-# entries), then any round-3+ additions, then the already-green set.
-_R3_FRONT = (
-    "q14_promo_effect", "q17_small_qty_revenue", "q18_large_volume_customer",
-    "o7_random_sample", "sim_ivf_topk",
-    "s9_empty_df", "s10_random_df", "p15_struct_raw",
-)
-_R1_UNCHECKED = (
-    "a10_approx_distinct", "a11_grouping_sets", "p1_p2_projection_alias",
-    "p3_select_all_exclude", "p4_rename_column", "p10_literal_typed_null",
-    "p11_struct_literal", "p14_cols_to_json", "p15_p16_struct_roundtrip",
-    "p15_struct_raw", "p13_add_pk", "p12_add_column", "f8_timestamp_parse",
-    "p18_parse_strings", "s1_s3_csv_roundtrip", "s2_csv_no_header",
-    "s4_s5_s11_parquet_roundtrip", "s7_memory_batch", "s8_literal_dataframe",
-    "s9_empty_df", "s10_random_df", "s13_csv_to_parquet",
-    "s18_json_sink_roundtrip", "stream_tumbling_window", "stream_sliding_window",
-    "stream_session_window", "stream_static_join", "stream_dedup",
-    "stream_stateful_counts", "batch_sessionize", "j9_asof_join",
-    "j10_range_join", "w3_topk_per_group", "w4_lag_lead_rank", "a12_cube",
-    "p20_unpivot", "q3_shipping_priority", "q5_local_supplier_volume",
-    "arr_functions", "udaf_weighted_mean", "udtf_split_rows",
-    "x1_udf_split_text", "x2_udf_sql_registered", "f7_split_builtin",
-    "x3_udf_struct_1brc", "algo_1brc_csv_pipeline", "x3_builtin_struct_1brc",
-)
-_R1_CHECKED = (
-    "text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_pairs", "dedup_simhash_pairs",
-    "dedup_embedding_cosine", "dedup_embedding_lsh", "p21_json_extract",
-    "sim_cosine_topk", "sim_cosine_topk_np", "sim_ann_topk", "sim_rp_ann_topk",
-    "sim_ivf_topk", "mm_media_meta", "mm_decode_features", "mm_frame_sample",
-    "q1_pricing_summary", "a1_multi_agg_global", "a3_count_star", "cte_count",
-    "a2_1brc_events", "a6_scalar_subquery_least", "a7_round_robin",
-    "j1_inner_join_api", "j2_inner_join_sql", "j3_multi_join_fold",
-    "j4_join_duplicate_keys", "w1_window_agg_sql", "w2_window_agg_api",
-    "o1_sort_nulls_first", "o4_limit_offset", "o6_topk", "o7_random_sample",
-    "p6_filter_sql_string", "p8_computed_column", "p9_case_when", "u1_union_all",
-    "j5_left_outer_join", "j6_semi_join", "j7_anti_join", "j8_full_outer_join",
-    "u2_intersect", "u3_except", "u4_distinct", "a8_rollup", "a9_pivot",
-    "a13_correlated_subquery",
-)
-# registered mid-round-2, green in CORRECTNESS_r02's window
-_R2_CHECKED = ("o8_hash_sample", "q6_revenue_forecast", "q10_returned_items")
+
+def _verification_age() -> dict[str, int]:
+    """Query name → newest round whose committed ``CORRECTNESS_r*.json`` shows
+    it verified (hash-green, or a rows-only check that actually ran). Names
+    absent from every artifact → never driver-verified.
+
+    The driver's correctness gate checks at most the FIRST 50 entries of
+    ``queries()`` per round, so ordering the registry stalest-first makes the
+    whole suite re-verify on a rolling window instead of freezing on whatever
+    tuple was hardcoded last round.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    greens: dict[str, int] = {}
+    errs: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            verified = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if verified:
+                greens[name] = max(greens.get(name, 0), rnd)
+            elif row.get("err"):
+                errs[name] = max(errs.get(name, 0), rnd)
+    # an error newer than the last green voids the verification — the query
+    # re-fronts with the never-checked set until a green row supersedes it
+    return {
+        name: 0 if errs.get(name, -1) >= rnd else rnd for name, rnd in greens.items()
+    }
 
 
 def _load_all() -> None:
@@ -124,17 +119,13 @@ def _load_all() -> None:
         udfs,
     )
 
-    # Reorder: round-3 pending first, then new additions, then everything
-    # already driver-green (see note above _R3_FRONT).
-    front = [k for k in _R3_FRONT if k in REGISTRY]
-    seen = set(front) | set(_R1_UNCHECKED) | set(_R1_CHECKED) | set(_R2_CHECKED)
-    middle = [k for k in REGISTRY if k not in seen]
-    back = [
-        k
-        for k in (*_R1_UNCHECKED, *_R2_CHECKED, *_R1_CHECKED)
-        if k in REGISTRY and k not in _R3_FRONT
-    ]
-    ordered = {k: REGISTRY[k] for k in front + middle + back}
+    # Stalest-first rotation: never-verified queries lead (age 0 — new
+    # registrations and anything that errored every round), then oldest
+    # green-round first; registration order breaks ties deterministically.
+    ages = _verification_age()
+    reg_index = {name: i for i, name in enumerate(REGISTRY)}
+    ordered_names = sorted(REGISTRY, key=lambda k: (ages.get(k, 0), reg_index[k]))
+    ordered = {k: REGISTRY[k] for k in ordered_names}
     assert len(ordered) == len(REGISTRY)
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -25,6 +25,7 @@ from ..operators import (
     df_cols_to_struct,
     select_all_exclude,
     with_typed_null,
+    zip_with_index_df,
 )
 from ..session import table
 from . import register
@@ -190,6 +191,30 @@ def p13_add_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return add_pk_to_df(cust, "pk", order_by=["c_custkey"])
+
+
+@register(
+    "p13b_zip_with_index",
+    oracle="""
+    SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS pk
+    FROM customer
+    """,
+)
+def p13b_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe contiguous 0..n-1 key — the 100 TB path for P13.
+
+    Same contract as ``p13_add_pk`` (reference ``add_pk_to_df``,
+    ``src/utils/helpers.rs:161-185``) but with NO single-reducer global sort:
+    ``repartitionByRange`` puts each key range on its own reducer (sampled
+    boundaries, parallel), ``sortWithinPartitions`` orders locally, and
+    :func:`~sparkfusion.operators.zip_with_index_df` assigns ids via
+    partition-offset arithmetic — the only global ordering is over the
+    #partitions-row counts frame. Ids equal ``ROW_NUMBER() OVER (ORDER BY
+    c_custkey) - 1`` because range partitions are in key order.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    ranged = cust.repartitionByRange("c_custkey").sortWithinPartitions("c_custkey")
+    return zip_with_index_df(ranged, "pk")
 
 
 @register(

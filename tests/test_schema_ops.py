@@ -109,6 +109,25 @@ def test_zip_with_index_variants_contiguous(spark):
         assert all(r.x == r.pk for r in fn(df, "pk").collect()), fn.__name__
 
 
+def test_p13b_zip_with_index_no_global_sort(spark, sf_dir):
+    # the suite-blessed scale path for P13 must not contain a global
+    # (single-reducer) Sort over the data frame: range partitioning + local
+    # sorts + partition-offset arithmetic only. The one permitted global sort
+    # is the prefix-sum window over the #partitions-row counts frame (__pid).
+    from sparkfusion.suite.schema_ops import p13b_zip_with_index
+
+    out = p13b_zip_with_index(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        stripped = line.lstrip("+-: *(0123456789) ")
+        if stripped.startswith("Sort [") and "], true," in stripped:
+            assert "__pid" in stripped, f"global data sort in plan: {line}"
+    # ids equal ROW_NUMBER() OVER (ORDER BY c_custkey) - 1
+    rows = out.orderBy("c_custkey").collect()
+    assert [r.pk for r in rows] == list(range(len(rows)))
+    assert [r.c_custkey for r in rows] == sorted(r.c_custkey for r in rows)
+
+
 def test_typed_null_schema(spark):
     from sparkfusion.operators import with_typed_null
 
