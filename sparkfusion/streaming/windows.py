@@ -33,11 +33,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_read_confs(spark)
     static = table(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(static.schema)
+    if os.path.isdir(path):
+        # directory-of-part-files layout (e.g. scaled .localdata): stream the
+        # directory itself; a pathGlobFilter on sf_dir would silently match
+        # zero part-files here
+        stream = reader.parquet(path)
+    else:
+        # single-file layout (driver testdata): the file-stream source wants a
+        # directory basePath, so stream sf_dir filtered to this one file
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return stream.withColumn("ts", _ts_convert(dict(static.dtypes)["ts"]))
 
 
