@@ -353,6 +353,111 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering (connected components) & decontamination
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; component =
+    the minimum node id reachable through the pair graph — the step that
+    turns near-dup PAIRS into droppable GROUPS (keep one doc per component).
+
+    Each round: (1) min-label propagation — every node takes the min of its
+    own and its neighbors' labels (one equi-join + one map-side-combinable
+    groupBy over the EDGE list, which only holds near-dup pairs and is orders
+    of magnitude smaller than the corpus); (2) pointer jumping — every node
+    relabels through its label's own label (path halving), so convergence is
+    O(log diameter) rounds, not O(diameter). Every round's labels go through
+    ``localCheckpoint`` — iterative self-referencing plans MUST truncate
+    lineage or per-round analysis cost grows without bound (the canonical
+    Spark iterative-algorithm trap: plain ``cache()`` does not cut the
+    logical plan).
+
+    Raises ``RuntimeError`` after ``max_iter`` unconverged rounds rather than
+    silently returning partial components.
+    """
+    half = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    edges = (
+        half.union(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .groupBy(edges["d"].alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: relabel through the component's current label (every
+        # component value is itself a node, so the left join always matches)
+        roots = stepped.select(
+            F.col("node").alias("component"), F.col("component").alias("__root")
+        )
+        new_labels = (
+            stepped.join(roots, "component", "left")
+            .select(
+                "node", F.coalesce("__root", F.col("component")).alias("component")
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "__old"), "node")
+            .filter(F.col("component") != F.col("__old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iter} rounds "
+        "(component diameter exceeds 2^rounds — raise max_iter or pre-split)"
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Test-set decontamination: corpus documents sharing at least
+    ``min_overlap`` distinct word ``n``-gram shingles with ANY benchmark
+    document. Returns (id, n_hits) — the flag-and-drop list every training
+    pipeline needs before an eval benchmark can be trusted.
+
+    Scale shape: the benchmark shingle set is distinct-deduplicated and tiny
+    next to the corpus (benchmarks are thousands of docs, corpora billions),
+    so AQE broadcasts it into the corpus shingle stream — a map-side semi
+    join + one groupBy on the corpus id; the corpus is never shuffled twice.
+    """
+    sh_c = exploded_shingles(corpus, id_col, text_col, n)
+    sh_b = exploded_shingles(bench, id_col, text_col, n).select("shingle").distinct()
+    return (
+        sh_c.join(sh_b, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_overlap)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

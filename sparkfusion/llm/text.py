@@ -105,3 +105,87 @@ def fingerprint(col: Column | str) -> Column:
     (lowercased, whitespace collapsed, trimmed). The exact-dedup key."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+# PII pre-filter patterns — deliberately simple constructs (character classes,
+# bounded repetition) that mean the same thing in Spark's Java regex and the
+# oracle's RE2 dialect. A production stack swaps in proper recognizers with
+# the same column contract.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_URL_RE = "https?://[^\\s]+"
+PII_DIGIT_RUN_RE = "[0-9]{7,}"
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Per-document PII-ish pattern counts (emails, URLs, long digit runs —
+    phone/account-number shaped). Pure column expressions: a map-only
+    whole-stage-codegen pass, the cheap flag-for-review step before redaction.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_URL_RE)).alias("n_urls"),
+        F.regexp_count(c, F.lit(PII_DIGIT_RUN_RE)).alias("n_digit_runs"),
+    ]
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition quality signals per document:
+
+    - ``n_words`` / ``n_distinct_words`` / ``dup_word_frac``: share of word
+      occurrences that are repeats — pure column expressions.
+    - ``top_bigram_n`` / ``top_bigram_frac``: share of word-bigram slots taken
+      by the single most frequent bigram — boilerplate and template text
+      score high. Needs bigram multiplicities, so: one repartition of compact
+      docs by id, explode, then two map-side-combinable groupBys already
+      co-partitioned by the id — a single shuffle end to end.
+
+    All ratios are single integer→double divisions (cross-engine exact).
+    """
+    base = df.select(
+        F.col(id_col), words(F.lower(F.col(text_col))).alias("__w")
+    ).repartition(F.col(id_col))
+    counts = base.select(
+        id_col,
+        F.size("__w").alias("n_words"),
+        F.size(F.array_distinct("__w")).alias("n_distinct_words"),
+    )
+    w = F.col("__w")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+    )
+    bi = base.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(w) >= 2, grams).otherwise(F.array())).alias("bigram"),
+    )
+    top = (
+        bi.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("__c").alias("top_bigram_n"),
+            F.sum("__c").alias("__n_bigrams"),
+        )
+    )
+    return (
+        counts.join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(1.0) - F.col("n_distinct_words") / F.col("n_words"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_word_frac"),
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            F.when(
+                F.coalesce("__n_bigrams", F.lit(0)) > 0,
+                F.col("top_bigram_n") / F.col("__n_bigrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )

@@ -317,6 +317,147 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=2)
 
 
+def _clusters_oracle() -> str:
+    """Near-dup clusters oracle: the full MinHash pipeline's pairs feed a
+    recursive transitive closure; component = min reachable doc_id (exactly
+    what min-label propagation converges to); singletons are their own
+    component."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(n, m) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT walk.n, e.d FROM walk JOIN edges e ON walk.m = e.s
+    ),
+    comp AS (
+      SELECT n AS doc_id, LEAST(n, MIN(m)) AS component FROM walk GROUP BY n
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS is_keeper
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
+@register("dedup_minhash_clusters", oracle=_clusters_oracle())
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): MinHash+LSH pairs → distributed
+    connected components (min-label propagation over the pair graph; see
+    :func:`sparkfusion.llm.dedup.connected_components`) → every document
+    labeled with its cluster's min doc_id and a keep/drop flag. This is the
+    operator a training pipeline actually deduplicates with — pairs alone
+    don't say which docs to drop when duplicates chain (a~b, b~c)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    cc = dedup.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
+    )
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    csh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+    SELECT doc_id, COUNT(*) AS n_hits
+    FROM csh JOIN bsh USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag corpus docs sharing any word-3-gram
+    with the benchmark set (here: every 50th doc plays the benchmark). The
+    benchmark shingle set is distinct + tiny → AQE broadcasts it; the corpus
+    shuffles once (see :func:`sparkfusion.llm.dedup.contamination_hits`)."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.contamination_hits(corpus, bench, "doc_id", "text", n=3)
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH docs_w AS (SELECT doc_id, {_W} AS w FROM documents),
+    counts AS (
+      SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct_words
+      FROM docs_w
+    ),
+    bi AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(w) - 1, 0)), i -> w[i] || ' ' || w[i+1]
+      )) AS bigram
+      FROM docs_w
+    ),
+    bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams FROM bc GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.n_words, c.n_distinct_words,
+           CASE WHEN c.n_words > 0
+                THEN 1.0 - c.n_distinct_words / c.n_words::DOUBLE ELSE 0.0
+           END AS dup_word_frac,
+           COALESCE(t.top_bigram_n, 0) AS top_bigram_n,
+           CASE WHEN COALESCE(t.n_bigrams, 0) > 0
+                THEN t.top_bigram_n / t.n_bigrams::DOUBLE ELSE 0.0
+           END AS top_bigram_frac
+    FROM counts c LEFT JOIN top t USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-word fraction, top-bigram
+    share) — the corpus-quality filters that catch boilerplate/template
+    text; see :func:`sparkfusion.llm.text.repetition_stats`."""
+    docs = table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "doc_id", "text")
+
+
+#: PII fixture shared verbatim with the oracle's VALUES list (documents.text
+#: is synthetic word-salad with zero PII-shaped substrings, which would make
+#: an all-zeros oracle row trivially green without exercising the patterns)
+_PII_FIXTURE: list[tuple[int, str]] = [
+    (1, "contact me at alice@example.com or bob.smith@mail.co today"),
+    (2, "see https://example.com/a?b=1 and also http://test.org for details"),
+    (3, "call 5551234567 now; ref 12345 is too short to be flagged"),
+    (4, "plain text with no identifiers at all"),
+    (5, "mixed: carol@site.io at https://x.y.z/path account 99887766554"),
+]
+
+
+@register(
+    "text_pii_scan",
+    oracle=f"""
+    SELECT id,
+           len(regexp_extract_all(text, '{text.PII_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{text.PII_URL_RE}')) AS n_urls,
+           len(regexp_extract_all(text, '{text.PII_DIGIT_RUN_RE}')) AS n_digit_runs
+    FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in _PII_FIXTURE)}) AS t(id, text)
+    """,
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish pattern counts (emails / URLs / long digit runs) over a
+    fixture corpus shared literally with the oracle — proves the regex
+    semantics agree across engines; on a real corpus this is the same
+    map-only pass over the text column."""
+    df = spark.createDataFrame(_PII_FIXTURE, "id int, text string")
+    return df.select("id", *text.pii_counts("text"))
+
+
 @register(
     "dedup_embedding_cosine",
     oracle="""

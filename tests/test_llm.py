@@ -172,6 +172,88 @@ def test_cosine_pairs_banded_recall_vs_exact(spark, sf_dir):
     assert len(banded) <= len(exact)
 
 
+def test_connected_components_chain_triangle_singleton(spark):
+    # chain 1-2-3 (transitive: 3 must reach 1 through 2), triangle 10-11-12,
+    # isolated pair 20-21; all collapse to min-id components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    cc = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-hop chain needs multiple propagation rounds — exercises the loop
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    cc = dedup.connected_components(pairs).collect()
+    assert all(r.component == 0 for r in cc)
+    assert len(cc) == 13
+
+
+def test_connected_components_raises_without_convergence(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="no convergence"):
+        dedup.connected_components(pairs, max_iter=2)
+
+
+def test_contamination_hits_planted(spark):
+    corpus_df = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps high"),  # shares 3-grams with bench
+            (101, "totally unrelated words about engines"),
+            (102, "quick brown fox story time"),  # one shared shingle
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox runs")], "doc_id long, text string"
+    )
+    hits = {
+        r.doc_id: r.n_hits
+        for r in dedup.contamination_hits(corpus_df, bench, "doc_id", "text", n=3).collect()
+    }
+    # bench shingles: {the quick brown, quick brown fox, brown fox runs}
+    assert hits == {100: 2, 102: 1}  # 101 clean → absent
+
+
+def test_pii_counts_fixture(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alice@example.com and bob.smith@mail.co"),
+            (2, "https://a.b/c plus http://d.e"),
+            (3, "run 5551234567 but not 123456"),
+            (4, "nothing here"),
+        ],
+        "id int, text string",
+    )
+    rows = {r.id: r for r in df.select("id", *text.pii_counts("text")).collect()}
+    assert (rows[1].n_emails, rows[1].n_urls, rows[1].n_digit_runs) == (2, 0, 0)
+    assert (rows[2].n_emails, rows[2].n_urls, rows[2].n_digit_runs) == (0, 2, 0)
+    assert (rows[3].n_emails, rows[3].n_urls, rows[3].n_digit_runs) == (0, 0, 1)
+    assert (rows[4].n_emails, rows[4].n_urls, rows[4].n_digit_runs) == (0, 0, 0)
+
+
+def test_repetition_stats_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # fully repetitive: top bigram "a a" fills all slots
+            (2, "w x y z"),  # no repetition
+            (3, "solo"),  # <2 words → no bigrams
+            (4, "  "),  # empty after trim
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1].n_words == 4 and rows[1].n_distinct_words == 1
+    assert rows[1].dup_word_frac == 0.75 and rows[1].top_bigram_frac == 1.0
+    assert rows[2].dup_word_frac == 0.0 and rows[2].top_bigram_n == 1
+    assert rows[3].top_bigram_n == 0 and rows[3].top_bigram_frac == 0.0
+    assert rows[4].n_words == 0 and rows[4].dup_word_frac == 0.0
+
+
 def test_multimodal_stub_plumbing(corpus):
     media = multimodal.to_media_table(corpus, "doc_id", "text")
     assert [f.name for f in media.schema.fields] == ["media_id", "content", "meta"]
