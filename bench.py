@@ -45,7 +45,11 @@ HEADLINE = {
     "dedup_exact": "dedup_exact",
     "dedup_minhash_pairs": "dedup_minhash",
     "dedup_minhash_capped": "dedup_minhash_capped",
+    "dedup_minhash_clusters": "dedup_minhash_clusters",
     "dedup_simhash_pairs": "dedup_simhash",
+    "decontam_ngram_overlap": "decontam_ngram",
+    "text_repetition": "text_repetition",
+    "pipeline_corpus_clean": "pipeline_corpus_clean",
     "sim_cosine_topk": "sim_cosine_topk",
     "sim_cosine_topk_np": "sim_cosine_topk_np",
     "text_quality_score": "text_quality",

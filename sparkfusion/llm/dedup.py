@@ -405,12 +405,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         roots = stepped.select(
             F.col("node").alias("component"), F.col("component").alias("__root")
         )
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes it — one job per round instead of two
         new_labels = (
             stepped.join(roots, "component", "left")
             .select(
                 "node", F.coalesce("__root", F.col("component")).alias("component")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "__old"), "node")

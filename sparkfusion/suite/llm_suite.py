@@ -88,9 +88,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", text.lang_id("text").alias("lang_pred"))
 
 
-@register(
-    "text_quality_score",
-    oracle="""
+_QUALITY_SQL = """
     SELECT doc_id,
       0.25 * (CASE WHEN length(text) >= 20 AND length(text) <= 5000 THEN 1.0 ELSE 0.0 END)
       + 0.25 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
@@ -104,8 +102,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT doc_id, text,
                  len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''))::DOUBLE AS nw
           FROM documents)
-    """,
-)
+    """
+
+
+@register("text_quality_score", oracle=_QUALITY_SQL)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (length / punctuation / alpha ratio / mean
     word length) — the corpus-filter heuristic stack."""
@@ -456,6 +456,128 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only pass over the text column."""
     df = spark.createDataFrame(_PII_FIXTURE, "id int, text string")
     return df.select("id", *text.pii_counts("text"))
+
+
+@register(
+    "text_corpus_stats",
+    oracle=f"""
+    WITH wc AS (
+      SELECT lang, n_chars, len({_W}) AS nw FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(nw) AS total_words,
+           round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+    FROM wc GROUP BY lang
+    """,
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus report: doc counts, total words, EXACT median/p90
+    document length (``percentile``, not ``percentile_approx`` — at report
+    granularity the exact sort-based percentile is affordable and
+    cross-engine comparable; both engines use linear interpolation, rounded
+    to 6 dp to absorb last-ulp fold differences). One shuffle on lang."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.word_count("text")).alias("total_words"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("median_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90_chars"),
+    )
+
+
+@register(
+    "o9_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+          CASE lang WHEN 'en' THEN '1a' WHEN 'es' THEN '0d' ELSE '06' END
+    """,
+)
+def o9_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language hash-threshold rates
+    (en ~10%, es ~5%, rest ~2.3%) — the language-rebalancing primitive for
+    corpus mixing. Membership is a pure function of (doc_id, lang): identical
+    across runs, engines, and partition layouts, unlike ``sampleBy``. Map-only
+    pass, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    threshold = (
+        F.when(F.col("lang") == "en", F.lit("1a"))
+        .when(F.col("lang") == "es", F.lit("0d"))
+        .otherwise(F.lit("06"))
+    )
+    return docs.select("doc_id", "lang").filter(
+        F.md5(F.col("doc_id").cast("string")) < threshold
+    )
+
+
+def _pipeline_clean_oracle() -> str:
+    """Composed corpus-clean oracle: quality gate ∩ exact-dedup keepers ∩
+    near-dup cluster keepers (signals computed corpus-wide, then applied —
+    same composition as the Spark side)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(n, m) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT walk.n, e.d FROM walk JOIN edges e ON walk.m = e.s
+    ),
+    comp AS (SELECT n AS doc_id, LEAST(n, MIN(m)) AS component FROM walk GROUP BY n),
+    nearkeep AS (
+      SELECT d.doc_id FROM documents d LEFT JOIN comp c USING (doc_id)
+      WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+    ),
+    fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    exkeep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+    qual AS (SELECT doc_id FROM ({_QUALITY_SQL}) WHERE quality >= 0.5)
+    SELECT d.doc_id FROM documents d
+    JOIN nearkeep USING (doc_id)
+    JOIN exkeep USING (doc_id)
+    JOIN qual USING (doc_id)
+    """
+
+
+@register("pipeline_corpus_clean", oracle=_pipeline_clean_oracle())
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the composition every training-data
+    pipeline runs: quality gate (composite score ≥ 0.5) ∩ exact-dedup
+    keepers (min-id per fingerprint) ∩ near-dup cluster keepers (MinHash →
+    connected components). Signals are computed corpus-wide in independent
+    subtrees sharing the documents scan, then intersected via three
+    keeper-set joins — each keeper set is a fraction of the corpus, so at
+    scale AQE turns the intersections into broadcast joins against the
+    full id list."""
+    docs = table(spark, sf_dir, "documents")
+    qual = (
+        docs.select("doc_id", text.quality_score("text").alias("q"))
+        .filter(F.col("q") >= 0.5)
+        .select("doc_id")
+    )
+    exkeep = dedup.exact_dedup_groups(docs, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    cc = dedup.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    nearkeep = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .filter(F.coalesce("component", F.col("doc_id")) == F.col("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id").join(qual, "doc_id").join(exkeep, "doc_id").join(nearkeep, "doc_id")
+    )
 
 
 @register(
