@@ -632,6 +632,61 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4, bits=4)
 
 
+_EMB_PAIRS_SQL = """
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) >= 0.4
+    """
+
+
+@register(
+    "dedup_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_EMB_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(n, m) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT walk.n, e.d FROM walk JOIN edges e ON walk.m = e.s
+    ),
+    comp AS (SELECT n AS vec_id, LEAST(n, MIN(m)) AS component FROM walk GROUP BY n)
+    SELECT e.vec_id,
+           COALESCE(c.component, e.vec_id) AS component,
+           COALESCE(c.component, e.vec_id) = e.vec_id AS is_keeper
+    FROM embeddings e LEFT JOIN comp c USING (vec_id)
+    """,
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup CLUSTERS over embeddings: sign-bucket LSH cosine
+    pairs (≥0.4) → distributed connected components → per-vector cluster
+    label + keep/drop flag. Same CC machinery as the MinHash cluster path —
+    the semantic-dedup counterpart a training pipeline pairs with the
+    lexical one."""
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, bits=4
+    ).select("id_a", "id_b")
+    cc = dedup.connected_components(pairs).withColumnRenamed("node", "vec_id")
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select("vec_id", F.coalesce("component", F.col("vec_id")).alias("component"))
+        .withColumn("is_keeper", F.col("vec_id") == F.col("component"))
+    )
+
+
 @register(
     "p21_json_extract",
     oracle="""

@@ -156,6 +156,35 @@ def w4_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w5_ntile_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def w5_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist) —
+    completes the §2.5 ranking surface beyond the reference's aggregate-only
+    windows. percent_rank = (rank-1)/(n-1) and cume_dist = rows≤cur/n are
+    single integer divisions on both engines (cross-engine exact);
+    deterministic full ordering via the custkey tiebreak."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
     "a12_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
