@@ -51,12 +51,15 @@ def main() -> int:
     import __spark_entry__ as e
     from sparkfusion.session import STAR_TABLES, get_session
 
+    import os
+
     spark = get_session("check_oracle")
     con = duckdb.connect()
     for t in STAR_TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # scaled .localdata dirs write X.parquet as a directory of part-files
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = 0
