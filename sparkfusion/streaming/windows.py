@@ -155,6 +155,42 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: each purchase joins the same user's view
+    events from the preceding hour — the attribution-join shape (two
+    UNBOUNDED streams, so state MUST be bounded: the watermarks plus the
+    time-range predicate let Spark evict view state older than the interval
+    and purchase state past the watermark; without the range condition the
+    join state grows forever).
+
+    Output: (purchase_id, view_id) pairs, append mode.
+    """
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    return p.join(
+        v,
+        F.expr(
+            "p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+    ).select("purchase_id", "view_id")
+
+
 _STATE_SCHEMA = "n_events long, sum_value double"
 _OUT_SCHEMA = "user_id long, n_events long, sum_value double"
 

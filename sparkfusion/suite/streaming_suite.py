@@ -21,6 +21,7 @@ from ..streaming import (
     sessionize_batch,
     sliding_window_agg,
     stateful_user_counts,
+    stream_stream_interval_join,
     tumbling_window_agg,
 )
 from . import register
@@ -171,6 +172,26 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     out = run_stream_to_table(stateful_user_counts(stream), "update")
     return out.select("user_id", "n_events")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND epoch_us(v.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution shape): purchases joined to
+    the same user's views from the preceding hour, both sides unbounded
+    watermarked streams — the time-range predicate is what lets Spark evict
+    join state, the hardest stateful-streaming shape. A finite replay must
+    equal the batch interval join the oracle runs."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(stream_stream_interval_join(events), "append")
 
 
 @register("batch_sessionize", oracle=_SESSION_ORACLE)

@@ -12,6 +12,7 @@ from sparkfusion.streaming import (
     session_window_agg,
     sessionize_batch,
     stateful_user_counts,
+    stream_stream_interval_join,
     tumbling_window_agg,
 )
 
@@ -52,6 +53,33 @@ def test_stateful_running_counts(spark, sf_dir):
         .collect()
     }
     assert per_user == batch
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_table(stream_stream_interval_join(stream), "append")
+    streamed = {(r.purchase_id, r.view_id) for r in out.collect()}
+    ev = events_with_ts(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+    batch = {
+        (r.purchase_id, r.view_id)
+        for r in p.join(
+            v,
+            (F.col("pu") == F.col("vu"))
+            & (F.col("v_us") >= F.col("p_us") - 3_600_000_000)
+            & (F.col("v_us") <= F.col("p_us")),
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
 
 
 def test_watermark_is_set(spark, sf_dir):
