@@ -592,3 +592,22 @@ def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return concat_dfs([cust, cust])
+
+
+@register(
+    "u5_union_by_name_evolved",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    UNION ALL BY NAME
+    SELECT s_name, s_suppkey, NULL::DOUBLE AS s_acctbal FROM supplier
+    """,
+)
+def u5_union_by_name_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: frames with reordered and MISSING columns
+    combine by NAME (``unionByName(allowMissingColumns=True)``) — the
+    multi-vintage-parquet concat every long-lived pipeline needs; positional
+    union would silently misalign the reordered columns."""
+    sup = table(spark, sf_dir, "supplier")
+    full = sup.select("s_suppkey", "s_name", "s_acctbal")
+    older = sup.select("s_name", "s_suppkey")  # reordered, no acctbal
+    return full.unionByName(older, allowMissingColumns=True)

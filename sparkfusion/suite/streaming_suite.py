@@ -194,6 +194,30 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(stream_stream_interval_join(events), "append")
 
 
+@register("batch_session_window_api", oracle=_SESSION_ORACLE)
+def batch_session_window_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` in BATCH mode — the same gap-based
+    session semantics as the streaming form and the lag/gap/cumsum
+    construction, through Spark's built-in session aggregation operator
+    (a different physical path: SessionWindowStateStore-free batch
+    MergingSessionsExec). All three must agree on session boundaries."""
+    from pyspark.sql import functions as F
+
+    from ..session import events_with_ts
+
+    ev = events_with_ts(spark, sf_dir).select("user_id", "ts")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 @register("batch_sessionize", oracle=_SESSION_ORACLE)
 def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization over historical events (lag/gap/cumsum) —
