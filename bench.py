@@ -93,7 +93,12 @@ def _own_cpu() -> int:
     /proc/stat busy time attribute CPU to *foreign* processes exactly:
     loadavg can't distinguish our own 32-thread JVM from a competitor, this
     does (the BENCH_r04_solo post-mortem: loadavg start/end sampling missed a
-    mid-run competitor entirely)."""
+    mid-run competitor entirely).
+
+    Known limit: a descendant that double-forks/daemonizes (reparented to
+    PID 1) leaves the walked tree and its CPU counts as foreign — can only
+    FALSELY FLAG a clean run, never hide a competitor, so the guard stays
+    conservative. Spark's JVM + reused python workers stay in-tree."""
     procs: dict[int, tuple[int, int]] = {}
     try:
         pids = [d for d in os.listdir("/proc") if d.isdigit()]

@@ -431,6 +431,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     )
 
 
+def cluster_labels(
+    df: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Label every row of ``df`` with its near-dup cluster: (id, component,
+    is_keeper) where component = min reachable id over ``pairs`` and
+    singletons keep themselves. The shared labeling step of every
+    ``*_clusters`` operator (lexical MinHash, semantic embedding, …)."""
+    cc = connected_components(pairs, max_iter).withColumnRenamed("node", id_col)
+    return (
+        df.select(id_col)
+        .join(cc, id_col, "left")
+        .select(
+            F.col(id_col), F.coalesce("component", F.col(id_col)).alias("component")
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("component"))
+    )
+
+
 def contamination_hits(
     corpus: DataFrame,
     bench: DataFrame,

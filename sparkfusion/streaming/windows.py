@@ -155,16 +155,23 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def stream_stream_interval_join(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def stream_stream_interval_join(
+    events: DataFrame, interval: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
     """Stream-stream interval join: each purchase joins the same user's view
-    events from the preceding hour — the attribution-join shape (two
+    events from the preceding ``interval`` — the attribution-join shape (two
     UNBOUNDED streams, so state MUST be bounded: the watermarks plus the
     time-range predicate let Spark evict view state older than the interval
     and purchase state past the watermark; without the range condition the
     join state grows forever).
 
+    ``watermark`` defaults to ``interval`` — a watermark tighter than the
+    join interval would silently drop matches from the far end of the
+    window, so diverging them is an explicit opt-in for late-data trade-offs.
+
     Output: (purchase_id, view_id) pairs, append mode.
     """
+    wm = watermark if watermark is not None else interval
     p = (
         events.filter(F.col("event_type") == "purchase")
         .select(
@@ -172,7 +179,7 @@ def stream_stream_interval_join(events: DataFrame, watermark: str = "1 hour") ->
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
         )
-        .withWatermark("p_ts", watermark)
+        .withWatermark("p_ts", wm)
     )
     v = (
         events.filter(F.col("event_type") == "view")
@@ -181,12 +188,12 @@ def stream_stream_interval_join(events: DataFrame, watermark: str = "1 hour") ->
             F.col("user_id").alias("v_user"),
             F.col("ts").alias("v_ts"),
         )
-        .withWatermark("v_ts", watermark)
+        .withWatermark("v_ts", wm)
     )
     return p.join(
         v,
         F.expr(
-            "p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+            f"p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL {interval} AND p_ts"
         ),
     ).select("purchase_id", "view_id")
 

@@ -83,13 +83,23 @@ def _verification_age() -> dict[str, int]:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue
         for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
             verified = row.get("hash_match") is True or (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             )
+            # a recorded MISMATCH (any comparison False) voids verification
+            # exactly like an error does — both mean "broken until re-checked"
+            mismatched = any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
             if verified:
                 greens[name] = max(greens.get(name, 0), rnd)
-            elif row.get("err"):
+            elif row.get("err") or mismatched:
                 errs[name] = max(errs.get(name, 0), rnd)
     # an error newer than the last green voids the verification — the query
     # re-fronts with the never-checked set until a green row supersedes it

@@ -317,13 +317,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=2)
 
 
-def _clusters_oracle() -> str:
-    """Near-dup clusters oracle: the full MinHash pipeline's pairs feed a
-    recursive transitive closure; component = min reachable doc_id (exactly
-    what min-label propagation converges to); singletons are their own
-    component."""
-    return f"""
-    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+def _cc_ctes(pairs_sql: str) -> str:
+    """Shared connected-components CTE chain (single source of truth for all
+    ``*_clusters`` oracles): recursive transitive closure over the pair
+    graph; ``comp.__node → component`` = min reachable id — exactly what the
+    Spark side's min-label propagation converges to."""
+    return f"""pairs AS ({pairs_sql}),
     edges AS (
       SELECT id_a AS s, id_b AS d FROM pairs
       UNION
@@ -335,16 +334,23 @@ def _clusters_oracle() -> str:
       SELECT walk.n, e.d FROM walk JOIN edges e ON walk.m = e.s
     ),
     comp AS (
-      SELECT n AS doc_id, LEAST(n, MIN(m)) AS component FROM walk GROUP BY n
-    )
-    SELECT d.doc_id,
-           COALESCE(c.component, d.doc_id) AS component,
-           COALESCE(c.component, d.doc_id) = d.doc_id AS is_keeper
-    FROM documents d LEFT JOIN comp c USING (doc_id)
+      SELECT n AS __node, LEAST(n, MIN(m)) AS component FROM walk GROUP BY n
+    )"""
+
+
+def _cc_oracle(pairs_sql: str, src_table: str, id_col: str) -> str:
+    """Full cluster-labeling oracle over ``src_table``: every row labeled
+    with its component (singletons keep themselves) and a keeper flag."""
+    return f"""
+    WITH RECURSIVE {_cc_ctes(pairs_sql)}
+    SELECT t.{id_col},
+           COALESCE(c.component, t.{id_col}) AS component,
+           COALESCE(c.component, t.{id_col}) = t.{id_col} AS is_keeper
+    FROM {src_table} t LEFT JOIN comp c ON c.__node = t.{id_col}
     """
 
 
-@register("dedup_minhash_clusters", oracle=_clusters_oracle())
+@register("dedup_minhash_clusters", oracle=_cc_oracle(_minhash_oracle(), "documents", "doc_id"))
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (not just pairs): MinHash+LSH pairs → distributed
     connected components (min-label propagation over the pair graph; see
@@ -356,16 +362,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup_pairs(
         docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5
     ).select("id_a", "id_b")
-    cc = dedup.connected_components(pairs).withColumnRenamed("node", "doc_id")
-    return (
-        docs.select("doc_id")
-        .join(cc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", F.col("doc_id")).alias("component"),
-        )
-        .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
-    )
+    return dedup.cluster_labels(docs, "doc_id", pairs)
 
 
 @register(
@@ -517,20 +514,9 @@ def _pipeline_clean_oracle() -> str:
     near-dup cluster keepers (signals computed corpus-wide, then applied —
     same composition as the Spark side)."""
     return f"""
-    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
-    edges AS (
-      SELECT id_a AS s, id_b AS d FROM pairs
-      UNION
-      SELECT id_b, id_a FROM pairs
-    ),
-    walk(n, m) AS (
-      SELECT s, d FROM edges
-      UNION
-      SELECT walk.n, e.d FROM walk JOIN edges e ON walk.m = e.s
-    ),
-    comp AS (SELECT n AS doc_id, LEAST(n, MIN(m)) AS component FROM walk GROUP BY n),
+    WITH RECURSIVE {_cc_ctes(_minhash_oracle())},
     nearkeep AS (
-      SELECT d.doc_id FROM documents d LEFT JOIN comp c USING (doc_id)
+      SELECT d.doc_id FROM documents d LEFT JOIN comp c ON c.__node = d.doc_id
       WHERE COALESCE(c.component, d.doc_id) = d.doc_id
     ),
     fp AS (
@@ -556,7 +542,9 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper-set joins — each keeper set is a fraction of the corpus, so at
     scale AQE turns the intersections into broadcast joins against the
     full id list."""
-    docs = table(spark, sf_dir, "documents")
+    # four independent subtrees read (doc_id, text) — cache it once
+    # (CLAUDE.md posture: cache only frames feeding multiple subtrees)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").cache()
     qual = (
         docs.select("doc_id", text.quality_score("text").alias("q"))
         .filter(F.col("q") >= 0.5)
@@ -568,11 +556,9 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup_pairs(
         docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5
     ).select("id_a", "id_b")
-    cc = dedup.connected_components(pairs).withColumnRenamed("node", "doc_id")
     nearkeep = (
-        docs.select("doc_id")
-        .join(cc, "doc_id", "left")
-        .filter(F.coalesce("component", F.col("doc_id")) == F.col("doc_id"))
+        dedup.cluster_labels(docs, "doc_id", pairs)
+        .filter(F.col("is_keeper"))
         .select("doc_id")
     )
     return (
@@ -649,24 +635,7 @@ _EMB_PAIRS_SQL = """
 
 @register(
     "dedup_embedding_clusters",
-    oracle=f"""
-    WITH RECURSIVE pairs AS ({_EMB_PAIRS_SQL}),
-    edges AS (
-      SELECT id_a AS s, id_b AS d FROM pairs
-      UNION
-      SELECT id_b, id_a FROM pairs
-    ),
-    walk(n, m) AS (
-      SELECT s, d FROM edges
-      UNION
-      SELECT walk.n, e.d FROM walk JOIN edges e ON walk.m = e.s
-    ),
-    comp AS (SELECT n AS vec_id, LEAST(n, MIN(m)) AS component FROM walk GROUP BY n)
-    SELECT e.vec_id,
-           COALESCE(c.component, e.vec_id) AS component,
-           COALESCE(c.component, e.vec_id) = e.vec_id AS is_keeper
-    FROM embeddings e LEFT JOIN comp c USING (vec_id)
-    """,
+    oracle=_cc_oracle(_EMB_PAIRS_SQL, "embeddings", "vec_id"),
 )
 def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup CLUSTERS over embeddings: sign-bucket LSH cosine
@@ -678,13 +647,7 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.cosine_pairs(
         emb, "vec_id", "embedding", threshold=0.4, bits=4
     ).select("id_a", "id_b")
-    cc = dedup.connected_components(pairs).withColumnRenamed("node", "vec_id")
-    return (
-        emb.select("vec_id")
-        .join(cc, "vec_id", "left")
-        .select("vec_id", F.coalesce("component", F.col("vec_id")).alias("component"))
-        .withColumn("is_keeper", F.col("vec_id") == F.col("component"))
-    )
+    return dedup.cluster_labels(emb, "vec_id", pairs)
 
 
 @register(
