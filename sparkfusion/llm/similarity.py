@@ -158,6 +158,45 @@ def brute_force_topk(
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
 
 
+def multi_query_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Batched exact top-k: every row of ``query_df`` gets its own top-k in
+    ONE corpus pass. The query batch broadcasts; ranking is a window
+    partitioned by query id (per-partition sorts of corpus×queries slices,
+    never a global sort) — the grouped-ranking form real retrieval serving
+    uses; for very large query batches, bucket both sides instead (see
+    module doc)."""
+    from pyspark.sql import Window
+
+    q = query_df.select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("q_norm"),
+    )
+    scored = (
+        df.withColumn("c_norm", norm(F.col(emb_col)))
+        .join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+        .withColumn(
+            "cos",
+            cosine_r9_pre(
+                F.col(emb_col), F.col("q_emb"), F.col("c_norm"), F.col("q_norm")
+            ),
+        )
+        .select("q_id", F.col(id_col), "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ann_topk(
     df: DataFrame,
     query_df: DataFrame,

@@ -715,6 +715,30 @@ def sim_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_multi_query_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5)
+    SELECT q_id, vec_id, cos FROM (
+      SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 9) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 9) DESC,
+                        e.vec_id) AS rn
+      FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+    ) WHERE rn <= 10
+    """,
+)
+def sim_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact top-k (5 queries, one corpus pass): the query batch
+    broadcasts, ranking is a per-query window — grouped top-k, never a
+    global sort; the serving-path shape for retrieval workloads."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.multi_query_topk(emb, q, "vec_id", "embedding", k=10)
+
+
+@register(
     "sim_ann_topk",
     oracle="""
     WITH bucketed AS (
