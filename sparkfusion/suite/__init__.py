@@ -55,7 +55,7 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 
-def _verification_age() -> dict[str, int]:
+def _verification_age(root: str | None = None) -> dict[str, int]:
     """Query name → newest round whose committed ``CORRECTNESS_r*.json`` shows
     it verified (hash-green, or a rows-only check that actually ran). Names
     absent from every artifact → never driver-verified.
@@ -70,7 +70,10 @@ def _verification_age() -> dict[str, int]:
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if root is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
     greens: dict[str, int] = {}
     errs: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):

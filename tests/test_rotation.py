@@ -1,0 +1,55 @@
+"""Tests for the stalest-first verification rotation — the ordering the
+driver's front-50 correctness window consumes. No Spark needed."""
+
+from __future__ import annotations
+
+import json
+
+from sparkfusion.suite import _verification_age
+
+
+def _write(tmp_path, rnd, rows):
+    (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(rows))
+
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+ERR = {"rows_match": None, "schema_match": None, "hash_match": None, "err": "boom"}
+MISMATCH = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+ROWS_ONLY = {
+    "rows_match": None,
+    "schema_match": None,
+    "hash_match": None,
+    "spark_rows": 0,
+    "err": "no_oracle",
+}
+
+
+def test_green_rounds_tracked_and_errors_void(tmp_path):
+    _write(tmp_path, 1, {"a": GREEN, "b": GREEN, "c": ROWS_ONLY})
+    _write(tmp_path, 2, {"a": GREEN, "b": ERR})
+    ages = _verification_age(str(tmp_path))
+    assert ages["a"] == 2  # re-greened in r2
+    assert ages["b"] == 0  # error newer than last green → voided
+    assert ages["c"] == 1  # rows-only check that ran counts as verified
+    assert "never_seen" not in ages
+
+
+def test_mismatch_voids_like_error(tmp_path):
+    _write(tmp_path, 3, {"q": GREEN})
+    _write(tmp_path, 4, {"q": MISMATCH})
+    assert _verification_age(str(tmp_path))["q"] == 0
+
+
+def test_regreen_after_error_restores_age(tmp_path):
+    _write(tmp_path, 1, {"q": GREEN})
+    _write(tmp_path, 2, {"q": ERR})
+    _write(tmp_path, 3, {"q": GREEN})
+    assert _verification_age(str(tmp_path))["q"] == 3
+
+
+def test_malformed_artifacts_are_skipped(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text("[1, 2, 3]")  # not a dict
+    _write(tmp_path, 2, {"q": GREEN, "junk": None})  # null row
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{not json")
+    ages = _verification_age(str(tmp_path))
+    assert ages == {"q": 2}
