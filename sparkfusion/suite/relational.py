@@ -595,6 +595,34 @@ def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "o10_group_ksample",
+    oracle="""
+    SELECT c_mktsegment, c_custkey FROM (
+      SELECT c_mktsegment, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def o10_group_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-SIZE sample per group (exactly k rows per
+    stratum), complementing rate-based ``o9``: rank by key-hash inside each
+    group and keep the first k — reproducible across runs/engines/layouts,
+    one shuffle on the group key (a per-group sort, never global)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
     "u5_union_by_name_evolved",
     oracle="""
     SELECT s_suppkey, s_name, s_acctbal FROM supplier

@@ -47,6 +47,24 @@ def test_regreen_after_error_restores_age(tmp_path):
     assert _verification_age(str(tmp_path))["q"] == 3
 
 
+def test_registry_orders_stalest_first():
+    # the live registry invariant the driver window depends on: every
+    # never-verified/voided (age-0) query precedes every aged query, and
+    # aged queries are non-decreasing in verification age
+    from sparkfusion.suite import queries
+
+    names = list(queries())
+    ages = _verification_age()
+    zero = [n for n in names if ages.get(n, 0) == 0]
+    aged_seq = [ages[n] for n in names if ages.get(n, 0) > 0]
+    if zero and aged_seq:
+        pos = {n: i for i, n in enumerate(names)}
+        assert max(pos[n] for n in zero) < min(
+            pos[n] for n in names if ages.get(n, 0) > 0
+        )
+    assert aged_seq == sorted(aged_seq)
+
+
 def test_malformed_artifacts_are_skipped(tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text("[1, 2, 3]")  # not a dict
     _write(tmp_path, 2, {"q": GREEN, "junk": None})  # null row
