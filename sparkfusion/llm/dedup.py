@@ -478,6 +478,192 @@ def contamination_hits(
 
 
 # ---------------------------------------------------------------------------
+# span-level (sub-document) dedup
+# ---------------------------------------------------------------------------
+
+
+def span_chunks(df: DataFrame, id_col: str, text_col: str, w: int = 10) -> DataFrame:
+    """(id, pos, chunk) rows: the document's word stream cut into
+    non-overlapping ``w``-word spans (the last span may be shorter).
+
+    This is the unit of SUB-document dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): boilerplate repeats at span
+    granularity long before whole documents collide. Word arrays are
+    materialized in their own projection (no CSE inside lambdas — see
+    :func:`exploded_shingles`), and documents are repartitioned by id before
+    exploding so the shuffle moves compact docs, not exploded spans.
+    """
+    wordified = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(F.col(id_col), words(F.lower(F.col(text_col))).alias("__w"))
+    )
+    wcol = F.col("__w")
+    n_spans = F.ceil(F.size(wcol) / F.lit(w)).cast("int")
+    spans = F.when(F.size(wcol) > 0, F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(" ", F.slice(wcol, i * w + 1, w)),
+    )).otherwise(F.array().cast("array<string>"))
+    return wordified.select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "chunk")
+    )
+
+
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str, w: int = 10
+) -> DataFrame:
+    """Sub-document exact dedup: drop every span whose identical content
+    already occurred earlier in the corpus (first occurrence by (id, pos)
+    wins), then reassemble each document from its surviving spans.
+
+    Returns (id, cleaned_text, n_spans, n_kept) for EVERY input document —
+    a fully-boilerplate doc comes back with ``cleaned_text = ''``.
+
+    Scale shape: spans are keyed by a 128-bit md5 fingerprint, so the
+    first-occurrence groupBy and the keep-join both shuffle 16-byte keys,
+    never the span text; ``min(struct(id, pos))`` is map-side combinable.
+    The reassembly groupBy is on the id the frame was already partitioned
+    by. md5 keeps the DuckDB oracle replicable; production would swap
+    xxhash64 twice-seeded for the same plan shape.
+    """
+    ch = span_chunks(df, id_col, text_col, w).withColumn(
+        "__fp", F.md5(F.col("chunk"))
+    )
+    first = ch.groupBy("__fp").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("__first")
+    )
+    kept = (
+        ch.join(first, "__fp")
+        .filter(
+            (F.col(id_col) == F.col("__first.i")) & (F.col("pos") == F.col("__first.p"))
+        )
+        .select(F.col(id_col), "pos", "chunk")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = span_chunks(df, id_col, text_col, w).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental (batch-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an EXISTING corpus — the
+    continuous-ingestion shape: a training pipeline never re-dedups the
+    whole corpus per day; it checks the day's batch against what it already
+    kept. Returns (id, status) for every batch doc: ``exact_dup`` (canonical
+    fingerprint already in the corpus), ``near_dup`` (MinHash-LSH candidate
+    vs a corpus doc verified at Jaccard ≥ ``threshold``), else ``new``.
+
+    Scale shape: the exact pass is a left-semi join on 128-bit fingerprints
+    (corpus side distinct-deduped). The near pass bands BOTH sides'
+    signatures but equi-joins batch-bands against corpus-bands ONLY — cost
+    ∝ batch × bands + matched buckets, never corpus × corpus (in steady
+    state the corpus signature/fingerprint index would be a bucketed table
+    written once and reused per batch). Verification joins candidate pairs
+    back to both sides' shingles — it touches only candidate docs.
+    """
+    bfp = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
+    cfp = corpus.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    exact_ids = bfp.join(cfp, "__fp", "left_semi").select(id_col)
+
+    bsh = exploded_shingles(batch, id_col, text_col, n).cache()
+    csh = exploded_shingles(corpus, id_col, text_col, n).cache()
+
+    def banded(sh_df: DataFrame, side: str) -> DataFrame:
+        sig = minhash_signatures(
+            None, id_col, text_col, k, n, shingles_df=sh_df, hash_fn=hash_fn
+        )
+        r = k // bands
+        band_cols = [
+            band_bucket([F.col(f"m{b * r + i}") for i in range(r)], hash_fn).alias(
+                f"band{b}"
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            F.col(id_col).alias(side),
+            F.explode(
+                F.map_from_arrays(
+                    F.array(*[F.lit(b) for b in range(bands)]),
+                    F.array(*band_cols),
+                )
+            ).alias("band_idx", "bucket"),
+        )
+
+    cands = (
+        banded(bsh, "id_b")
+        .join(banded(csh, "id_c"), ["band_idx", "bucket"])
+        .select("id_b", "id_c")
+        .distinct()
+    )
+    sz_b = bsh.groupBy(F.col(id_col).alias("id_b")).agg(F.count(F.lit(1)).alias("size_b"))
+    sz_c = csh.groupBy(F.col(id_col).alias("id_c")).agg(F.count(F.lit(1)).alias("size_c"))
+    inter = (
+        cands.join(bsh.select(F.col(id_col).alias("id_b"), "shingle"), "id_b")
+        .join(csh.select(F.col(id_col).alias("id_c"), "shingle"), ["id_c", "shingle"])
+        .groupBy("id_b", "id_c")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    near_ids = (
+        inter.join(sz_b, "id_b")
+        .join(sz_c, "id_c")
+        .filter(
+            F.col("inter")
+            / (F.col("size_b") + F.col("size_c") - F.col("inter"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        batch.select(id_col)
+        .join(exact_ids.withColumn("__ex", F.lit(True)), id_col, "left")
+        .join(near_ids.withColumn("__nr", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__ex"), F.lit("exact_dup"))
+            .when(F.col("__nr"), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

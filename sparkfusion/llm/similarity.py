@@ -158,6 +158,69 @@ def brute_force_topk(
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
 
 
+def sq_quantize(emb: Column, clip: float = 1.0) -> Column:
+    """Deterministic symmetric int8 scalar quantization of a float vector:
+    ``q_i = round(clamp(x_i, -clip, clip) * 127 / clip)`` ∈ [-127, 127].
+
+    The 100 TB memory-bandwidth lever for similarity scans: 4× smaller
+    vectors (int8 vs float32), integer dot products, exact-replicable by any
+    engine (no RNG, no codebook training). Values are widened to double
+    before rounding so Spark and the DuckDB oracle round the identical IEEE
+    value (both use round-half-away-from-zero).
+    """
+    s = 127.0 / clip
+    return F.transform(
+        emb,
+        lambda x: F.round(
+            F.greatest(F.lit(-clip), F.least(F.lit(clip), x.cast("double"))) * s
+        ).cast("int"),
+    )
+
+
+def sq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    clip: float = 1.0,
+) -> DataFrame:
+    """Int8-quantized brute-force top-k: quantize corpus and query with
+    :func:`sq_quantize`, rank by the INTEGER dot product of the codes.
+
+    Same plan as :func:`brute_force_topk` (broadcast query + per-partition
+    heap, zero corpus shuffle) but the hot loop is int multiply-adds over
+    4×-smaller data — the scan-speed path when the corpus doesn't fit in
+    page cache. Scoring is exact integer arithmetic, so results are
+    bit-reproducible across engines (unlike float dot products, which
+    depend on summation order). Production retrieval re-scores this top-k
+    with full-precision cosine; the quantized ranking is the candidate
+    generator.
+    """
+    q = query_df.select(
+        F.col(id_col).alias("q_id"),
+        sq_quantize(F.col(emb_col), clip).alias("q_code"),
+    )
+    scored = (
+        df.select(F.col(id_col), sq_quantize(F.col(emb_col), clip).alias("c_code"))
+        .join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(
+                    F.col("c_code"),
+                    F.col("q_code"),
+                    lambda a, b: (a * b).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qscore"),
+        )
+    )
+    return scored.orderBy(F.col("qscore").desc(), F.col(id_col)).limit(k)
+
+
 def multi_query_topk(
     df: DataFrame,
     query_df: DataFrame,

@@ -906,3 +906,178 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "doc_id", "text"
     )
     return multimodal.frame_sample(media, every_n=10, decode_stub=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: sub-document span dedup, incremental batch-vs-corpus dedup,
+# int8-quantized similarity
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 10
+
+_SPAN_CH_CTE = f"""
+docs_w AS (SELECT doc_id, {_W} AS w FROM documents),
+ch AS (
+  SELECT doc_id, u['pos'] AS pos, u['chunk'] AS chunk FROM (
+    SELECT doc_id, unnest(list_transform(
+      generate_series(1, cast(ceil(len(w) / {_SPAN_W}.0) AS BIGINT)),
+      i -> {{'pos': i - 1,
+             'chunk': array_to_string(w[(i-1)*{_SPAN_W}+1 : i*{_SPAN_W}], ' ')}})) AS u
+    FROM docs_w)
+)
+"""
+
+
+@register(
+    "dedup_spans",
+    oracle=f"""
+    WITH {_SPAN_CH_CTE},
+    kept AS (
+      SELECT doc_id, pos, chunk FROM (
+        SELECT doc_id, pos, chunk,
+               ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+        FROM ch) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS cleaned_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM ch GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(a.cleaned_text, '') AS cleaned_text,
+           COALESCE(t.n_spans, 0) AS n_spans, COALESCE(a.n_kept, 0) AS n_kept
+    FROM documents d
+    LEFT JOIN tot t ON t.doc_id = d.doc_id
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (span-level) exact dedup, Lee et al. style: cut every
+    document into 10-word spans, drop spans whose content already occurred
+    earlier in the corpus (global first occurrence by (doc_id, pos) wins),
+    reassemble the surviving spans per document. Catches boilerplate that
+    repeats inside otherwise-distinct documents — whole-doc fingerprints
+    never see it. See :func:`sparkfusion.llm.dedup.span_dedup` for the
+    16-byte-key shuffle shape."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.span_dedup(docs, "doc_id", "text", w=_SPAN_W)
+
+
+def _incremental_oracle(k: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """Batch-vs-corpus dedup oracle: same md5/affine MinHash math as
+    ``_minhash_oracle`` but candidates only straddle the batch (doc_id%10=0)
+    / corpus split, plus an exact-fingerprint pass with precedence."""
+    r = k // bands
+    params = dedup.minhash_params(k)
+    mins = ",\n      ".join(
+        f"MIN((__h * {a} + {b}) % {dedup.MINHASH_P}) AS m{s}"
+        for s, (a, b) in enumerate(params)
+    )
+    band_exprs = ",\n      ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"m{b * r + i}" for i in range(r))
+        + f")) AS band{b}"
+        for b in range(bands)
+    )
+    banded_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, band{b} AS bucket FROM bands"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    based AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS __h FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM based GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, {band_exprs}
+      FROM sig
+    ),
+    banded AS (
+{banded_union}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_b, b.doc_id AS id_c
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_b, c.id_c, COUNT(*) AS inter
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_b
+      JOIN sh b ON b.doc_id = c.id_c AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT DISTINCT i.id_b AS doc_id FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_b
+      JOIN sizes sb ON sb.doc_id = i.id_c
+      WHERE i.inter / (sa.sz + sb.sz - i.inter) >= {threshold}
+    ),
+    fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    ex AS (
+      SELECT DISTINCT b.doc_id FROM fp b JOIN fp c ON b.fp = c.fp
+      WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status
+    FROM documents d
+    LEFT JOIN ex e ON e.doc_id = d.doc_id
+    LEFT JOIN near n ON n.doc_id = d.doc_id
+    WHERE d.doc_id % 10 = 0
+    """
+
+
+@register("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs with doc_id%10==0 play today's batch,
+    the rest the already-kept corpus. Each batch doc is labeled exact_dup
+    (fingerprint already in corpus), near_dup (MinHash-LSH candidate vs a
+    corpus doc, Jaccard-verified ≥ 0.5) or new. The LSH join is batch-bands
+    × corpus-bands only — never corpus × corpus; see
+    :func:`sparkfusion.llm.dedup.incremental_dedup`."""
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_dedup(batch, corpus, "doc_id", "text")
+
+
+@register(
+    "sim_sq_topk",
+    oracle="""
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(round(greatest(-1.0, least(1.0, x)) * 127.0) AS INT)) AS code
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, code AS q_code FROM qz WHERE vec_id = 0)
+    SELECT q.q_id, e.vec_id,
+           CAST(list_sum(list_transform(generate_series(1, len(e.code)),
+                i -> CAST(e.code[i] AS BIGINT) * q.q_code[i])) AS BIGINT) AS qscore
+    FROM qz e, q
+    WHERE e.vec_id != q.q_id
+    ORDER BY qscore DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized brute-force top-k (query = vec 0): symmetric
+    round(clamp(x,±1)*127) codes, ranking by exact INTEGER dot product —
+    bit-reproducible across engines, 4× less scan bandwidth than float32.
+    Same broadcast-query + TakeOrderedAndProject plan as
+    ``sim_cosine_topk``; production re-scores the shortlist at full
+    precision. See :func:`sparkfusion.llm.similarity.sq_topk`."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.sq_topk(emb, q, "vec_id", "embedding", k=10)

@@ -273,3 +273,70 @@ def test_multimodal_real_decode_raises(corpus):
     media = multimodal.to_media_table(corpus, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         multimodal.decode_media(media, decode_stub=False).collect()
+
+
+def test_span_dedup_drops_repeated_spans(spark):
+    # w=3 spans; doc 1 repeats doc 0's first span verbatim; doc 2 is empty
+    rows = [
+        (0, "a b c d e f"),            # spans: "a b c", "d e f"
+        (1, "a b c x y z"),            # "a b c" already seen -> dropped
+        (2, ""),                        # no spans at all
+        (3, "d e f d e f"),            # first span dup of doc0's 2nd; 2nd dup of its own 1st
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.span_dedup(df, "doc_id", "text", w=3).collect()}
+    assert len(out) == 4
+    assert out[0].cleaned_text == "a b c d e f" and out[0].n_kept == 2
+    assert out[1].cleaned_text == "x y z" and out[1].n_spans == 2 and out[1].n_kept == 1
+    assert out[2].cleaned_text == "" and out[2].n_spans == 0 and out[2].n_kept == 0
+    assert out[3].cleaned_text == "" and out[3].n_spans == 2 and out[3].n_kept == 0
+
+
+def test_span_dedup_short_tail_span(spark):
+    # 4 words at w=3 -> spans "a b c" + tail "d"; tail spans dedup too
+    rows = [(0, "a b c d"), (1, "z z z d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.span_dedup(df, "doc_id", "text", w=3).collect()}
+    assert out[0].cleaned_text == "a b c d"
+    assert out[1].cleaned_text == "z z z"  # tail "d" was doc 0's
+
+
+def test_incremental_dedup_statuses(corpus):
+    # corpus docs 0,2,4; batch: 10=exact dup of 0, 11=near dup of 0, 12=new
+    batch = corpus.sparkSession.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (11, "the quick brown fox jumps over the lazy dog near the river bend"),
+            (12, "unrelated totally fresh content nothing shared with anything else here"),
+        ],
+        "doc_id long, text string",
+    )
+    existing = corpus.filter(F.col("doc_id").isin([0, 2, 4]))
+    out = {
+        r.doc_id: r.status
+        for r in dedup.incremental_dedup(batch, existing, "doc_id", "text").collect()
+    }
+    assert out == {10: "exact_dup", 11: "near_dup", 12: "new"}
+
+
+def test_sq_quantize_codes_exact(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0, -1.0, 0.5, -0.25, 2.0, -3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    codes = df.select(
+        similarity.sq_quantize(F.col("embedding")).alias("c")
+    ).head().c
+    # clamp to ±1 then round-half-away: 0.5*127=63.5 -> 64
+    assert codes == [0, 127, -127, 64, -32, 127, -127]
+
+
+def test_sq_topk_matches_exact_top1(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0)
+    sq = similarity.sq_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    assert len(sq) == 5
+    assert all(sq[i].qscore >= sq[i + 1].qscore for i in range(4))
+    exact = similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    # int8 quantization keeps the clear winner: top-1 agrees with exact cosine
+    assert sq[0].vec_id == exact[0].vec_id
