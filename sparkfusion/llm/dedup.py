@@ -375,6 +375,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
 
     Raises ``RuntimeError`` after ``max_iter`` unconverged rounds rather than
     silently returning partial components.
+
+    Convergence is detected by comparing Σ(component) between rounds: labels
+    move monotonically DOWNWARD under min-propagation, so an unchanged sum is
+    exactly "no label changed" — one map-side-combinable agg over the already
+    materialized frame instead of a full old-vs-new label join per round
+    (which shuffled the whole label set again). The sum runs in DECIMAL(38)
+    so billions of 64-bit ids cannot overflow.
     """
     half = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
     edges = (
@@ -388,6 +395,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).head()["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["s"] == labels["node"])
@@ -414,16 +428,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "__old"), "node")
-            .filter(F.col("component") != F.col("__old"))
-            .count()
-        )
+        # materializing action for the lazy checkpoint AND the convergence
+        # test in one job: the label sum strictly decreases until fixpoint
+        new_sum = _label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             edges.unpersist()
             return labels
+        prev_sum = new_sum
     edges.unpersist()
     raise RuntimeError(
         f"connected_components: no convergence in {max_iter} rounds "
