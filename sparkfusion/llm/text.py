@@ -189,3 +189,60 @@ def repetition_stats(df, id_col: str, text_col: str):
             .alias("top_bigram_frac"),
         )
     )
+
+
+def pack_sequences(
+    df, id_col: str, text_col: str, budget: int = 512, num_partitions: int | None = None
+):
+    """Concat-and-chunk sequence packing: lay every document's tokens end to
+    end in ``id_col`` order and cut the stream every ``budget`` tokens — the
+    packing step that turns a document corpus into fixed-length training
+    sequences. Returns (id, n_tokens, start_off, seq_id, n_seqs): the global
+    token offset where the doc starts, the training sequence it starts in,
+    and how many sequences it spans (0 for token-less docs).
+
+    Scale shape (no global sort, no single reducer): range-repartition by id
+    so partition p holds a contiguous id span, cumulative-sum tokens WITHIN
+    each partition (parallel windows), then broadcast-join per-partition
+    token totals prefix-summed on a #partitions-row frame — the same
+    two-pass offset scheme as ``operators.projection.zip_with_index_df``,
+    with token counts in place of row counts.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(df, DataFrame)
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(id_col))
+        if num_partitions
+        else df.repartitionByRange(F.col(id_col))
+    )
+    tagged = ranged.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    ).withColumn("__pid", F.spark_partition_id())
+    totals = tagged.groupBy("__pid").agg(F.sum("n_tokens").alias("__ptot"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0))
+    ).drop("__ptot")
+    w_cum = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = F.lit(budget)
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "start_off",
+            F.col("__off") + F.coalesce(F.sum("n_tokens").over(w_cum), F.lit(0)),
+        )
+        .withColumn("seq_id", F.expr(f"start_off div {budget}"))
+        .withColumn(
+            "n_seqs",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr(f"(start_off + n_tokens - 1) div {budget}") - F.col("seq_id") + 1,
+            ).otherwise(F.lit(0)),
+        )
+        .select(id_col, "n_tokens", "start_off", "seq_id", "n_seqs")
+    )

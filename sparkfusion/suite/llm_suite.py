@@ -1081,3 +1081,36 @@ def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     return similarity.sq_topk(emb, q, "vec_id", "embedding", k=10)
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{text.TOKEN_RE}'))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_off,
+           (start_off // 512)::BIGINT AS seq_id,
+           (CASE WHEN n_tokens > 0
+                 THEN (start_off + n_tokens - 1) // 512 - start_off // 512 + 1
+                 ELSE 0 END)::BIGINT AS n_seqs
+    FROM c
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (budget 512 tokens): every document
+    gets its global token start offset, the training sequence it starts in,
+    and the number of sequences it spans — the corpus→training-batch step of
+    an LLM data pipeline. No global sort: range partitions + per-partition
+    cumulative sums + a broadcast #partitions-row offset frame; see
+    :func:`sparkfusion.llm.text.pack_sequences`."""
+    docs = table(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, "doc_id", "text", budget=512)

@@ -340,3 +340,23 @@ def test_sq_topk_matches_exact_top1(spark, sf_dir):
     exact = similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=5).collect()
     # int8 quantization keeps the clear winner: top-1 agrees with exact cosine
     assert sq[0].vec_id == exact[0].vec_id
+
+
+def test_pack_sequences_contiguous_and_budget(spark):
+    rows = [(i, " ".join(["tok"] * n)) for i, n in [(0, 5), (1, 0), (2, 10), (3, 3), (4, 7)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.pack_sequences(df, "doc_id", "text", budget=8).collect()}
+    # offsets are the exclusive cumsum of token counts in doc_id order
+    assert [out[i].start_off for i in range(5)] == [0, 5, 5, 15, 18]
+    assert out[0].seq_id == 0 and out[0].n_seqs == 1
+    assert out[1].n_seqs == 0                       # empty doc occupies nothing
+    assert out[2].seq_id == 0 and out[2].n_seqs == 2  # tokens 5..14 span seqs 0-1
+    assert out[4].seq_id == 2 and out[4].n_seqs == 2  # tokens 18..24 span seqs 2-3
+
+
+def test_pack_sequences_partition_invariant(spark):
+    rows = [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: (r.start_off, r.seq_id) for r in text.pack_sequences(df, "doc_id", "text", 16, num_partitions=3).collect()}
+    b = {r.doc_id: (r.start_off, r.seq_id) for r in text.pack_sequences(df.repartition(13), "doc_id", "text", 16, num_partitions=8).collect()}
+    assert a == b  # packing is defined by id order, not physical layout
