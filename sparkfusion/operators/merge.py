@@ -1,0 +1,65 @@
+"""CDC merge (MERGE INTO semantics) as a pure DataFrame transform.
+
+The reference engine writes snapshots via its parquet sink
+(``src/utils/io.rs:118-170``) but has no upsert primitive — users re-derive
+snapshots with hand-written joins. ``merge_upsert`` is that shape as one
+operator: apply a change batch (upserts + deletes) onto a snapshot.
+
+Scale posture (100 TB): one full-outer equi-join hashed on the merge key —
+the minimum possible shuffle for MERGE semantics. Change batches are
+typically ≪ snapshot, so AQE rewrites the join to broadcast / shuffled-hash
+with the small side built; no window, no sort, no collect. For repeated
+merges at scale, bucket both sides on the key (see
+``sources/writers.py`` bucketed sink) and the shuffle disappears entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    delete_val: str = "D",
+) -> DataFrame:
+    """MERGE ``changes`` into ``snapshot`` on ``keys``.
+
+    Semantics (standard MERGE INTO):
+      - key only in snapshot            → keep the snapshot row
+      - key in changes with op=U (any non-delete) → change row wins
+        (update when matched, insert when not — an upsert)
+      - key in changes with op=``delete_val``     → row removed
+
+    ``changes`` must carry the same value columns as ``snapshot`` plus
+    ``op_col``; value columns are coalesced change-first.
+    """
+    value_cols = [c for c in snapshot.columns if c not in keys]
+    missing = [c for c in value_cols + list(keys) if c not in changes.columns]
+    if missing:
+        raise ValueError(f"merge_upsert: changes missing columns {missing}")
+    chg = changes.select(
+        *[F.col(k).alias(f"__c_{k}") for k in keys],
+        *[F.col(c).alias(f"__c_{c}") for c in value_cols],
+        F.col(op_col).alias("__op"),
+    )
+    cond = [snapshot[k] == chg[f"__c_{k}"] for k in keys]
+    joined = snapshot.join(chg, cond, "full_outer")
+    # delete: matched change row flagged delete_val → drop
+    joined = joined.filter(
+        F.col("__op").isNull() | (F.col("__op") != F.lit(delete_val))
+    )
+    out = [
+        F.coalesce(F.col(f"__c_{k}"), snapshot[k]).alias(k) for k in keys
+    ] + [
+        F.when(F.col("__op").isNotNull(), F.col(f"__c_{c}"))
+        .otherwise(snapshot[c])
+        .alias(c)
+        for c in value_cols
+    ]
+    return joined.select(*out)

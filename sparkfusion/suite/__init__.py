@@ -119,6 +119,7 @@ def _load_all() -> None:
     # unconditional imports: a broken suite module must fail loudly, not
     # silently drop its queries from the driver contract
     from . import (  # noqa: F401
+        analytics_suite,
         llm_suite,
         relational,
         relational_ext,

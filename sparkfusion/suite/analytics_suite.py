@@ -1,0 +1,355 @@
+"""Event-analytics & pipeline-prep suite: ordered funnel, cohort retention,
+SCD-2 intervals, CDC merge, exact percentiles, histogram, RAG chunking,
+deterministic dataset split, and the adapted TPC-H Q11 shape.
+
+Same determinism discipline as the sibling suites: integer epoch-µs for
+timestamps, `yyyy-MM-dd` strings for dates, DECIMAL for money sums,
+round(…, 6) for interpolated quantiles, md5 for hash bucketing — each
+replicated exactly in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm.chunking import assign_split, chunk_sliding
+from ..operators.analytics import cohort_retention, funnel, scd2_intervals
+from ..operators.merge import merge_upsert
+from ..session import events_with_ts, table
+from . import register
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_with_ts(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel / retention / SCD-2
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn1_funnel",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, min(epoch_us(ts)) AS rt FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s1 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS rt
+      FROM events e JOIN s0 ON s0.user_id = e.user_id AND epoch_us(e.ts) > s0.rt
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS rt
+      FROM events e JOIN s1 ON s1.user_id = e.user_id AND epoch_us(e.ts) > s1.rt
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage, 'view' AS step, (SELECT count(*) FROM s0) AS users
+      UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+      UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    ) WHERE users > 0
+    """,
+)
+def fn1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (strictly-after semantics, MIN
+    qualifying time per stage). See :func:`sparkfusion.operators.analytics.
+    funnel` for the per-stage join chain; all shuffles hash on user_id and
+    the reached-set shrinks monotonically, so AQE broadcasts later stages."""
+    ev = _events_us(spark, sf_dir)
+    return funnel(ev, ["view", "click", "purchase"], ts_col="ts_us")
+
+
+@register(
+    "fn2_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cd FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cd, day) AS BIGINT) AS day_offset,
+           count(*) AS users
+    FROM activity JOIN cohorts USING (user_id)
+    WHERE day >= cd
+    GROUP BY 1, 2
+    """,
+)
+def fn2_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-signup day, counted
+    on each later purchase day as (cohort_day, day_offset) cells. Cohort map
+    is one row per user (broadcastable); activity is distinct (user, day)."""
+    ev = events_with_ts(spark, sf_dir)
+    out = cohort_retention(ev, cohort_event="signup", activity_event="purchase")
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "users",
+    )
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           valid_from, valid_to, valid_to IS NULL AS is_current
+    FROM (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS valid_from,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS valid_to
+      FROM events WHERE event_type IN ('signup', 'error')
+    )
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 shaping: each signup/error event becomes a validity
+    interval [valid_from, valid_to) per user, NULL valid_to = current row.
+    One window shuffle on user_id; per-partition sort only (no global sort).
+    See :func:`sparkfusion.operators.analytics.scd2_intervals`."""
+    ev = _events_us(spark, sf_dir).filter(
+        F.col("event_type").isin("signup", "error")
+    )
+    out = scd2_intervals(ev, ["user_id"], "ts_us", order_tiebreak=["event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from"),
+        F.col("valid_to").alias("valid_to"),
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge
+# ---------------------------------------------------------------------------
+
+_SNAP_SQL = """
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+"""
+_CHG_SQL = """
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
+@register(
+    "m1_merge_upsert",
+    oracle=f"""
+    WITH snap AS ({_SNAP_SQL}), chg AS ({_CHG_SQL})
+    SELECT COALESCE(c.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus ELSE s.o_orderstatus END
+             AS o_orderstatus,
+           CASE WHEN c.op IS NOT NULL THEN c.o_totalprice ELSE s.o_totalprice END
+             AS o_totalprice
+    FROM snap s FULL JOIN chg c ON s.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def m1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as one full-outer join: a change batch (upserts
+    for even orderkeys, deletes for multiples of 14) applied onto a snapshot
+    (orderkeys not divisible by 3). Exercises all three MERGE branches —
+    keep, upsert (update + insert), delete. See
+    :func:`sparkfusion.operators.merge.merge_upsert`."""
+    orders = table(spark, sf_dir, "orders")
+    snapshot = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    return merge_upsert(snapshot, changes, keys=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Percentiles / histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a14_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           round(quantile_cont(l_quantity, 0.95), 6) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a14_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation; round 6 guards the
+    last-ulp). Single shuffle on the 3-value group key; at 100 TB swap to
+    `approx_percentile` (t-digest, map-side mergeable) — registered
+    separately as a10-style approx ops are rows-only."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, array(0.25, 0.50, 0.75, 0.95))").alias("ps")
+    )
+    return agg.select(
+        "l_returnflag",
+        *[
+            F.round(F.col("ps")[i], 6).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    )
+
+
+@register(
+    "a15_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def a15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (bucket = floor(x/50000)): the profiling
+    primitive for choosing partition bounds / skew detection. Pure map-side
+    bucketing + one groupBy over a tiny key space; min/max are exact value
+    picks (no float-sum ordering hazard)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunking / dataset split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_sliding_docs",
+    oracle="""
+    SELECT doc_id, CAST(t.s AS BIGINT) AS chunk_start,
+           substring(text, CAST(t.s AS INT) + 1, 200) AS chunk_text,
+           CAST(length(substring(text, CAST(t.s AS INT) + 1, 200)) AS BIGINT)
+             AS chunk_len
+    FROM documents, UNNEST(generate_series(0, greatest(length(text) - 1, 0), 150))
+      AS t(s)
+    """,
+)
+def chunk_sliding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: 200-char windows, stride 150
+    (50-char overlap). Row-exploding map — repartitioned by doc_id BEFORE
+    the explode so growth spreads across the cluster (CLAUDE.md posture).
+    See :func:`sparkfusion.llm.chunking.chunk_sliding`."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        "doc_id"
+    )
+    out = chunk_sliding(docs, size=200, stride=150)
+    return out.select(
+        "doc_id",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        "chunk_text",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+    )
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+             AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+      FROM documents
+    )
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: md5(doc_id) bucket
+    in [0,100). Membership is a pure key function — identical across runs,
+    engines, partitionings (unlike randomSplit). Map-only, shuffle-free.
+    See :func:`sparkfusion.llm.chunking.assign_split`."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", assign_split(F.col("doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 (adapted: no partsupp table in the star — value share by part)
+# ---------------------------------------------------------------------------
+
+_Q11_VAL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))"
+)
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH val AS (
+      SELECT l_partkey, SUM({_Q11_VAL}) AS v
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM val
+    WHERE v > (SELECT SUM(v) * CAST(0.001 AS DECIMAL(6,4)) FROM val)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock), adapted to the star's tables:
+    per-part value (extendedprice×quantity, DECIMAL-exact) for one nation's
+    suppliers, kept where the part's share exceeds 0.1% of that nation's
+    total — the group-agg + scalar-subquery-threshold pattern.
+
+    Reference Q11 runs on partsupp (absent here); semantics preserved:
+    dims broadcast, one shuffle on l_partkey, the scalar total reduces from
+    the same aggregate (Spark reuses the exchange under AQE).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(F.broadcast(sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_quantity").cast("decimal(12,2)")
+            ).alias("v")
+        )
+    )
+    total = val.agg(
+        (F.sum("v") * F.lit(0.001).cast("decimal(6,4)")).alias("threshold")
+    )
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("v") > F.col("threshold"))
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )

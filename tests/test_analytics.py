@@ -1,0 +1,139 @@
+"""Funnel / retention / SCD-2 / merge / chunking / split semantics on
+controlled fixtures (the sf-table oracle equivalence is covered by
+tools/check_oracle.py and the driver gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfusion.llm.chunking import assign_split, chunk_sliding
+from sparkfusion.operators.analytics import cohort_retention, funnel, scd2_intervals
+from sparkfusion.operators.merge import merge_upsert
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_type string"
+    )
+
+
+def test_funnel_strictly_ordered(spark):
+    ev = _events(
+        spark,
+        [
+            # u1 completes A->B->C in order
+            (1, 10, "A"), (1, 20, "B"), (1, 30, "C"),
+            # u2 has all three but C precedes B -> stops at stage B
+            (2, 10, "A"), (2, 30, "B"), (2, 20, "C"),
+            # u3 only A
+            (3, 5, "A"),
+            # u4 B/C without A -> never enters
+            (4, 1, "B"), (4, 2, "C"),
+        ],
+    )
+    out = {r.step: r.users for r in funnel(ev, ["A", "B", "C"]).collect()}
+    assert out == {"A": 3, "B": 2, "C": 1}
+
+
+def test_funnel_same_ts_not_counted(spark):
+    # strictly-after: B at the same instant as A does not advance
+    ev = _events(spark, [(1, 10, "A"), (1, 10, "B")])
+    out = {r.step: r.users for r in funnel(ev, ["A", "B"]).collect()}
+    assert out == {"A": 1}
+
+
+def test_funnel_empty_steps_raises(spark):
+    with pytest.raises(ValueError):
+        funnel(_events(spark, [(1, 1, "A")]), [])
+
+
+def test_cohort_retention_day_offsets(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", "signup"),
+            (1, "2024-01-01 12:00:00", "buy"),   # offset 0
+            (1, "2024-01-03 12:00:00", "buy"),   # offset 2
+            (1, "2024-01-03 18:00:00", "buy"),   # same day -> distinct once
+            (2, "2024-01-02 09:00:00", "signup"),
+            (2, "2024-01-03 09:00:00", "buy"),   # offset 1
+            # u3 buys BEFORE its signup day -> excluded
+            (3, "2024-01-05 09:00:00", "signup"),
+            (3, "2024-01-04 09:00:00", "buy"),
+        ],
+        "user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (str(r.cohort_day), r.day_offset): r.users
+        for r in cohort_retention(ev, "signup", "buy").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 1): 1,
+    }
+
+
+def test_scd2_intervals_chain(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k long, t long, v string"
+    )
+    rows = {
+        (r.k, r.t): (r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_intervals(df, ["k"], "t").collect()
+    }
+    assert rows[(1, 10)] == (10, 20, False)
+    assert rows[(1, 20)] == (20, None, True)
+    assert rows[(2, 5)] == (5, None, True)
+
+
+def test_merge_upsert_branches(spark):
+    snap = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], "k long, v string"
+    )
+    chg = spark.createDataFrame(
+        [(2, "new2", "U"), (3, None, "D"), (4, "new4", "U")],
+        "k long, v string, op string",
+    )
+    out = {r.k: r.v for r in merge_upsert(snap, chg, ["k"]).collect()}
+    assert out == {1: "old1", 2: "new2", 4: "new4"}  # keep / update / insert; 3 deleted
+
+
+def test_merge_upsert_missing_cols_raises(spark):
+    snap = spark.createDataFrame([(1, "x")], "k long, v string")
+    chg = spark.createDataFrame([(1, "U")], "k long, op string")
+    with pytest.raises(ValueError, match="missing columns"):
+        merge_upsert(snap, chg, ["k"])
+
+
+def test_chunk_sliding_offsets_and_overlap(spark):
+    df = spark.createDataFrame([(1, "abcdefghij"), (2, "")], "doc_id long, text string")
+    out = sorted(
+        (r.doc_id, r.chunk_start, r.chunk_text)
+        for r in chunk_sliding(df, size=4, stride=3).collect()
+    )
+    assert out == [
+        (1, 0, "abcd"), (1, 3, "defg"), (1, 6, "ghij"), (1, 9, "j"),
+        (2, 0, ""),  # empty doc still yields one (empty) chunk
+    ]
+
+
+def test_chunk_sliding_validates(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_sliding(df, size=0)
+
+
+def test_assign_split_deterministic_and_partitioned(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out1 = {r.doc_id: r.split for r in df.select("doc_id", assign_split(F.col("doc_id"))).collect()}
+    out2 = {
+        r.doc_id: r.split
+        for r in df.repartition(7).select("doc_id", assign_split(F.col("doc_id"))).collect()
+    }
+    assert out1 == out2  # layout-independent
+    counts = {s: sum(1 for v in out1.values() if v == s) for s in ("train", "val", "test")}
+    assert sum(counts.values()) == 500
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    with pytest.raises(ValueError):
+        assign_split(F.col("doc_id"), [("a", 50)])
