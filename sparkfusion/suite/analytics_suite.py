@@ -344,6 +344,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.col("l_quantity").cast("decimal(12,2)")
             ).alias("v")
         )
+        # feeds BOTH the scalar total and the final filter — cache so the
+        # lineitem scan + partkey shuffle run once (CLAUDE.md posture); the
+        # frame is one small row per part
+        .cache()
     )
     total = val.agg(
         (F.sum("v") * F.lit(0.001).cast("decimal(6,4)")).alias("threshold")
