@@ -57,6 +57,10 @@ HEADLINE = {
     "stream_tumbling_window": "stream_tumbling",
     "j9_asof_join": "j9_asof_join",
     "j10_range_join": "j10_range_join",
+    "q11_important_parts": "q11_important_parts",
+    "m1_merge_upsert": "m1_merge_upsert",
+    "fn1_funnel": "fn1_funnel",
+    "chunk_sliding_docs": "chunk_sliding_docs",
 }
 
 REPEATS = 3

@@ -1,0 +1,62 @@
+"""Streaming CDC upsert sink: versioned copy-on-write snapshot semantics,
+replay idempotence, and foreachBatch wiring."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkfusion.streaming.cdc import ParquetUpsertSink, latest_version, read_snapshot
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, op string")
+
+
+def test_upsert_sink_versions_and_merge(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    sink = ParquetUpsertSink(spark, path, keys=["k"])
+
+    sink(_chg(spark, [(1, "a", "U"), (2, "b", "U")]), 0)
+    assert latest_version(path) == 0
+    assert {r.k: r.v for r in read_snapshot(spark, path).collect()} == {1: "a", 2: "b"}
+
+    # batch 1: update 1, delete 2, insert 3
+    sink(_chg(spark, [(1, "a2", "U"), (2, None, "D"), (3, "c", "U")]), 1)
+    assert latest_version(path) == 1
+    assert {r.k: r.v for r in read_snapshot(spark, path).collect()} == {1: "a2", 3: "c"}
+
+
+def test_upsert_sink_replay_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    sink = ParquetUpsertSink(spark, path, keys=["k"])
+    sink(_chg(spark, [(1, "a", "U")]), 0)
+    sink(_chg(spark, [(1, "a2", "U")]), 1)
+    # crash-replay of batch 1 (same id) must not re-apply or fork a version
+    sink(_chg(spark, [(1, "DIFFERENT", "U")]), 1)
+    assert latest_version(path) == 1
+    assert {r.k: r.v for r in read_snapshot(spark, path).collect()} == {1: "a2"}
+
+
+def test_upsert_sink_empty_before_first_commit(spark, tmp_path):
+    path = str(tmp_path / "nothing")
+    assert latest_version(path) is None
+    assert read_snapshot(spark, path) is None
+
+
+def test_upsert_sink_from_stream(spark, tmp_path):
+    # end-to-end foreachBatch wiring: a file change-feed applied as one batch
+    feed = str(tmp_path / "feed")
+    _chg(
+        spark, [(1, "x", "U"), (2, "y", "U"), (2, None, "D"), (3, "z", "U")]
+    ).limit(0).write.mode("overwrite").parquet(feed)  # pin schema dir first
+    _chg(spark, [(1, "x", "U"), (2, None, "D"), (3, "z", "U")]).write.mode(
+        "append"
+    ).parquet(feed)
+
+    path = str(tmp_path / "snap")
+    sink = ParquetUpsertSink(spark, path, keys=["k"])
+    stream = spark.readStream.schema("k long, v string, op string").parquet(feed)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    snap = read_snapshot(spark, path)
+    assert {r.k: r.v for r in snap.collect()} == {1: "x", 3: "z"}
