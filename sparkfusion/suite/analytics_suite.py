@@ -10,6 +10,8 @@ replicated exactly in the DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -18,6 +20,7 @@ from ..operators.analytics import cohort_retention, funnel, scd2_intervals
 from ..operators.merge import merge_upsert
 from ..session import events_with_ts, table
 from . import register
+from .sources_suite import IO_DIR
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,6 +179,53 @@ def m1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
     )
     return merge_upsert(snapshot, changes, keys=["o_orderkey"])
+
+
+@register(
+    "cdc_upsert_roundtrip",
+    oracle="""
+    WITH b0 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), b1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+             CASE WHEN o_orderkey % 12 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT COALESCE(c.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus ELSE s.o_orderstatus END
+             AS o_orderstatus,
+           CASE WHEN c.op IS NOT NULL THEN c.o_totalprice ELSE s.o_totalprice END
+             AS o_totalprice
+    FROM b0 s FULL JOIN b1 c ON s.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def cdc_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two CDC batches applied through the versioned copy-on-write parquet
+    sink (:class:`sparkfusion.streaming.cdc.ParquetUpsertSink`), then the
+    committed snapshot read back — a REAL write→marker-flip→read roundtrip,
+    not just the merge expression. Batch 0 bootstraps (even orderkeys);
+    batch 1 upserts multiples of 3 (+100.0) and deletes multiples of 12."""
+    import shutil
+
+    from ..streaming.cdc import ParquetUpsertSink, read_snapshot
+
+    path = os.path.join(IO_DIR, "cdc_snapshot")
+    shutil.rmtree(path, ignore_errors=True)  # batch ids restart each run
+    orders = table(spark, sf_dir, "orders")
+    b0 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit("U").alias("op")
+    )
+    b1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 12 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    sink = ParquetUpsertSink(spark, path, keys=["o_orderkey"])
+    sink(b0, 0)
+    sink(b1, 1)
+    return read_snapshot(spark, path)
 
 
 # ---------------------------------------------------------------------------
