@@ -166,3 +166,36 @@ def test_cosine_pairs_default_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     with pytest.raises(ValueError, match="exact=True"):
         cosine_pairs(emb, "vec_id", "embedding", 0.45, bits=0)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """A selective dim filter should inject a runtime bloom filter on the
+    fact probe side (Spark's runtime-filter optimizer): the big-scan rows are
+    pre-filtered by might_contain(bloom_filter_agg(dim keys)) before the
+    shuffle join, cutting probe-side shuffle volume at 100 TB. Local data is
+    far below the production applicationSideScanSizeThreshold (10 GB), so the
+    test lowers it — the production default needs no tuning."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem")
+        orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
