@@ -127,6 +127,7 @@ def _load_all() -> None:
         sources_suite,
         streaming_suite,
         temporal_suite,
+        timeseries_suite,
         tpch_ext,
         tpch_like,
         udaf_suite,

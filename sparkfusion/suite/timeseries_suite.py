@@ -1,0 +1,180 @@
+"""Time-series suite: dense resample + gap fill, forward fill, moving
+average, OHLC downsampling, z-score outliers — over the events table.
+
+The reference has no time-series operators (SURVEY.md §2.4/§2.5 stop at
+generic aggregates/windows); this family is what its users hand-write first
+for metrics/events work. Determinism discipline: integer epoch-µs bucket
+keys, DECIMAL sums cast to double BEFORE any division (decimal-division
+scale rules differ across engines, IEEE double math does not), round(…, 6)
+on interpolated outputs, (ts, event_id) composite ordering so window picks
+never tie-break arbitrarily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import (
+    forward_fill,
+    moving_avg,
+    ohlc,
+    resample_counts,
+    zscore_outliers,
+)
+from ..session import events_with_ts
+from . import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_with_ts(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
+@register(
+    "ts1_resample_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+    ), keys AS (
+      SELECT DISTINCT event_type FROM events
+    ), actual AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT k.event_type, epoch_us(s.bucket) AS bucket_us,
+           COALESCE(a.n, 0) AS n,
+           CAST(COALESCE(a.total, 0) AS DOUBLE) AS total_val
+    FROM spine s CROSS JOIN keys k
+    LEFT JOIN actual a ON a.event_type = k.event_type AND a.bucket = s.bucket
+    """,
+)
+def ts1_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample of events per type, zero-filling empty buckets
+    (720 hours × 5 types = 3600 rows; a plain groupBy yields only the 3385
+    occupied cells). Spine = one tiny min/max aggregate → ``sequence()``
+    explode → broadcast cross join with the distinct-type dimension; the
+    only full-data shuffle is the per-bucket groupBy. See
+    :func:`sparkfusion.operators.timeseries.resample_counts`."""
+    ev = _events(spark, sf_dir)
+    out = resample_counts(ev, "ts", ["event_type"], bucket="hour", agg_col="value")
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        "n",
+        F.col("total").cast("double").alias("total_val"),
+    )
+
+
+@register(
+    "ts2_forward_fill",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM events
+    """,
+)
+def ts2_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): each event carries
+    the user's most recent purchase value; rows before the first purchase
+    stay NULL. One window shuffle on user_id, per-partition sort only. See
+    :func:`sparkfusion.operators.timeseries.forward_fill`."""
+    ev = _events(spark, sf_dir).withColumn(
+        "filled", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    out = forward_fill(ev, "filled", ["user_id"], ["ts_us", "event_id"])
+    return out.select("event_id", "user_id", "ts_us", "filled")
+
+
+@register(
+    "ts3_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 / count(value) OVER w, 6) AS mavg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts3_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row moving average of event value per user. DECIMAL sliding
+    sum (Spark's incremental frame evaluation cannot drift from a full
+    recompute) cast to double before the divide. See
+    :func:`sparkfusion.operators.timeseries.moving_avg`."""
+    ev = _events(spark, sf_dir)
+    out = moving_avg(ev, "value", ["user_id"], ["ts_us", "event_id"], window_rows=5)
+    return out.select("event_id", "user_id", F.round(F.col("mavg"), 6).alias("mavg"))
+
+
+@register(
+    "ts4_ohlc_hourly",
+    oracle="""
+    SELECT DISTINCT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+           first_value(value) OVER w AS open,
+           max(value) OVER w AS high,
+           min(value) OVER w AS low,
+           last_value(value) OVER w AS close,
+           count(*) OVER w AS n
+    FROM events
+    WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+                 ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def ts4_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per event type × hour, the first/max/min/last value
+    ordered by (ts, event_id). Window picks only — no float arithmetic, so
+    the output is bit-exact on any engine. See
+    :func:`sparkfusion.operators.timeseries.ohlc`."""
+    ev = _events(spark, sf_dir)
+    out = ohlc(ev, "ts", "value", ["event_type"], bucket="hour", tiebreak=("event_id",))
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+    )
+
+
+@register(
+    "ts5_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(12,6)) * CAST(value AS DECIMAL(12,6)))
+                  AS DOUBLE) AS s2
+      FROM events GROUP BY 1
+    )
+    SELECT event_id, e.event_type, value,
+           round((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE abs((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 2.5
+    """,
+)
+def ts5_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 2.5). Group moments from DECIMAL
+    sum / sum-of-squares (order-independent), broadcast back; per-row z is
+    plain double math identical on both engines. See
+    :func:`sparkfusion.operators.timeseries.zscore_outliers`."""
+    ev = _events(spark, sf_dir)
+    out = zscore_outliers(ev, "value", ["event_type"], threshold=2.5)
+    return out.select(
+        "event_id", "event_type", "value", F.round(F.col("z"), 6).alias("z")
+    )

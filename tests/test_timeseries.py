@@ -1,0 +1,112 @@
+"""Semantics tests for sparkfusion.operators.timeseries."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from sparkfusion.operators.timeseries import (
+    forward_fill,
+    moving_avg,
+    ohlc,
+    resample_counts,
+    zscore_outliers,
+)
+
+
+def _ts(h, m=0):
+    return datetime(2024, 1, 1, h, m)
+
+
+def test_resample_fills_empty_buckets(spark):
+    # hours 0, 1, 3 occupied for key 'a'; hour 2 is a gap; key 'b' only hour 0
+    df = spark.createDataFrame(
+        [
+            ("a", _ts(0), 1.0),
+            ("a", _ts(1), 2.0),
+            ("a", _ts(3), 3.0),
+            ("b", _ts(0), 4.0),
+        ],
+        "k string, t timestamp, v double",
+    )
+    out = resample_counts(df, "t", ["k"], bucket="hour", agg_col="v")
+    rows = {(r["k"], r["bucket"].hour): (r["n"], float(r["total"])) for r in out.collect()}
+    # 4 hours x 2 keys = 8 dense cells
+    assert len(rows) == 8
+    assert rows[("a", 2)] == (0, 0.0)  # the gap is zero-filled, not absent
+    assert rows[("b", 3)] == (0, 0.0)
+    assert rows[("a", 1)] == (1, 2.0)
+    assert rows[("b", 0)] == (1, 4.0)
+
+
+def test_forward_fill_carries_last_observation(spark):
+    df = spark.createDataFrame(
+        [
+            ("u", 1, None),
+            ("u", 2, 10.0),
+            ("u", 3, None),
+            ("u", 4, None),
+            ("u", 5, 20.0),
+            ("u", 6, None),
+            ("v", 1, None),  # other key: never observed -> stays NULL
+        ],
+        "k string, seq int, v double",
+    )
+    out = forward_fill(df, "v", ["k"], ["seq"])
+    got = {(r["k"], r["seq"]): r["v"] for r in out.collect()}
+    assert got[("u", 1)] is None  # before first observation
+    assert got[("u", 3)] == 10.0
+    assert got[("u", 4)] == 10.0
+    assert got[("u", 6)] == 20.0
+    assert got[("v", 1)] is None
+
+
+def test_moving_avg_trailing_window(spark):
+    df = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(1, 7)], "k string, seq int, v double"
+    )
+    out = moving_avg(df, "v", ["k"], ["seq"], window_rows=3)
+    got = {r["seq"]: round(r["mavg"], 9) for r in out.collect()}
+    assert got[1] == 1.0  # frame shorter than window at the start
+    assert got[2] == 1.5
+    assert got[3] == 2.0  # (1+2+3)/3
+    assert got[6] == 5.0  # (4+5+6)/3
+
+
+def test_ohlc_picks_and_tiebreak(spark):
+    # two rows share the same timestamp; the tiebreak column decides open
+    df = spark.createDataFrame(
+        [
+            ("k", _ts(0, 5), 1, 50.0),
+            ("k", _ts(0, 5), 0, 10.0),  # same ts, lower tiebreak -> open
+            ("k", _ts(0, 30), 2, 99.0),
+            ("k", _ts(0, 45), 3, 5.0),
+        ],
+        "k string, t timestamp, id int, v double",
+    )
+    out = ohlc(df, "t", "v", ["k"], bucket="hour", tiebreak=("id",))
+    [row] = out.collect()
+    assert row["open"] == 10.0
+    assert row["close"] == 5.0
+    assert row["high"] == 99.0
+    assert row["low"] == 5.0
+    assert row["n"] == 4
+
+
+def test_zscore_flags_planted_outlier(spark):
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 1000.0]  # one wild point
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g string, i int, v double"
+    )
+    out = zscore_outliers(df, "v", ["g"], threshold=2.0)
+    rows = out.collect()
+    assert [r["v"] for r in rows] == [1000.0]
+    assert rows[0]["z"] > 2.0
+
+
+def test_zscore_no_outliers_in_uniform_group(spark):
+    df = spark.createDataFrame(
+        [("g", i, 5.0 + (i % 2) * 0.1) for i in range(10)], "g string, i int, v double"
+    )
+    assert zscore_outliers(df, "v", ["g"], threshold=3.0).count() == 0
