@@ -121,6 +121,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         analytics_suite,
         llm_suite,
+        quality_suite,
         relational,
         relational_ext,
         schema_ops,

@@ -1,0 +1,147 @@
+"""Data-quality suite: column profiling, constraint audit, referential
+orphans, keep-latest compaction — the gatekeeper queries a 100 TB pipeline
+runs around every load. All outputs are integer counts or window picks, so
+determinism is structural (no float aggregation anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quality import (
+    check_constraints,
+    keep_latest,
+    profile_columns,
+    referential_orphans,
+)
+from ..session import events_with_ts, table
+from . import register
+
+
+@register(
+    "dq1_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct FROM orders
+    UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey) FROM orders
+    UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice) FROM orders
+    UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    """,
+)
+def dq1_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of orders (rows / nulls / exact distincts per
+    column, long format). The oracle re-reads the table per column; Spark
+    does it in a single pass + stack — at 100 TB that is 5 scans vs 1. See
+    :func:`sparkfusion.operators.quality.profile_columns` (`approx=True`
+    switches to HLL++ and kills the Expand for production)."""
+    orders = table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    return profile_columns(orders, cols)
+
+
+@register(
+    "dq2_constraints_lineitem",
+    oracle="""
+    SELECT 'quantity_positive' AS rule,
+           sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS violations,
+           count(*) AS n_rows FROM lineitem
+    UNION ALL SELECT 'price_nonnegative',
+           sum(CASE WHEN l_extendedprice >= 0 THEN 0 ELSE 1 END), count(*)
+    FROM lineitem
+    UNION ALL SELECT 'discount_in_unit_range',
+           sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END), count(*)
+    FROM lineitem
+    UNION ALL SELECT 'returnflag_domain',
+           sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END), count(*)
+    FROM lineitem
+    UNION ALL SELECT 'shipdate_present',
+           sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END), count(*)
+    FROM lineitem
+    """,
+)
+def dq2_constraints_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit over lineitem in ONE scan (NULL counts as
+    violation — unknown ≠ satisfied). The oracle's UNION ALL re-scans per
+    rule; Spark evaluates all rules in a single agg. See
+    :func:`sparkfusion.operators.quality.check_constraints`."""
+    li = table(spark, sf_dir, "lineitem")
+    return check_constraints(
+        li,
+        {
+            "quantity_positive": F.col("l_quantity") > 0,
+            "price_nonnegative": F.col("l_extendedprice") >= 0,
+            "discount_in_unit_range": F.col("l_discount").between(0, 1),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+            "shipdate_present": F.col("l_shipdate").isNotNull(),
+        },
+    )
+
+
+@register(
+    "dq3_referential_orphans",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS orphans,
+           (SELECT count(*) FROM lineitem) AS child_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+           (SELECT count(*) FROM customer)
+    """,
+)
+def dq3_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for the star's three FK
+    edges via LEFT ANTI joins (keys-only shuffle; parent side distinct-ed,
+    broadcast when it is a dim). See
+    :func:`sparkfusion.operators.quality.referential_orphans`."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return referential_orphans(
+        [
+            ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+            ("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        ]
+    )
+
+
+@register(
+    "m2_keep_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+    ) = 1
+    """,
+)
+def m2_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction: the latest event per user (ts DESC, event_id
+    DESC tiebreak) — the keep-latest primitive CDC snapshot materialization
+    and SCD-1 upserts reduce to. One window shuffle on user_id. See
+    :func:`sparkfusion.operators.quality.keep_latest`."""
+    ev = events_with_ts(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return keep_latest(ev, ["user_id"], ["ts_us", "event_id"])

@@ -1,0 +1,57 @@
+"""Semantics tests for sparkfusion.operators.quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkfusion.operators.quality import (
+    check_constraints,
+    keep_latest,
+    profile_columns,
+    referential_orphans,
+)
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (3, None)], "k int, s string"
+    )
+    out = {r["column_name"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert out["k"]["n_rows"] == 4
+    assert out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 3
+    assert out["s"]["n_nulls"] == 2
+    assert out["s"]["n_distinct"] == 2  # NULLs excluded from distinct
+
+
+def test_profile_approx_mode_runs_without_expand(spark):
+    df = spark.createDataFrame([(i, str(i % 7)) for i in range(100)], "k int, s string")
+    out = {r["column_name"]: r for r in profile_columns(df, ["k", "s"], approx=True).collect()}
+    # HLL++ at default rsd is exact-ish at this cardinality
+    assert abs(out["k"]["n_distinct"] - 100) <= 5
+    assert out["s"]["n_distinct"] == 7
+    plan = profile_columns(df, ["k", "s"], approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # the scale path avoids the exact-distinct Expand
+
+
+def test_constraints_null_counts_as_violation(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (-2.0,)], "v double")
+    out = {r["rule"]: r for r in check_constraints(df, {"pos": F.col("v") > 0}).collect()}
+    assert out["pos"]["violations"] == 2  # NULL and -2.0
+    assert out["pos"]["n_rows"] == 3
+
+
+def test_referential_orphans_counts(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    [row] = referential_orphans([("c->p", child, "fk", parent, "pk")]).collect()
+    assert (row["relation"], row["orphans"], row["child_rows"]) == ("c->p", 1, 3)
+
+
+def test_keep_latest_tiebreaks_deterministically(spark):
+    df = spark.createDataFrame(
+        [("u", 1, 10, "old"), ("u", 2, 20, "new"), ("u", 3, 20, "newest"), ("v", 1, 5, "only")],
+        "k string, id int, t int, tag string",
+    )
+    out = {r["k"]: r["tag"] for r in keep_latest(df, ["k"], ["t", "id"]).collect()}
+    assert out == {"u": "newest", "v": "only"}  # t DESC, then id DESC
