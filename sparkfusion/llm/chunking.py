@@ -79,3 +79,34 @@ def assign_split(
     return (expr.otherwise(F.lit(last_label)) if expr is not None else F.lit(last_label)).alias(
         "split"
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): each row draws a pseudo-uniform u from md5(id) and is
+    ranked by u^(1/w) — equivalently ln(u)/w, descending; the top-k win.
+    Inclusion probability is proportional to weight, yet the draw is a pure
+    key function: identical across runs, engines, partitionings, and cluster
+    sizes (unlike ``df.sample``, whose output depends on partition layout).
+
+    Scale: the ranking key is computed map-side in whole-stage codegen; the
+    top-k is ``orderBy().limit(k)`` → TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), never a global sort.
+    """
+    # md5 first 8 hex chars → integer in [0, 2^32) → u in (0, 1]
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__wkey")
+    )

@@ -246,3 +246,55 @@ def pack_sequences(
         )
         .select(id_col, "n_tokens", "start_off", "seq_id", "n_seqs")
     )
+
+
+def tfidf_top_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_len: int = 3,
+):
+    """Per-document top-``k`` keywords by TF-IDF (keyword extraction — the
+    tagging/routing primitive a corpus pipeline runs after cleaning).
+
+    tf = term count in the document; idf = ln(N / df) with df = number of
+    documents containing the term; score = tf·idf, ranked per document with
+    (score DESC, term ASC) so equal scores break deterministically.
+
+    Scale shape (100 TB posture): documents are repartitioned by id BEFORE
+    the token explode (growth spreads across the cluster); tf is one groupBy
+    on (id, term); df reduces the tf frame again by term (map-side partial
+    aggs both times); N is a tiny scalar joined by broadcast; the tf⋈df
+    equi-join shuffles on the term key where AQE's skew-join splitting
+    handles stopword-like hot terms. Top-k is a per-document window
+    (row_number over the id partition) — never a global sort.
+    """
+    from pyspark.sql import Window
+
+    terms = (
+        df.repartition(id_col)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= min_len)
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doc_freq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

@@ -1114,3 +1114,45 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`sparkfusion.llm.text.pack_sequences`."""
     docs = table(spark, sf_dir, "documents")
     return text.pack_sequences(docs, "doc_id", "text", budget=512)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, t.term
+      FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+      WHERE length(t.term) >= 3
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+    ), idf AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df,
+           round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+             AS score,
+           rank
+    FROM (
+      SELECT tf.*, idf.df, n.n_docs,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY CAST(tf AS DOUBLE)
+                        * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+                        term
+             ) AS rank
+      FROM tf JOIN idf USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by TF-IDF (keyword extraction for
+    tagging/routing). Deterministic rank tiebreak (score DESC, term ASC);
+    score emitted rounded to 6 (tf·ln(N/df) — exact integer inputs, one
+    libm ln whose sub-ulp engine variance is far below the rounding). See
+    :func:`sparkfusion.llm.text.tfidf_top_terms` for the scale shape
+    (repartition-before-explode, AQE skew-join on hot terms)."""
+    docs = table(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.select(
+        "doc_id", "term", "tf", "df", F.round(F.col("score"), 6).alias("score"), "rank"
+    )

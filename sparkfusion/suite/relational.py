@@ -639,3 +639,27 @@ def u5_union_by_name_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = sup.select("s_suppkey", "s_name", "s_acctbal")
     older = sup.select("s_name", "s_suppkey")  # reordered, no acctbal
     return full.unionByName(older, allowMissingColumns=True)
+
+
+@register(
+    "o11_weighted_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice,
+             ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT + 1)
+                / 4294967296.0) / o_totalprice AS wkey
+      FROM orders
+    ) ORDER BY wkey DESC, o_orderkey LIMIT 20
+    """,
+)
+def o11_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res, weight = o_totalprice): rank by ln(md5-uniform)/weight
+    descending, keep the top 20. Reproducible across engines/layouts (pure
+    key function), and plan-wise a TakeOrderedAndProject — per-partition
+    k-heaps, no global sort. See
+    :func:`sparkfusion.llm.chunking.weighted_sample`."""
+    from ..llm.chunking import weighted_sample
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return weighted_sample(orders, "o_totalprice", "o_orderkey", k=20)

@@ -360,3 +360,45 @@ def test_pack_sequences_partition_invariant(spark):
     a = {r.doc_id: (r.start_off, r.seq_id) for r in text.pack_sequences(df, "doc_id", "text", 16, num_partitions=3).collect()}
     b = {r.doc_id: (r.start_off, r.seq_id) for r in text.pack_sequences(df.repartition(13), "doc_id", "text", 16, num_partitions=8).collect()}
     assert a == b  # packing is defined by id order, not physical layout
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from sparkfusion.llm.chunking import weighted_sample
+
+    # one row with overwhelming weight must always win at k=1
+    rows = [(i, 1.0) for i in range(1, 50)] + [(99, 1e9)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    [top] = weighted_sample(df, "w", "id", k=1).collect()
+    assert top["id"] == 99
+    # deterministic: same selection on repeated runs
+    a = sorted(r["id"] for r in weighted_sample(df, "w", "id", k=10).collect())
+    b = sorted(r["id"] for r in weighted_sample(df, "w", "id", k=10).collect())
+    assert a == b and len(a) == 10
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from sparkfusion.llm.chunking import weighted_sample
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 100)], "id long, w double")
+    plan = weighted_sample(df, "w", "id", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+def test_tfidf_top_terms_ranks_rare_terms_higher(spark):
+    from sparkfusion.llm.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common zebra zebra"),
+            (2, "common xylophone"),
+            (3, "common common quartz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2)
+    top = {r["doc_id"]: r["term"] for r in out.filter("rank = 1").collect()}
+    # 'common' appears in every doc -> idf 0; the doc-unique term must lead
+    assert top == {1: "zebra", 2: "xylophone", 3: "quartz"}
+    # tf/df bookkeeping
+    zebra = out.filter("doc_id = 1 AND term = 'zebra'").collect()[0]
+    assert (zebra["tf"], zebra["df"]) == (2, 1)
