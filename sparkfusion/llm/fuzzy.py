@@ -1,0 +1,97 @@
+"""Fuzzy string matching / entity resolution: q-gram blocked candidate
+generation + edit-distance verification.
+
+The scalable shape for "join these two tables on approximately-equal
+strings": never all-pairs — candidates come from an inverted-index equi-join
+on shared q-grams (the same bucket-join discipline as the MinHash/Jaccard
+dedup family in :mod:`sparkfusion.llm.dedup`), with a ``max_df`` cap dropping
+corpus-stopword grams (shared by everything, discriminative of nothing) so no
+hot gram can flood the join m². Every candidate is then verified with exact
+Levenshtein distance — precision is 1.0 by construction; recall is governed
+by the blocking (a pair sharing NO surviving gram is never considered), which
+is the standard, documented trade of blocking-based ER.
+
+Reference repo has no fuzzy surface; this extends §2.3 joins the way
+j9/j10 extend them temporally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def qgrams(df: DataFrame, id_col: str, text_col: str, q: int = 4) -> DataFrame:
+    """Explode each string into its positional q-grams → ``(id, gram)``.
+    Repartitions by id BEFORE the explode so row growth spreads across the
+    cluster (CLAUDE.md posture)."""
+    return (
+        df.repartition(id_col)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - {q - 1}, 0)),"
+                    f" g -> substr({text_col}, g, {q}))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    max_dist: int = 1,
+    q: int = 4,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Blocked fuzzy join: pairs of (left, right) rows sharing at least one
+    surviving q-gram, verified ``levenshtein(left_text, right_text) <=
+    max_dist``. Returns ``(left_id, right_id, dist)``.
+
+    ``max_df`` drops grams whose document frequency (across BOTH sides)
+    exceeds the cap — without it, a gram present in every row floods the
+    candidate join with |L|·|R| pairs (the m² failure mode; same guard as
+    ``llm.dedup.cap_shingle_df``). Candidates are distinct (lid, rid) keys
+    only; names join back by id for the verify step, so the wide strings
+    never ride through the gram shuffle.
+    """
+    lg = qgrams(left, left_id, left_text, q).select(
+        F.col(left_id).alias("__lid"), "gram"
+    )
+    rg = qgrams(right, right_id, right_text, q).select(
+        F.col(right_id).alias("__rid"), "gram"
+    )
+    if max_df is not None:
+        df_counts = (
+            lg.select("gram")
+            .unionByName(rg.select("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("gram")
+        )
+        lg = lg.join(df_counts, "gram")
+        rg = rg.join(df_counts, "gram")
+    cand = lg.join(rg, "gram").select("__lid", "__rid").distinct()
+    lnames = left.select(F.col(left_id).alias("__lid"), F.col(left_text).alias("__lt"))
+    rnames = right.select(
+        F.col(right_id).alias("__rid"), F.col(right_text).alias("__rt")
+    )
+    return (
+        cand.join(lnames, "__lid")
+        .join(rnames, "__rid")
+        .withColumn("dist", F.levenshtein(F.col("__lt"), F.col("__rt")))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            "dist",
+        )
+    )

@@ -1156,3 +1156,66 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "term", "tf", "df", F.round(F.col("score"), 6).alias("score"), "rank"
     )
+
+
+@register(
+    "er1_fuzzy_name_join",
+    oracle="""
+    WITH l AS (SELECT c_custkey AS lid, c_name AS lname FROM customer),
+    r AS (
+      SELECT c_custkey AS rid,
+             substr(c_name, 1, CAST(10 + c_custkey % 9 AS INT) - 1) || 'X'
+               || substr(c_name, CAST(10 + c_custkey % 9 AS INT) + 1) AS rname
+      FROM customer
+    ),
+    lg AS (
+      SELECT DISTINCT lid, substr(lname, CAST(t.g AS INT), 4) AS gram
+      FROM l, UNNEST(generate_series(1, length(lname) - 3)) AS t(g)
+    ),
+    rg AS (
+      SELECT DISTINCT rid, substr(rname, CAST(t.g AS INT), 4) AS gram
+      FROM r, UNNEST(generate_series(1, length(rname) - 3)) AS t(g)
+    ),
+    keep AS (
+      SELECT gram FROM (
+        SELECT gram, count(*) AS c FROM (
+          SELECT gram FROM lg UNION ALL SELECT gram FROM rg
+        ) GROUP BY 1
+      ) WHERE c <= 50
+    ),
+    cand AS (
+      SELECT DISTINCT lid, rid
+      FROM (SELECT lid, gram FROM lg JOIN keep USING (gram)) a
+      JOIN (SELECT rid, gram FROM rg JOIN keep USING (gram)) b USING (gram)
+    )
+    SELECT lid AS l_custkey, rid AS r_custkey,
+           CAST(levenshtein(lname, rname) AS BIGINT) AS dist
+    FROM cand JOIN l USING (lid) JOIN r USING (rid)
+    WHERE levenshtein(lname, rname) <= 1
+    """,
+)
+def er1_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: customers fuzzy-joined (edit distance <= 1) against
+    a deterministically corrupted copy of themselves (one char replaced by
+    'X' at position 10 + key%9 — a synthetic dirty feed). Candidates come
+    from a 4-gram inverted-index equi-join with a max_df=50 hot-gram cap (no
+    all-pairs path; the oracle mirrors blocking AND verification, so parity
+    is exact even though blocking-based ER is recall-approximate by design).
+    See :func:`sparkfusion.llm.fuzzy.fuzzy_join`."""
+    from ..llm.fuzzy import fuzzy_join
+
+    cust = table(spark, sf_dir, "customer")
+    left = cust.select(F.col("c_custkey").alias("l_custkey"), F.col("c_name").alias("lname"))
+    right = cust.select(
+        F.col("c_custkey").alias("r_custkey"),
+        F.concat(
+            F.expr("substr(c_name, 1, CAST(10 + c_custkey % 9 AS INT) - 1)"),
+            F.lit("X"),
+            F.expr("substr(c_name, CAST(10 + c_custkey % 9 AS INT) + 1)"),
+        ).alias("rname"),
+    )
+    out = fuzzy_join(
+        left, right, "l_custkey", "lname", "r_custkey", "rname",
+        max_dist=1, q=4, max_df=50,
+    )
+    return out.select("l_custkey", "r_custkey", F.col("dist").cast("long").alias("dist"))

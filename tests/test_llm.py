@@ -402,3 +402,25 @@ def test_tfidf_top_terms_ranks_rare_terms_higher(spark):
     # tf/df bookkeeping
     zebra = out.filter("doc_id = 1 AND term = 'zebra'").collect()[0]
     assert (zebra["tf"], zebra["df"]) == (2, 1)
+
+
+def test_fuzzy_join_finds_typos_and_caps_hot_grams(spark):
+    from sparkfusion.llm.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "maria garcia"), (3, "wei chen")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "jonathon smith"), (20, "maria garcia"), (30, "completely different")],
+        "rid long, rname string",
+    )
+    out = fuzzy_join(left, right, "id", "name", "rid", "rname", max_dist=1, q=3, max_df=50)
+    got = {(r["id"], r["rid"]): r["dist"] for r in out.collect()}
+    assert got == {(1, 10): 1, (2, 20): 0}
+
+    # hot-gram cap: strings sharing ONLY ubiquitous grams produce no candidates
+    many = spark.createDataFrame([(i, "aaaaaaaa") for i in range(40)], "id long, name string")
+    out2 = fuzzy_join(many, many.selectExpr("id as rid", "name as rname"),
+                      "id", "name", "rid", "rname", max_dist=1, q=3, max_df=10)
+    assert out2.count() == 0  # 'aaa' df=80 > 10 -> capped, no m^2 flood
