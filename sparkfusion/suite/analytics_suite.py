@@ -407,3 +407,48 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v") > F.col("threshold"))
         .select("l_partkey", F.col("v").cast("double").alias("part_value"))
     )
+
+
+@register(
+    "mv1_incremental_refresh",
+    oracle="""
+    SELECT o_orderstatus, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           count(o_totalprice) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def mv1_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a monthly revenue rollup
+    snapshot (orders with key%5!=0) merged with a new batch's partial
+    aggregates (key%5==0) via one full-outer join on the group key — and the
+    result provably equals the from-scratch aggregate (the oracle computes
+    exactly that). DECIMAL sums make the merge order-insensitive; refresh
+    cost is O(batch + groups), not O(history). See
+    :mod:`sparkfusion.operators.incremental`."""
+    from ..operators.incremental import aggregate_state, merge_states
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+            "month"
+        ),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    aggs = {
+        "revenue": ("sum", F.col("o_totalprice").cast("decimal(18,6)")),
+        "n": ("count", F.col("o_totalprice")),
+        "lo": ("min", F.col("o_totalprice")),
+        "hi": ("max", F.col("o_totalprice")),
+    }
+    keys = ["o_orderstatus", "month"]
+    snapshot = aggregate_state(orders.filter(F.col("o_orderkey") % 5 != 0), keys, aggs)
+    delta = aggregate_state(orders.filter(F.col("o_orderkey") % 5 == 0), keys, aggs)
+    merged = merge_states(snapshot, delta, keys, aggs)
+    return merged.select(
+        "o_orderstatus", "month", F.col("revenue").cast("double").alias("revenue"),
+        "n", "lo", "hi",
+    )
