@@ -61,6 +61,11 @@ HEADLINE = {
     "m1_merge_upsert": "m1_merge_upsert",
     "fn1_funnel": "fn1_funnel",
     "chunk_sliding_docs": "chunk_sliding_docs",
+    "ts1_resample_gapfill": "ts1_resample_gapfill",
+    "tfidf_top_terms": "tfidf_top_terms",
+    "er1_fuzzy_name_join": "er1_fuzzy_name_join",
+    "mv1_incremental_refresh": "mv1_incremental_refresh",
+    "dq2_constraints_lineitem": "dq2_constraints",
 }
 
 REPEATS = 3

@@ -62,6 +62,10 @@ def fuzzy_join(
     only; names join back by id for the verify step, so the wide strings
     never ride through the gram shuffle.
     """
+    # the gram frames feed both the df-count pass and the candidate join;
+    # deliberately NOT cached — measured slower (cache materializes every
+    # ubiquitous-gram row, while recompute is a map-side explode + one
+    # distinct shuffle, and at 100 TB a >=10x-corpus cached frame spills)
     lg = qgrams(left, left_id, left_text, q).select(
         F.col(left_id).alias("__lid"), "gram"
     )

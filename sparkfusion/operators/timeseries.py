@@ -51,6 +51,8 @@ def resample_counts(
     """
     keys = list(keys)
     b = F.date_trunc(bucket, F.col(ts_col))
+    # ONE scan of df: bounds and the key dimension both reduce from the
+    # (tiny) aggregated frame, which feeds three subtrees -> cache it
     actual = df.groupBy(*keys, b.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
         *(
@@ -58,17 +60,17 @@ def resample_counts(
             if agg_col
             else []
         ),
-    )
-    bounds = df.agg(
-        F.min(b).alias("lo"),
-        F.max(b).alias("hi"),
+    ).cache()
+    bounds = actual.agg(
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
     )
     spine = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr(f"INTERVAL 1 {bucket}"))
         ).alias("bucket")
     )
-    key_dim = df.select(*keys).distinct()
+    key_dim = actual.select(*keys).distinct()
     dense = spine.crossJoin(F.broadcast(key_dim))
     fill = {"n": F.lit(0).cast("long")}
     if agg_col:
