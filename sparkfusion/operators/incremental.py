@@ -69,3 +69,35 @@ def merge_states(
             F.when(a.isNull(), b).when(b.isNull(), a).otherwise(merge(a, b)).alias(name)
         )
     return joined.select(*out_cols)
+
+
+def hll_rollup(
+    df: DataFrame,
+    sub_keys: Sequence[str],
+    rollup_keys: Sequence[str],
+    count_col: str,
+    lg_k: int = 14,
+):
+    """Distinct-count rollup via mergeable HLL sketches (Apache DataSketches,
+    Spark 3.5+): build one sketch per fine-grained ``sub_keys`` group, then
+    merge sketches up to ``rollup_keys`` with ``hll_union_agg`` and estimate.
+
+    This is the piece :func:`merge_states` documents as non-mergeable for
+    exact aggregates: distinct counts CAN participate in incremental
+    materialized-view maintenance if the snapshot stores sketches instead of
+    numbers — per-batch sketches union in O(sketch size), never re-scanning
+    history, and the union is associative + idempotent (re-delivered batches
+    don't inflate the count, unlike a sum). Default lg_k=14 → ~0.8 % rsd at
+    any cardinality, 16 KiB per group.
+
+    Returns ``rollup_keys + [n_subgroups, distinct_est]``.
+    """
+    daily = df.groupBy(*rollup_keys, *sub_keys).agg(
+        F.hll_sketch_agg(F.col(count_col), F.lit(lg_k)).alias("__sk")
+    )
+    return daily.groupBy(*rollup_keys).agg(
+        F.count(F.lit(1)).alias("n_subgroups"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("__sk"), F.lit(True))).alias(
+            "distinct_est"
+        ),
+    )

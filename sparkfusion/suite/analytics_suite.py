@@ -452,3 +452,81 @@ def mv1_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", "month", F.col("revenue").cast("double").alias("revenue"),
         "n", "lo", "hi",
     )
+
+
+@register(
+    "mv2_hll_distinct_rollup",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT CAST(ts AS DATE)) AS n_subgroups,
+           count(DISTINCT user_id) AS exact_distinct,
+           true AS est_within_2pct
+    FROM events GROUP BY 1
+    """,
+)
+def mv2_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via MERGEABLE HLL sketches: one sketch
+    per (type, day), unioned up to type — the incremental-MV answer for
+    distinct counts (per-batch sketches union in O(16 KiB/group) without
+    rescanning history; union is associative AND idempotent, so replayed
+    batches can't inflate the count). The oracle pins the estimate to within
+    2% of DuckDB's exact distinct as a boolean (same technique as
+    a10_approx_distinct); at these cardinalities the sketch is in sparse
+    mode and exact. See :func:`sparkfusion.operators.incremental.hll_rollup`."""
+    ev = events_with_ts(spark, sf_dir).select(
+        "event_type", "user_id", F.to_date(F.col("ts")).alias("day")
+    )
+    from ..operators.incremental import hll_rollup
+
+    sk = hll_rollup(ev, sub_keys=["day"], rollup_keys=["event_type"], count_col="user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_subgroups",
+            "exact_distinct",
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * F.lit(0.02)
+            ).alias("est_within_2pct"),
+        )
+    )
+
+
+@register(
+    "fe1_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.05), 6) AS lo,
+             round(quantile_cont(l_quantity, 0.95), 6) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag, l_quantity,
+           round(least(greatest(l_quantity, lo), hi), 6) AS clipped
+    FROM lineitem l JOIN b USING (l_returnflag)
+    """,
+)
+def fe1_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping to per-group [p05, p95]) — the
+    feature-engineering normalizer complementing ts5's z-score DETECTION.
+    Exact interpolated percentiles for oracle parity (Spark `percentile` ==
+    DuckDB `quantile_cont`, pinned by a14); bounds are a tiny per-group
+    frame broadcast back onto the scan; at 100 TB swap the bounds pass to
+    `approx_percentile` (t-digest, map-side mergeable) — the clip join is
+    unchanged."""
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("hi"),
+    )
+    return li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "l_quantity",
+        F.round(
+            F.least(F.greatest(F.col("l_quantity"), F.col("lo")), F.col("hi")), 6
+        ).alias("clipped"),
+    )

@@ -41,3 +41,17 @@ def test_merge_is_associative_across_batch_orders(spark):
     right = merge_states(_state(spark, b1), s23, ["k"], _aggs())
     as_dict = lambda df: {r["k"]: (float(r["total"]), r["n"], r["lo"], r["hi"]) for r in df.collect()}
     assert as_dict(left) == as_dict(right)
+
+
+def test_hll_rollup_idempotent_under_batch_replay(spark):
+    from sparkfusion.operators.incremental import hll_rollup
+
+    rows = [("g", d, u) for d in range(5) for u in range(d * 10, d * 10 + 30)]
+    df = spark.createDataFrame(rows, "g string, day int, u long")
+    base = hll_rollup(df, ["day"], ["g"], "u").collect()[0]
+    # replaying every batch twice must NOT inflate the distinct estimate
+    replayed = hll_rollup(df.unionAll(df), ["day"], ["g"], "u").collect()[0]
+    assert base["distinct_est"] == replayed["distinct_est"]
+    # sparse-mode sketch is exact at this cardinality (70 distinct)
+    assert base["distinct_est"] == 70
+    assert base["n_subgroups"] == 5
