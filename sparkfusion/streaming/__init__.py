@@ -24,6 +24,7 @@ from .windows import (
     sessionize_batch,
     sliding_window_agg,
     stateful_user_counts,
+    stream_score_alerts,
     stream_stream_interval_join,
     tumbling_window_agg,
 )
@@ -36,5 +37,6 @@ __all__ = [
     "session_window_agg",
     "sessionize_batch",
     "stateful_user_counts",
+    "stream_score_alerts",
     "stream_stream_interval_join",
 ]

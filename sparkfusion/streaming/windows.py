@@ -230,3 +230,27 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_score_alerts(
+    events: DataFrame, profile: DataFrame, key: str, threshold: float = 2.5
+) -> DataFrame:
+    """Score a stream against a batch-built per-``key`` profile (columns
+    ``key, mean, sd``) and emit anomaly alerts (|z| > threshold).
+
+    The production model-scoring shape: the profile is a small batch frame
+    (built offline from history, e.g. via
+    :func:`sparkfusion.operators.timeseries.zscore_outliers`'s DECIMAL
+    moments) broadcast into the stream; scoring is a stateless map-side
+    join + filter, so the query runs in append mode with NO state store and
+    NO watermark — per-event latency is one broadcast-hash-join probe.
+    Refreshing the model = restarting with a new profile frame (or a
+    foreachBatch re-read for hot swap).
+    """
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        events.join(F.broadcast(profile), key)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > F.lit(threshold))
+        .select("event_id", key, "value", "z")
+    )

@@ -157,3 +157,43 @@ def s18_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     reg.write.mode("overwrite").json(path)
     return spark.read.schema("r_regionkey int, r_name string").json(path)
+
+
+def _z_oracle() -> str:
+    terms = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    return f"""
+    SELECT o_orderkey, CAST({terms} AS BIGINT) AS zval FROM (
+      SELECT o_orderkey, o_custkey % 256 AS x,
+             CAST(floor(o_totalprice / 2000) AS BIGINT) % 256 AS y
+      FROM orders
+    )
+    """
+
+
+@register("z1_zorder_key", oracle=_z_oracle())
+def z1_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (custkey, price-bucket): the
+    multi-dimensional sort key behind `write_zordered` — files ordered by it
+    keep parquet min/max footers narrow on BOTH dimensions, so scans prune
+    on either filter (Delta/Iceberg's OPTIMIZE ZORDER, as a pure
+    whole-stage-codegen bit-interleave expression; no UDF). Layout benefit
+    is pinned in tests/test_layout.py; this entry pins the key math against
+    DuckDB's bit arithmetic. See :func:`sparkfusion.sources.layout.zvalue`."""
+    from pyspark.sql import functions as F
+
+    from ..sources.layout import zvalue
+
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        zvalue(
+            [
+                F.col("o_custkey") % 256,
+                F.floor(F.col("o_totalprice") / 2000).cast("long") % 256,
+            ],
+            bits=8,
+        ),
+    )

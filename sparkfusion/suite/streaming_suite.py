@@ -228,3 +228,58 @@ def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_with_ts(spark, sf_dir).select("user_id", "ts")
     out = sessionize_batch(ev, gap_minutes=30)
     return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+@register(
+    "stream_anomaly_alerts",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(12,6)) * CAST(value AS DECIMAL(12,6)))
+                  AS DOUBLE) AS s2
+      FROM events GROUP BY 1
+    )
+    SELECT event_id, e.event_type, value,
+           round((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE abs((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 2.5
+    """,
+)
+def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection, model-scoring shape: a per-type profile
+    (DECIMAL-exact moments, batch-built from history) broadcast into the
+    event stream; alerts where |z| > 2.5. Stateless join + filter → append
+    mode, no state store, no watermark — the lowest-latency streaming plan
+    there is. Matches the batch `ts5_zscore_outliers` answer on a finite
+    replay. See :func:`sparkfusion.streaming.windows.stream_score_alerts`."""
+    from pyspark.sql import functions as F
+
+    from ..session import events_with_ts
+    from ..streaming import stream_score_alerts
+
+    hist = events_with_ts(spark, sf_dir)
+    dec = F.col("value").cast("decimal(12,6)")
+    profile = (
+        hist.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(dec).alias("__s1"),
+            F.sum(dec * dec).alias("__s2"),
+        )
+        .select(
+            "event_type",
+            (F.col("__s1").cast("double") / F.col("__n")).alias("mean"),
+            F.sqrt(
+                F.col("__s2").cast("double") / F.col("__n")
+                - (F.col("__s1").cast("double") / F.col("__n"))
+                * (F.col("__s1").cast("double") / F.col("__n"))
+            ).alias("sd"),
+        )
+    )
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_table(stream_score_alerts(stream, profile, "event_type"), "append")
+    return out.select(
+        "event_id", "event_type", "value",
+        F.round(F.col("z"), 6).alias("z"),
+    )
