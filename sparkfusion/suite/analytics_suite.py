@@ -530,3 +530,87 @@ def fe1_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.greatest(F.col("l_quantity"), F.col("lo")), F.col("hi")), 6
         ).alias("clipped"),
     )
+
+
+@register(
+    "fn3_transition_matrix",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_type
+      FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def fn3_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (first-order Markov counts): for each user's
+    (ts, event_id)-ordered stream, count prev→next event-type pairs — the
+    behavioral-model / next-event-prediction input. One window shuffle on
+    user_id + one tiny groupBy on the 5x5 type space."""
+    from pyspark.sql import Window
+
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "a17_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           round(
+             (CAST(sum(x * y) AS DOUBLE) / n
+              - (CAST(sum(x) AS DOUBLE) / n) * (CAST(sum(y) AS DOUBLE) / n))
+             / (sqrt(CAST(sum(x * x) AS DOUBLE) / n
+                     - (CAST(sum(x) AS DOUBLE) / n) * (CAST(sum(x) AS DOUBLE) / n))
+                * sqrt(CAST(sum(y * y) AS DOUBLE) / n
+                       - (CAST(sum(y) AS DOUBLE) / n) * (CAST(sum(y) AS DOUBLE) / n))),
+             9) AS corr_qty_price
+    FROM (
+      SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(14,6)) AS x,
+             CAST(l_extendedprice AS DECIMAL(19,6)) AS y,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    GROUP BY l_returnflag, n
+    """,
+)
+def a17_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation per group from DECIMAL moment sums (sum x,
+    y, xy, x2, y2 — order-independent across partitions, unlike `corr()`'s
+    streaming float update), with the closed form evaluated in double.
+    Single scan, one groupBy on the 3-value key."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(14,6)")
+    # y at precision 19 forces the oracle's int128 storage (int64 decimal x
+    # decimal overflows in DuckDB); Spark's product type (34,12) stays exact
+    y = F.col("l_extendedprice").cast("decimal(19,6)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    cov = F.col("sxy").cast("double") / n - mx * my
+    vx = F.col("sxx").cast("double") / n - mx * mx
+    vy = F.col("syy").cast("double") / n - my * my
+    return agg.select(
+        "l_returnflag",
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 9).alias("corr_qty_price"),
+    )

@@ -1219,3 +1219,32 @@ def er1_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=1, q=4, max_df=50,
     )
     return out.select("l_custkey", "r_custkey", F.col("dist").cast("long").alias("dist"))
+
+
+@register(
+    "emb_l2_norm",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 9) AS l2_norm
+    FROM embeddings
+    """,
+)
+def emb_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per embedding via higher-order functions (transform +
+    aggregate fold — pure JVM lambda expressions, no UDF). Both engines fold
+    the list SEQUENTIALLY, so the float32→double square-sum is bit-identical
+    (array order is part of the data); round(9) guards the sqrt ulp. The
+    normalize-before-index step every ANN pipeline needs."""
+    emb = table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 9).alias("l2_norm"),
+    )
