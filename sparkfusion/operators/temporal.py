@@ -110,3 +110,53 @@ def range_join_bucketed(
         )
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-overlap join (``l_start <= r_end AND r_start <= l_end``)
+    without an equi-key — the attribution/incident-correlation shape.
+
+    Both sides explode to the integer buckets their interval covers and meet
+    in an ordinary bucket equi-join (fan-out span/width each, never a cross
+    join). A pair overlapping across several shared buckets would duplicate,
+    so rows are kept only in the CANONICAL bucket — the one containing
+    ``greatest(l_start, r_start)`` (the overlap's first instant) — which
+    emits each overlapping pair exactly once with no distinct pass.
+    All bound columns are integers (epoch µs/seconds).
+    """
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(l_start) / bucket_width).cast("long"),
+                (F.col(l_end) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(r_start) / bucket_width).cast("long"),
+                (F.col(r_end) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    overlap_start = F.greatest(F.col(l_start), F.col(r_start))
+    return (
+        lb.join(rb, "__bucket")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("__bucket") == (overlap_start / bucket_width).cast("long"))
+        )
+        .drop("__bucket")
+    )

@@ -614,3 +614,36 @@ def a17_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 9).alias("corr_qty_price"),
     )
+
+
+@register(
+    "a18_mode",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS modal_qty, n FROM (
+      SELECT l_returnflag, l_quantity, count(*) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag ORDER BY count(*) DESC, l_quantity
+             ) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    """,
+)
+def a18_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent l_quantity per returnflag
+    with (count DESC, value ASC) tie-break — unlike `F.mode()`, whose tie
+    winner is engine/partitioning-dependent. One groupBy + a window over the
+    tiny (flag, qty) aggregate."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("modal_qty"), "n")
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.temporal import as_of_join, range_join_bucketed
+from ..operators.temporal import as_of_join, interval_overlap_join, range_join_bucketed
 from ..session import events_with_ts, table
 from ..streaming import sessionize_batch
 from . import register
@@ -219,3 +219,48 @@ def p20_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").cast("double").alias("nationkey"),
     )
     return sup.unpivot("s_suppkey", ["acctbal", "nationkey"], "metric", "val")
+
+
+@register(
+    "j11_interval_overlap",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS l_id, epoch_us(ts) AS ls, epoch_us(ts) + 3600000000 AS le
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT event_id AS r_id, epoch_us(ts) AS rs, epoch_us(ts) + 1800000000 AS re
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT l_id, r_id, least(le, re) - greatest(ls, rs) AS overlap_us
+    FROM p JOIN e ON ls <= re AND rs <= le
+    """,
+)
+def j11_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with NO equi-key: purchase windows (1 h) ×
+    error windows (30 min) that overlap in time — incident-correlation /
+    attribution shape. Bucketed to 1-hour cells with canonical-bucket
+    dedup (each pair emitted exactly once, no distinct): an ordinary
+    equi-join, vs the oracle's un-bucketed IEJoin. See
+    :func:`sparkfusion.operators.temporal.interval_overlap_join`."""
+    ev = events_with_ts(spark, sf_dir).select(
+        "event_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    HOUR = 3_600_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_id"),
+        F.col("ts_us").alias("ls"),
+        (F.col("ts_us") + HOUR).alias("le"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("r_id"),
+        F.col("ts_us").alias("rs"),
+        (F.col("ts_us") + HOUR // 2).alias("re"),
+    )
+    out = interval_overlap_join(purchases, errors, "ls", "le", "rs", "re", HOUR)
+    return out.select(
+        "l_id",
+        "r_id",
+        (F.least(F.col("le"), F.col("re")) - F.greatest(F.col("ls"), F.col("rs"))).alias(
+            "overlap_us"
+        ),
+    )

@@ -48,3 +48,31 @@ def test_range_join_interval_spanning_many_buckets(spark):
     intervals = spark.createDataFrame([(7, 0, 100)], "iid long, s long, e long")
     out = range_join_bucketed(points, intervals, "t", "s", "e", bucket_width=10).collect()
     assert len(out) == 1  # exploded to 11 buckets but deduped by the equi-join+filter
+
+
+def test_interval_overlap_join_canonical_bucket_no_dupes(spark):
+    from sparkfusion.operators.temporal import interval_overlap_join
+
+    # intervals spanning MANY buckets still emit each overlapping pair once
+    left = spark.createDataFrame([(1, 0, 1000), (2, 500, 600), (3, 2000, 2100)],
+                                 "l_id int, ls long, le long")
+    right = spark.createDataFrame([(10, 900, 2050), (20, 650, 700), (30, 5000, 6000)],
+                                  "r_id int, rs long, re long")
+    out = interval_overlap_join(left, right, "ls", "le", "rs", "re", bucket_width=100)
+    pairs = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+    # 1-10 overlap [900,1000]; 1-20 ([650,700] inside [0,1000]); 2-20 none
+    # (600 < 650); 3-10 overlap [2000,2050]
+    assert pairs == [(1, 10), (1, 20), (3, 10)]
+    # exactly once each despite interval 10 covering ~12 buckets
+    assert out.count() == 3
+
+
+def test_interval_overlap_touching_endpoints_count(spark):
+    from sparkfusion.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 0, 100)], "l_id int, ls long, le long")
+    right = spark.createDataFrame([(10, 100, 200), (20, 101, 300)],
+                                  "r_id int, rs long, re long")
+    out = interval_overlap_join(left, right, "ls", "le", "rs", "re", bucket_width=50)
+    # closed-interval semantics: touching at a point IS an overlap
+    assert sorted(r["r_id"] for r in out.collect()) == [10]
