@@ -61,6 +61,15 @@ def fuzzy_join(
     ``llm.dedup.cap_shingle_df``). Candidates are distinct (lid, rid) keys
     only; names join back by id for the verify step, so the wide strings
     never ride through the gram shuffle.
+
+    Scale note (measured sf0.1→sf1: 9.3× time for 10× rows — the join is
+    linear in surviving-gram postings): an ABSOLUTE cap keeps the per-gram
+    join bounded (≤ max_df² pairs/gram) but silently lowers recall as the
+    corpus grows, because discriminative grams cross the fixed threshold.
+    In production set ``max_df`` as a corpus fraction (like cap_shingle_df's
+    documented ≈20 % default) and re-tune q upward for short-key corpora;
+    the suite entry pins an absolute cap only so the DuckDB oracle can
+    mirror it exactly.
     """
     # the gram frames feed both the df-count pass and the candidate join;
     # deliberately NOT cached — measured slower (cache materializes every
