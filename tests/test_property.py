@@ -57,3 +57,63 @@ def test_cosine_self_similarity_is_one(spark, vec):
     df = spark.createDataFrame([(vec,)], "e array<float>")
     out = df.select(cosine_r9(F.col("e"), F.col("e")).alias("c")).collect()
     assert abs(out[0].c - 1.0) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    b1=st.lists(st.tuples(st.sampled_from("abc"), st.integers(-1000, 1000)), min_size=0, max_size=8),
+    b2=st.lists(st.tuples(st.sampled_from("abc"), st.integers(-1000, 1000)), min_size=0, max_size=8),
+)
+def test_incremental_merge_equals_scratch_property(spark, b1, b2):
+    """merge(state(b1), state(b2)) == state(b1 + b2) for ANY batch split."""
+    from sparkfusion.operators.incremental import aggregate_state, merge_states
+
+    if not b1 and not b2:
+        return
+    aggs = lambda: {
+        "total": ("sum", F.col("v").cast("decimal(18,6)")),
+        "n": ("count", F.col("v")),
+        "lo": ("min", F.col("v")),
+        "hi": ("max", F.col("v")),
+    }
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")
+    key = lambda df: {
+        r["k"]: (float(r["total"]), r["n"], r["lo"], r["hi"]) for r in df.collect()
+    }
+    scratch = key(aggregate_state(mk(b1 + b2), ["k"], aggs()))
+    if not b1 or not b2:
+        merged = key(aggregate_state(mk(b1 or b2), ["k"], aggs()))
+    else:
+        merged = key(
+            merge_states(
+                aggregate_state(mk(b1), ["k"], aggs()),
+                aggregate_state(mk(b2), ["k"], aggs()),
+                ["k"],
+                aggs(),
+            )
+        )
+    assert merged == scratch
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 5), st.integers(0, 3)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_keep_latest_is_idempotent_and_singleton_per_key(spark, rows):
+    from sparkfusion.operators.quality import keep_latest
+
+    df = spark.createDataFrame(
+        [(k, t, i, n) for n, (k, t, i) in enumerate(rows)], "k string, t int, i int, n int"
+    )
+    once = keep_latest(df, ["k"], ["t", "i", "n"])
+    got = once.collect()
+    # exactly one row per key present in the input
+    assert sorted({r["k"] for r in got}) == sorted({k for k, _, _ in rows})
+    assert len(got) == len({k for k, _, _ in rows})
+    # idempotent: compacting a compacted log is a no-op
+    twice = keep_latest(once, ["k"], ["t", "i", "n"])
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, got))
