@@ -104,11 +104,16 @@ def _verification_age(root: str | None = None) -> dict[str, int]:
                 greens[name] = max(greens.get(name, 0), rnd)
             elif row.get("err") or mismatched:
                 errs[name] = max(errs.get(name, 0), rnd)
-    # an error newer than the last green voids the verification — the query
-    # re-fronts with the never-checked set until a green row supersedes it
-    return {
-        name: 0 if errs.get(name, -1) >= rnd else rnd for name, rnd in greens.items()
+    # an error newer than the last green voids the verification; voided
+    # queries sort at age -1 — BEFORE even never-checked registrations —
+    # because a recorded regression on a previously-green operator is the
+    # highest-priority re-check (r4: j9/j10/stream_* must re-verify first)
+    ages = {
+        name: -1 if errs.get(name, -1) >= rnd else rnd for name, rnd in greens.items()
     }
+    for name in errs:
+        ages.setdefault(name, -1)
+    return ages
 
 
 def _load_all() -> None:

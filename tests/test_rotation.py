@@ -29,7 +29,7 @@ def test_green_rounds_tracked_and_errors_void(tmp_path):
     _write(tmp_path, 2, {"a": GREEN, "b": ERR})
     ages = _verification_age(str(tmp_path))
     assert ages["a"] == 2  # re-greened in r2
-    assert ages["b"] == 0  # error newer than last green → voided
+    assert ages["b"] == -1  # error newer than last green → voided, re-checks FIRST
     assert ages["c"] == 1  # rows-only check that ran counts as verified
     assert "never_seen" not in ages
 
@@ -37,7 +37,13 @@ def test_green_rounds_tracked_and_errors_void(tmp_path):
 def test_mismatch_voids_like_error(tmp_path):
     _write(tmp_path, 3, {"q": GREEN})
     _write(tmp_path, 4, {"q": MISMATCH})
-    assert _verification_age(str(tmp_path))["q"] == 0
+    assert _verification_age(str(tmp_path))["q"] == -1
+
+
+def test_voided_queries_front_even_never_green(tmp_path):
+    # an errored-only query (never green) also takes priority age -1
+    _write(tmp_path, 2, {"q": ERR})
+    assert _verification_age(str(tmp_path))["q"] == -1
 
 
 def test_regreen_after_error_restores_age(tmp_path):
@@ -55,7 +61,7 @@ def test_registry_orders_stalest_first():
 
     names = list(queries())
     ages = _verification_age()
-    zero = [n for n in names if ages.get(n, 0) == 0]
+    zero = [n for n in names if ages.get(n, 0) <= 0]
     aged_seq = [ages[n] for n in names if ages.get(n, 0) > 0]
     if zero and aged_seq:
         pos = {n: i for i, n in enumerate(names)}
