@@ -1,0 +1,76 @@
+"""Graph operators: fixed-iteration PageRank with engine-stable numerics.
+
+Complements the connected-components operator in :mod:`sparkfusion.llm.dedup`
+(min-label propagation) with the other canonical iterative graph algorithm.
+Built as a driver-side loop over pure DataFrame plans, with
+``localCheckpoint`` truncating lineage each round (CLAUDE.md: plain cache()
+leaves per-round analysis cost growing superlinearly).
+
+Numeric determinism (the interesting part — float PageRank is NOT
+reproducible across partitionings or engines: per-node contribution sums
+change addition order, and even round(double, k) disagrees between
+implementations at half-point ties, observed live at scale-12). The fix is
+FIXED-POINT INTEGER arithmetic: ranks are BIGINTs scaled by 10^scale, every
+step is integer division/multiplication/addition — exact, order-independent,
+and bit-identical on any engine or cluster size. Mass leaks ~1 ulp per
+division (truncation), which is irrelevant for ranking and a fair trade for
+full reproducibility — the same trick as the int8-quantized top-k
+(llm/similarity.py sim_sq_topk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 12,
+) -> DataFrame:
+    """Fixed-``iterations`` PageRank over a directed edge list in which every
+    node has at least one out-edge (symmetrize the graph first otherwise —
+    no dangling-mass redistribution is performed).
+
+    Fixed-point update per iteration (all BIGINT, unit = 10^-scale):
+    ``contrib = rank div out_degree`` summed per target, then
+    ``rank' = teleport_fp + (damping_pct * sum) div 100`` where
+    ``teleport_fp = ((100 - damping_pct) * 10^scale) div (100 * N)``.
+    One hash shuffle on the node key per iteration; edges and degrees are
+    computed once. Returns ``(node, rank_fp)`` — BIGINT ranks; divide by
+    10^scale for display.
+    """
+    one = 10**scale
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = e.select("src").distinct().withColumnRenamed("src", "node")
+    n_nodes = nodes.count()  # one scalar action; N parameterizes the formula
+    init_fp = one // n_nodes
+    teleport_fp = ((100 - damping_pct) * one) // (100 * n_nodes)
+    ranks = nodes.withColumn("rank_fp", F.lit(init_fp).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp div deg").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport_fp)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -647,3 +647,59 @@ def a18_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", F.col("l_quantity").alias("modal_qty"), "n")
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    sql = """
+    WITH base AS (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM base UNION SELECT b, a FROM base
+    ), deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    nn AS (
+      SELECT count(*) AS n,
+             1000000000000 // count(*) AS init_fp,
+             (15 * 1000000000000) // (100 * count(*)) AS teleport_fp
+      FROM deg
+    ),
+    r0 AS (SELECT src AS node, CAST(init_fp AS BIGINT) AS rank_fp FROM deg, nn)"""
+    for i in range(iters):
+        sql += f""", r{i + 1} AS (
+      SELECT d.node, CAST(teleport_fp + (85 * s) // 100 AS BIGINT) AS rank_fp
+      FROM (
+        SELECT e.dst AS node, sum(r.rank_fp // deg.deg) AS s
+        FROM edges e JOIN r{i} r ON r.node = e.src JOIN deg ON deg.src = e.src
+        GROUP BY 1
+      ) d, nn)"""
+    return sql + f" SELECT node, rank_fp FROM r{iters}"
+
+
+@register("g1_pagerank", oracle=_pagerank_oracle(3))
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration PageRank over the symmetrized customer<->supplier
+    trade graph (edges = distinct (custkey, suppkey) pairs via
+    orders JOIN lineitem), in FIXED-POINT INTEGER arithmetic (BIGINT ranks
+    scaled by 1e12): float PageRank is not reproducible across engines or
+    partitionings — contribution-sum order varies and even round(double, 12)
+    disagrees at half-point ties (observed) — integer div/mul/add is
+    bit-identical everywhere. Lineage is localCheckpoint-truncated per round
+    (CLAUDE.md iterative-algorithm rule). See
+    :func:`sparkfusion.operators.graph.pagerank`."""
+    from ..operators.graph import pagerank
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    out = pagerank(edges, iterations=3)
+    return out.select("node", "rank_fp")

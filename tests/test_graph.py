@@ -1,0 +1,39 @@
+"""Tests for fixed-point PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+from sparkfusion.operators.graph import pagerank
+
+ONE = 10**12
+
+
+def _sym(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_star_graph_hub_dominates(spark):
+    # hub h connected to 4 leaves: h must out-rank every leaf
+    edges = _sym(spark, [("h", f"l{i}") for i in range(4)])
+    ranks = {r["node"]: r["rank_fp"] for r in pagerank(edges, iterations=5).collect()}
+    assert all(ranks["h"] > ranks[f"l{i}"] for i in range(4))
+    # leaves are symmetric -> identical ranks (integer-exact, no float fuzz)
+    assert len({ranks[f"l{i}"] for i in range(4)}) == 1
+    # total mass conserved up to integer-truncation leakage
+    assert abs(sum(ranks.values()) - ONE) < len(ranks) * 200
+
+
+def test_ring_graph_is_uniform(spark):
+    n = 6
+    edges = _sym(spark, [(f"v{i}", f"v{(i + 1) % n}") for i in range(n)])
+    ranks = {r["node"]: r["rank_fp"] for r in pagerank(edges, iterations=4).collect()}
+    # a regular graph's stationary distribution is uniform; integer math
+    # keeps every node EXACTLY equal
+    assert len(set(ranks.values())) == 1
+
+
+def test_rank_independent_of_partitioning(spark):
+    edges = _sym(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")])
+    r1 = {r["node"]: r["rank_fp"] for r in pagerank(edges.repartition(1), iterations=3).collect()}
+    r8 = {r["node"]: r["rank_fp"] for r in pagerank(edges.repartition(8), iterations=3).collect()}
+    assert r1 == r8  # bit-identical across partitionings
