@@ -45,9 +45,14 @@ def pagerank(
     10^scale for display.
     """
     one = 10**scale
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = e.select("src").distinct().withColumnRenamed("src", "node")
+    # cache the loop-invariant frames: each iteration is a separate query
+    # execution (localCheckpoint), so without persistence the edge-build
+    # pipeline (scan + distinct shuffle + degree agg) would re-run every
+    # round. At 100 TB the edge list spills to disk serialized — still far
+    # cheaper than re-deriving it per iteration.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().cache()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
+    nodes = e.select("src").distinct().withColumnRenamed("src", "node").cache()
     n_nodes = nodes.count()  # one scalar action; N parameterizes the formula
     init_fp = one // n_nodes
     teleport_fp = ((100 - damping_pct) * one) // (100 * n_nodes)

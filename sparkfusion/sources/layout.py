@@ -29,6 +29,12 @@ def zvalue(cols: Sequence[Column], bits: int = 16) -> Column:
     *locality-preserving*, not invertible."""
     cols = list(cols)
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"z-value needs {n}x{bits}={n * bits} bits, exceeding a signed "
+            "64-bit key; lower `bits` (locality only needs the HIGH bits of "
+            "each dimension) or drop a column"
+        )
     terms = [
         F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)).cast("long")
         * F.lit(1 << (i * n + j)).cast("long")

@@ -140,8 +140,9 @@ def _load_all() -> None:
         udfs,
     )
 
-    # Stalest-first rotation: never-verified queries lead (age 0 — new
-    # registrations and anything that errored every round), then oldest
+    # Stalest-first rotation: voided queries lead (age -1 — a recorded
+    # error/mismatch newer than the last green is the highest-priority
+    # re-check), then never-verified registrations (age 0), then oldest
     # green-round first; registration order breaks ties deterministically.
     ages = _verification_age()
     reg_index = {name: i for i, name in enumerate(REGISTRY)}

@@ -460,7 +460,7 @@ def mv1_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(DISTINCT CAST(ts AS DATE)) AS n_subgroups,
            count(DISTINCT user_id) AS exact_distinct,
-           true AS est_within_2pct
+           true AS est_within_5pct
     FROM events GROUP BY 1
     """,
 )
@@ -470,9 +470,9 @@ def mv2_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counts (per-batch sketches union in O(16 KiB/group) without
     rescanning history; union is associative AND idempotent, so replayed
     batches can't inflate the count). The oracle pins the estimate to within
-    2% of DuckDB's exact distinct as a boolean (same technique as
-    a10_approx_distinct); at these cardinalities the sketch is in sparse
-    mode and exact. See :func:`sparkfusion.operators.incremental.hll_rollup`."""
+    5% of DuckDB's exact distinct as a boolean (same 3x+-rsd discipline as
+    a10_approx_distinct — lg_k=14 rsd is 0.81%, so 5% is ~6 sigma and robust
+    to testdata regeneration pushing the sketch out of sparse mode). See :func:`sparkfusion.operators.incremental.hll_rollup`."""
     ev = events_with_ts(spark, sf_dir).select(
         "event_type", "user_id", F.to_date(F.col("ts")).alias("day")
     )
@@ -490,8 +490,8 @@ def mv2_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
             (
                 F.abs(F.col("distinct_est") - F.col("exact_distinct"))
-                <= F.col("exact_distinct") * F.lit(0.02)
-            ).alias("est_within_2pct"),
+                <= F.col("exact_distinct") * F.lit(0.05)
+            ).alias("est_within_5pct"),
         )
     )
 

@@ -64,3 +64,11 @@ def test_zorder_write_narrows_both_dims(xy_frame, tmp_path):
     # z-order: BOTH dims substantially narrowed -> min/max pruning works on either
     assert mean(z_x) < mean(b_y) / 2
     assert mean(z_y) < mean(b_y) / 2
+
+
+def test_zvalue_rejects_key_wider_than_63_bits(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a int, b int, c int, d int")
+    with _pytest.raises(ValueError, match="64-bit"):
+        df.select(zvalue([F.col(c) for c in "abcd"], bits=16))
