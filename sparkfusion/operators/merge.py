@@ -63,3 +63,51 @@ def merge_upsert(
         for c in value_cols
     ]
     return joined.select(*out)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Inverse of :func:`merge_upsert`: derive the change feed between two
+    table versions. One full-outer join on ``keys``; each row classifies as
+    ``insert`` (key only in new), ``delete`` (key only in old), or
+    ``update`` (key in both with any ``compare_cols`` difference —
+    NULL-safe comparison); unchanged rows are dropped. The output is a valid
+    ``changes`` input for ``merge_upsert`` (op column included), so
+    diff→merge round-trips: ``merge(old, diff(old, new)) == new``.
+
+    Scale: the join shuffles both versions by key once; column comparison is
+    map-side codegen. This is how a pipeline without a transactional table
+    format (Delta/Iceberg CDF) backfills a change feed from plain parquet
+    snapshots.
+    """
+    keys = list(keys)
+    compare_cols = list(compare_cols)
+    o = old.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_new"),
+        *[F.col(c) for c in compare_cols],
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+    changed = None
+    for c in compare_cols:
+        neq = ~F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*keys, *compare_cols, "op")
+    )

@@ -703,3 +703,50 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank(edges, iterations=3)
     return out.select("node", "rank_fp")
+
+
+_OLD_SQL = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 <> 1"
+_NEW_SQL = """
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 50.0 ELSE o_totalprice END
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 2
+"""
+
+
+@register(
+    "cdc2_snapshot_diff",
+    oracle=f"""
+    WITH o AS ({_OLD_SQL}), n AS ({_NEW_SQL})
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           n.o_orderstatus AS o_orderstatus,
+           n.o_totalprice AS o_totalprice,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op
+    FROM o FULL JOIN n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+       OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+    """,
+)
+def cdc2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed derivation between two parquet snapshot versions (the
+    inverse of m1's MERGE): old = orders sans key%4==1; new = orders sans
+    key%5==2 with +50.0 on multiples of 3. One full-outer key join classifying
+    insert/update/delete, unchanged rows dropped — how a pipeline without
+    Delta/Iceberg CDF backfills CDC from plain snapshots; diff→merge
+    round-trips (pytest-pinned). See
+    :func:`sparkfusion.operators.merge.snapshot_diff`."""
+    from ..operators.merge import snapshot_diff
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 4 != 1)
+    new = orders.filter(F.col("o_orderkey") % 5 != 2).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(50.0))
+        .otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])

@@ -60,3 +60,30 @@ def test_upsert_sink_from_stream(spark, tmp_path):
     q.awaitTermination(120)
     snap = read_snapshot(spark, path)
     assert {r.k: r.v for r in snap.collect()} == {1: "x", 3: "z"}
+
+
+def test_snapshot_diff_merge_roundtrip(spark):
+    """merge(old, diff(old, new)) == new — diff is merge's exact inverse."""
+    from sparkfusion.operators.merge import merge_upsert, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 99.0), (3, "c", 30.0), (4, "d", 40.0)], "k int, s string, v double"
+    )
+    diff = snapshot_diff(old, new, ["k"], ["s", "v"])
+    ops = {r["k"]: r["op"] for r in diff.collect()}
+    assert ops == {1: "D", 2: "U", 4: "I"}  # 3 unchanged -> absent
+    rebuilt = merge_upsert(old, diff, keys=["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    from sparkfusion.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k int, s string")
+    new = spark.createDataFrame([(1, None), (2, None)], "k int, s string")
+    out = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"], ["s"]).collect()}
+    # NULL == NULL is "unchanged" (eqNullSafe); value->NULL is an update
+    assert out == {2: "U"}
