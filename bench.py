@@ -66,6 +66,9 @@ HEADLINE = {
     "er1_fuzzy_name_join": "er1_fuzzy_name_join",
     "mv1_incremental_refresh": "mv1_incremental_refresh",
     "dq2_constraints_lineitem": "dq2_constraints",
+    "g1_pagerank": "g1_pagerank",
+    "j11_interval_overlap": "j11_interval_overlap",
+    "cdc2_snapshot_diff": "cdc2_snapshot_diff",
 }
 
 REPEATS = 3
