@@ -27,6 +27,7 @@ from .windows import (
     stream_score_alerts,
     stream_stream_interval_join,
     tumbling_window_agg,
+    window_argmax,
 )
 
 __all__ = [
@@ -39,4 +40,5 @@ __all__ = [
     "stateful_user_counts",
     "stream_score_alerts",
     "stream_stream_interval_join",
+    "window_argmax",
 ]

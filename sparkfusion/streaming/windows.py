@@ -254,3 +254,24 @@ def stream_score_alerts(
         .filter(F.abs(F.col("z")) > F.lit(threshold))
         .select("event_id", key, "value", "z")
     )
+
+
+def window_argmax(events: DataFrame, width: str = "1 hour",
+                  watermark: str = "1 hour") -> DataFrame:
+    """Per (tumbling window × event_type) argmax: the single top-value event,
+    deterministically tie-broken by event_id — as a pure AGGREGATE
+    (``max(struct(value, event_id))``, lexicographic struct max), because
+    streaming plans cannot use rank/row_number window functions. The
+    leaderboard-per-window shape with ordinary windowed-agg state cost.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.max(F.struct("value", "event_id")).alias("top"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "event_type",
+            F.col("top.value").alias("top_value"),
+            F.col("top.event_id").alias("top_event_id"),
+        )
+    )

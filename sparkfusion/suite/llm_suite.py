@@ -1248,3 +1248,59 @@ def emb_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(F.sqrt(sq_sum), 9).alias("l2_norm"),
     )
+
+
+@register(
+    "dedup_cluster_best",
+    oracle=f"""
+    WITH RECURSIVE {{CC}},
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.__node = d.doc_id
+    ),
+    q AS ({{QUAL}})
+    SELECT component, doc_id AS best_doc, round(quality, 6) AS best_q,
+           cluster_size
+    FROM (
+      SELECT l.component, l.doc_id, q.quality,
+             count(*) OVER (PARTITION BY l.component) AS cluster_size,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.component ORDER BY q.quality DESC, l.doc_id
+             ) AS rn
+      FROM lab l JOIN q USING (doc_id)
+    ) WHERE rn = 1
+    """.replace("{CC}", _cc_ctes(_minhash_oracle())).replace("{QUAL}", _QUALITY_SQL),
+)
+def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representative selection: within each near-dup
+    cluster (MinHash → connected components), keep the HIGHEST-quality
+    member ((quality DESC, doc_id) tie-break) instead of blindly keeping
+    min-id — the difference between dedup that discards the cleanest copy
+    and dedup a production corpus pipeline would ship. One window over the
+    cluster labels joined with the quality frame."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    labels = dedup.cluster_labels(docs, "doc_id", pairs).select("doc_id", "component")
+    qual = docs.select("doc_id", text.quality_score("text").alias("quality"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    joined = labels.join(qual, "doc_id")
+    return (
+        joined.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("best_doc"),
+            F.round(F.col("quality"), 6).alias("best_q"),
+            "cluster_size",
+        )
+    )

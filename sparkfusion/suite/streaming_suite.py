@@ -283,3 +283,26 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value",
         F.round(F.col("z"), 6).alias("z"),
     )
+
+
+@register(
+    "stream_window_argmax",
+    oracle="""
+    SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_start,
+           event_type, value AS top_value, event_id AS top_event_id
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+      ORDER BY value DESC, event_id DESC
+    ) = 1
+    """,
+)
+def stream_window_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: the top-value event per hour per type via a
+    lexicographic struct-max AGGREGATE (streams can't run rank windows);
+    (value, event_id) max == the oracle's value DESC, event_id DESC pick.
+    See :func:`sparkfusion.streaming.windows.window_argmax`."""
+    from ..streaming import window_argmax
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(window_argmax(stream), "complete")
