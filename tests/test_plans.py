@@ -199,3 +199,41 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_new_joins_no_cartesian(spark, sf_dir):
+    """er1 (fuzzy), j11 (interval overlap), and g1 (pagerank) are equi-join
+    compositions — a CartesianProduct appearing in any of them means the
+    bucket/blocking discipline regressed."""
+    from sparkfusion.suite.analytics_suite import g1_pagerank
+    from sparkfusion.suite.llm_suite import er1_fuzzy_name_join
+    from sparkfusion.suite.temporal_suite import j11_interval_overlap
+
+    for fn in (er1_fuzzy_name_join, j11_interval_overlap, g1_pagerank):
+        assert "CartesianProduct" not in plan_of(fn(spark, sf_dir))
+
+
+def test_dq2_constraint_audit_single_scan(spark, sf_dir):
+    """All five constraint rules must evaluate in ONE lineitem scan."""
+    from sparkfusion.suite.quality_suite import dq2_constraints_lineitem
+
+    plan = plan_of(dq2_constraints_lineitem(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_ts5_profile_broadcast_join(spark, sf_dir):
+    """The z-score moments frame (5 rows) must broadcast back onto the
+    events scan, not shuffle it."""
+    from sparkfusion.suite.timeseries_suite import ts5_zscore_outliers
+
+    plan = plan_of(ts5_zscore_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_o11_weighted_sample_take_ordered(spark, sf_dir):
+    """Weighted sampling must plan as TakeOrderedAndProject (per-partition
+    k-heaps), never a global Sort."""
+    from sparkfusion.suite.relational import o11_weighted_sample
+
+    plan = plan_of(o11_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
