@@ -750,3 +750,101 @@ def cdc2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice")),
     )
     return snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+
+
+@register(
+    "a19_mad_robust",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS m
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           m AS median_qty,
+           round(quantile_cont(abs(l_quantity - m), 0.5), 6) AS mad
+    FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag, m
+    """,
+)
+def a19_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion measure
+    outlier detection should prefer when the data itself contains the
+    outliers that corrupt stddev (complements ts5's z-score). Two passes by
+    necessity (MAD is a nested median): pass 1 medians broadcast back, pass
+    2 the deviation median. Exact interpolated percentile on both engines
+    (a14 discipline); at 100 TB both passes swap to approx_percentile."""
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("m")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "m")
+        .agg(
+            F.round(F.expr("percentile(abs(l_quantity - m), 0.5)"), 6).alias("mad")
+        )
+        .select("l_returnflag", F.col("m").alias("median_qty"), "mad")
+    )
+
+
+@register(
+    "a20_higher_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round((s3n - 3 * mean * s2n + 2 * mean * mean * mean)
+                 / pow(s2n - mean * mean, 1.5), 9) AS skewness,
+           round((s4n - 4 * mean * s3n + 6 * mean * mean * s2n
+                  - 3 * mean * mean * mean * mean)
+                 / pow(s2n - mean * mean, 2.0) - 3.0, 9) AS excess_kurtosis
+    FROM (
+      SELECT l_returnflag,
+             CAST(sum(x) AS DOUBLE) / n AS mean,
+             CAST(sum(x * x) AS DOUBLE) / n AS s2n,
+             CAST(sum(x * x * x) AS DOUBLE) / n AS s3n,
+             CAST(sum(x * x * x * x) AS DOUBLE) / n AS s4n
+      FROM (
+        SELECT l_returnflag, CAST(l_quantity AS DECIMAL(9,2)) AS x,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+      ) GROUP BY l_returnflag, n
+    )
+    """,
+)
+def a20_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group from exact DECIMAL
+    power sums (x, x², x³, x⁴ — order-independent across partitions, unlike
+    the engines' built-in `skewness`/`kurtosis` streaming estimators, which
+    also disagree on sample-vs-population form). The distribution-shape
+    profile a feature store computes next to a15's histogram. Single scan,
+    one groupBy."""
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(9,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    s2n = F.col("s2").cast("double") / n
+    s3n = F.col("s3").cast("double") / n
+    s4n = F.col("s4").cast("double") / n
+    var = s2n - mean * mean
+    skew = (s3n - F.lit(3.0) * mean * s2n + F.lit(2.0) * mean * mean * mean) / F.pow(var, 1.5)
+    kurt = (
+        s4n
+        - F.lit(4.0) * mean * s3n
+        + F.lit(6.0) * mean * mean * s2n
+        - F.lit(3.0) * mean * mean * mean * mean
+    ) / F.pow(var, 2.0) - F.lit(3.0)
+    return agg.select(
+        "l_returnflag",
+        F.round(skew, 9).alias("skewness"),
+        F.round(kurt, 9).alias("excess_kurtosis"),
+    )
