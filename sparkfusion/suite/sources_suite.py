@@ -197,3 +197,26 @@ def z1_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits=8,
         ),
     )
+
+
+@register(
+    "s19_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def s19_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan roundtrip — the second columnar format Spark ships
+    natively (zlib-compressed, predicate pushdown and column pruning work
+    the same as parquet via the vectorized ORC reader). The oracle reads
+    the ORIGINAL parquet rows, so a pass proves bit-faithful write→read
+    fidelity through the ORC codec, not just that the query ran."""
+    import os
+
+    path = os.path.join(IO_DIR, "orders_orc")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).orc(path)
+    return spark.read.orc(path)
