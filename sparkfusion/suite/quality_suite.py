@@ -145,3 +145,75 @@ def m2_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("ts_us"),
     )
     return keep_latest(ev, ["user_id"], ["ts_us", "event_id"])
+
+
+@register(
+    "dq4_partition_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+    ), stats AS (
+      SELECT CAST(sum(n) AS DOUBLE) / count(*) AS avg_n FROM per_key
+    )
+    SELECT key, n, round(n / avg_n, 6) AS skew_factor
+    FROM per_key, stats
+    ORDER BY n DESC, key LIMIT 10
+    """,
+)
+def dq4_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 10 heaviest l_suppkey groups and their
+    skew factor (rows / mean-rows-per-key) — what you run BEFORE a big join
+    to decide between plain shuffle, salting, and AQE skew-join. One
+    groupBy + a tiny stats reduce broadcast back; top-10 is
+    TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = per_key.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_n")
+    )
+    return (
+        per_key.join(F.broadcast(stats))
+        .select("key", "n", F.round(F.col("n") / F.col("avg_n"), 6).alias("skew_factor"))
+        .orderBy(F.col("n").desc(), F.col("key"))
+        .limit(10)
+    )
+
+
+@register(
+    "dq5_duplicate_keys",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS key_name,
+           (SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
+             AS duplicated_keys,
+           (SELECT count(*) FROM orders) AS n_rows
+    UNION ALL
+    SELECT 'lineitem.l_orderkey',
+           (SELECT count(*) FROM (
+              SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) > 1)),
+           (SELECT count(*) FROM lineitem)
+    """,
+)
+def dq5_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: how many key values occur more than
+    once (orders.o_orderkey must be 0 — it IS the PK; lineitem.l_orderkey
+    is expectedly non-unique). groupBy + HAVING per relation; the audit
+    shape for 'can I safely MERGE on this key'."""
+
+    def dup_count(df: DataFrame, col: str, label: str) -> DataFrame:
+        dups = (
+            df.groupBy(col).agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+        )
+        return (
+            dups.agg(F.count(F.lit(1)).alias("duplicated_keys"))
+            .crossJoin(df.agg(F.count(F.lit(1)).alias("n_rows")))
+            .select(F.lit(label).alias("key_name"), "duplicated_keys", "n_rows")
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return dup_count(orders, "o_orderkey", "orders.o_orderkey").unionByName(
+        dup_count(li, "l_orderkey", "lineitem.l_orderkey")
+    )
