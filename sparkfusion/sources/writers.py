@@ -108,3 +108,21 @@ def write_csv_to_parquet(spark: SparkSession, csv_path: str, out_path: str,
     df = read_csv(spark, csv_path, header=header)
     write_parquet(df, out_path)
     return spark.read.parquet(out_path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions present
+    in ``df``, leaving all other partitions of the table untouched — the
+    idempotent daily-backfill write (static overwrite mode would clobber the
+    whole table; append would duplicate the re-run day).
+
+    Uses Spark's ``partitionOverwriteMode=dynamic`` scoped to this write via
+    the DataFrameWriter option (no session-level conf mutation, so
+    concurrent writers keep their own semantics).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -32,3 +32,22 @@ def test_sorted_write_rowgroup_stats(spark, sf_dir, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]" in plan
     assert back.count() == li.filter("l_orderkey < 100").count()
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_days(spark, tmp_path):
+    from sparkfusion.sources.writers import overwrite_partitions
+
+    path = str(tmp_path / "daily")
+    full = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3), ("d3", 4)], "day string, v int"
+    )
+    overwrite_partitions(full, path, ["day"])
+    # backfill ONLY d2 with corrected rows
+    fix = spark.createDataFrame([("d2", 99), ("d2", 100)], "day string, v int")
+    overwrite_partitions(fix, path, ["day"])
+    got = {(r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # d1/d3 untouched, d2 fully replaced (no duplicates from the re-run)
+    assert got == {("d1", 1), ("d1", 2), ("d2", 99), ("d2", 100), ("d3", 4)}
+    # idempotent: re-running the same backfill changes nothing
+    overwrite_partitions(fix, path, ["day"])
+    assert {(r["day"], r["v"]) for r in spark.read.parquet(path).collect()} == got
