@@ -117,3 +117,33 @@ def test_keep_latest_is_idempotent_and_singleton_per_key(spark, rows):
     # idempotent: compacting a compacted log is a no-op
     twice = keep_latest(once, ["k"], ["t", "i", "n"])
     assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, got))
+
+
+@settings(**SETTINGS)
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 500), st.integers(0, 300)), min_size=1, max_size=10),
+    rights=st.lists(st.tuples(st.integers(0, 500), st.integers(0, 300)), min_size=1, max_size=10),
+    width=st.sampled_from([7, 50, 1000]),
+)
+def test_interval_overlap_equals_brute_force(spark, lefts, rights, width):
+    """Bucketed interval-overlap join == cross-join + filter, for ANY bucket
+    width (canonical-bucket dedup must emit each pair exactly once)."""
+    from sparkfusion.operators.temporal import interval_overlap_join
+
+    L = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(lefts)], "l_id int, ls long, le long"
+    )
+    R = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(rights)], "r_id int, rs long, re long"
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(L, R, "ls", "le", "rs", "re", width).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s1, d1) in enumerate(lefts)
+        for j, (s2, d2) in enumerate(rights)
+        if s1 <= s2 + d2 and s2 <= s1 + d1
+    )
+    assert got == want
