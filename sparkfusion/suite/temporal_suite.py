@@ -264,3 +264,40 @@ def j11_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_us"
         ),
     )
+
+
+@register(
+    "w6_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           count(*) OVER w AS n_last_hour,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w6_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): for every event, the
+    count and exact DECIMAL sum of the same user's events in the trailing
+    ONE HOUR — the per-row rolling rate-limit / velocity feature that ROWS
+    frames cannot express when event spacing is irregular. One window
+    shuffle on user_id; the frame bound is integer epoch-µs so both engines
+    cut it identically (ties included on BOTH rows at equal ts, per RANGE
+    semantics)."""
+    ev = events_with_ts(spark, sf_dir).select(
+        "event_id", "user_id", "value", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(dec).over(w).cast("double").alias("sum_last_hour"),
+    )
