@@ -1181,7 +1181,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT gram, count(*) AS c FROM (
           SELECT gram FROM lg UNION ALL SELECT gram FROM rg
         ) GROUP BY 1
-      ) WHERE c <= 200
+      ) WHERE c <= 50
     ),
     cand AS (
       SELECT DISTINCT lid, rid
@@ -1198,7 +1198,7 @@ def er1_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: customers fuzzy-joined (edit distance <= 1) against
     a deterministically corrupted copy of themselves (one char replaced by
     'X' at position 10 + key%9 — a synthetic dirty feed). Candidates come
-    from a 4-gram inverted-index equi-join with a max_df=200 hot-gram cap (no
+    from a 4-gram inverted-index equi-join with a max_df=50 hot-gram cap (no
     all-pairs path; the oracle mirrors blocking AND verification, so parity
     is exact even though blocking-based ER is recall-approximate by design).
     See :func:`sparkfusion.llm.fuzzy.fuzzy_join`."""
@@ -1216,7 +1216,7 @@ def er1_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = fuzzy_join(
         left, right, "l_custkey", "lname", "r_custkey", "rname",
-        max_dist=1, q=4, max_df=200,
+        max_dist=1, q=4, max_df=50,
     )
     return out.select("l_custkey", "r_custkey", F.col("dist").cast("long").alias("dist"))
 
