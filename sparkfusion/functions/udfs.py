@@ -11,6 +11,7 @@ perf-sane default (no Python worker round-trip at all).
 from __future__ import annotations
 
 import pandas as pd
+from collections.abc import Iterator
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -99,3 +100,27 @@ def split_row_pandas_udf(s: pd.Series) -> pd.DataFrame:
             "temperature": pd.to_numeric(parts[1], errors="coerce"),
         }
     )
+
+
+def make_iter_scoring_udf(load_acc=None):
+    """Iterator-of-Series pandas UDF — the LLM-inference shape: the
+    "model" loads ONCE per executor task (per partition), then scores every
+    Arrow batch of that partition with it. A plain pandas UDF would reload
+    per batch; at 100 TB with a real checkpoint that difference is the whole
+    job cost. The stub model is deterministic (score = token count × a
+    weight from the "checkpoint") so the output is oracle-checkable;
+    ``load_acc`` (a SparkContext accumulator) lets tests assert
+    load-once-per-partition (not per-batch) semantics.
+    """
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # expensive one-time setup happens HERE, before the batch loop
+        if load_acc is not None:
+            load_acc.add(1)
+        weight = 0.5  # stands in for loaded model weights
+        for s in batches:
+            yield s.str.split().str.len().astype("float64") * weight
+
+    return score

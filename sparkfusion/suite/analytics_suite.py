@@ -848,3 +848,33 @@ def a20_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 9).alias("skewness"),
         F.round(kurt, 9).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "a21_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+           abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5))
+             <= 2.0 AS approx_within_2
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a21_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path made concrete: `approx_percentile`
+    (map-side-mergeable sketch — the production swap a14/a19/fe1 document)
+    asserted within ±2 of the exact interpolated median, as a boolean both
+    engines agree on (a10 discipline: sketch VALUES are engine-specific,
+    error BOUNDS are not). One scan, no Expand, no full sort — the plan
+    difference vs exact percentile IS the point."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("exact_p50"),
+        (
+            F.abs(
+                F.expr("approx_percentile(l_quantity, 0.5, 10000)")
+                - F.expr("percentile(l_quantity, 0.5)")
+            )
+            <= F.lit(2.0)
+        ).alias("approx_within_2"),
+    )

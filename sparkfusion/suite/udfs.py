@@ -165,3 +165,27 @@ def x3_builtin_struct_1brc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("city")
         .limit(100)
     )
+
+
+@register(
+    "x5_udf_iter_scoring",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''))
+             * 0.5 AS score
+    FROM documents
+    """,
+)
+def x5_udf_iter_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF — the batch-inference shape: the
+    "model" (a deterministic stub) loads once per TASK, then scores every
+    Arrow batch of that partition; a plain pandas UDF reloads per batch,
+    which at 100 TB with a real checkpoint dominates the job. Score =
+    whitespace token count × 0.5, so DuckDB replicates it exactly.
+    Load-once-per-partition is accumulator-pinned in tests/test_udfs.py.
+    See :func:`sparkfusion.functions.udfs.make_iter_scoring_udf`."""
+    from ..functions.udfs import make_iter_scoring_udf
+
+    docs = table(spark, sf_dir, "documents")
+    score = make_iter_scoring_udf()
+    return docs.select("doc_id", score(F.col("text")).alias("score"))

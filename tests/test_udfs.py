@@ -52,3 +52,23 @@ def test_udf_deterministic_by_default(spark):
 
     udf_col = make_split_text_pandas_udf(".")("x")
     assert "nondeterministic" not in repr(udf_col).lower()
+
+
+def test_iter_udf_loads_model_once_per_partition(spark):
+    from sparkfusion.functions.udfs import make_iter_scoring_udf
+    from pyspark.sql import functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(1000)], "id int, text string"
+    ).repartition(4)
+    score = make_iter_scoring_udf(acc)
+    # force tiny arrow batches so each partition sees MANY batches
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        out = df.select(score(F.col("text")).alias("s")).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert all(r["s"] == 1.5 for r in out)  # 3 tokens x 0.5
+    # one load per partition, NOT one per ~5-row batch (would be ~20)
+    assert acc.value == 4
