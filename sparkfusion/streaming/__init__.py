@@ -24,6 +24,7 @@ from .windows import (
     sessionize_batch,
     sliding_window_agg,
     stateful_user_counts,
+    stateful_user_counts_tws,
     stream_score_alerts,
     stream_stream_interval_join,
     tumbling_window_agg,
@@ -38,6 +39,7 @@ __all__ = [
     "session_window_agg",
     "sessionize_batch",
     "stateful_user_counts",
+    "stateful_user_counts_tws",
     "stream_score_alerts",
     "stream_stream_interval_join",
     "window_argmax",

@@ -275,3 +275,55 @@ def window_argmax(events: DataFrame, width: str = "1 hour",
             F.col("top.event_id").alias("top_event_id"),
         )
     )
+
+
+def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
+    """Running per-user event counts via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful API (the successor to
+    ``applyInPandasWithState`` used by :func:`stateful_user_counts`):
+    explicit typed state handles (ValueState here; List/Map/timers
+    available), RocksDB-backed, schema-evolvable. Emits each user's running
+    total once per micro-batch the user appears in (update mode) — a finite
+    single-batch replay therefore equals the batch GROUP BY.
+
+    NOT registered in the suite: the API's state protocol requires a working
+    ``google.protobuf`` (absent in this container — same honest-stub status
+    as the multimodal codecs; tests/test_streaming.py gates on the import).
+    The applyInPandasWithState form (`stream_stateful_counts`) remains the
+    oracle-checked stateful path.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("n_events", LongType(), True),
+        ]
+    )
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._n = handle.getValueState(
+                "n", StructType([StructField("n", LongType(), True)])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_n = sum(len(pdf) for pdf in rows)
+            prev = self._n.get()
+            total = (prev[0] if prev else 0) + batch_n
+            self._n.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    spark = events.sparkSession
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningCounts(), outputStructType=out_schema, outputMode="Update", timeMode="None"
+    )

@@ -88,3 +88,21 @@ def test_watermark_is_set(spark, sf_dir):
     assert agg.isStreaming
     # watermark shows up in the analyzed plan
     assert "watermark" in agg._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_transform_with_state_counts(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas form of the running counts —
+    requires google.protobuf for the state protocol (absent in this
+    container -> skip, keeping the operator honest rather than untested)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf.descriptor")
+    from sparkfusion.streaming import (
+        read_events_stream,
+        run_stream_to_table,
+        stateful_user_counts_tws,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_table(stateful_user_counts_tws(stream), "update")
+    assert out.count() > 0
