@@ -106,3 +106,48 @@ def test_transform_with_state_counts(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     out = run_stream_to_table(stateful_user_counts_tws(stream), "update")
     assert out.count() > 0
+
+
+def test_stateful_counts_accumulate_across_micro_batches(spark, sf_dir, tmp_path):
+    """TRUE incremental statefulness: two parquet files + maxFilesPerTrigger=1
+    force two micro-batches; users present in both batches must emit an
+    updated (larger) running total in the second — single-file replay can't
+    distinguish stateful accumulation from a plain groupBy, this does."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkfusion.session import events_with_ts
+    from sparkfusion.streaming import run_stream_to_table, stateful_user_counts
+
+    ev = events_with_ts(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "batches")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = run_stream_to_table(stateful_user_counts(stream), "update")
+    rows = out.select("user_id", "n_events").collect()
+    per_user_emissions = {}
+    for r in rows:
+        per_user_emissions.setdefault(r["user_id"], []).append(r["n_events"])
+    # final running total per user == the batch ground truth
+    truth = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    finals = {u: max(e) for u, e in per_user_emissions.items()}
+    assert finals == truth
+    # at least one user appears in both batches -> 2 emissions, strictly increasing
+    multi = [sorted(e) for e in per_user_emissions.values() if len(e) == 2]
+    assert multi and all(a < b for a, b in multi)
