@@ -151,3 +151,48 @@ def test_stateful_counts_accumulate_across_micro_batches(spark, sf_dir, tmp_path
     # at least one user appears in both batches -> 2 emissions, strictly increasing
     multi = [sorted(e) for e in per_user_emissions.values() if len(e) == 2]
     assert multi and all(a < b for a, b in multi)
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Watermark semantics that only multi-batch replay can show: after
+    batch 0 advances the watermark, batch 1's hours-late events fall below
+    it and must be DROPPED from the windowed aggregate. Batch boundaries
+    are forced explicitly: write b0 -> drain -> write b1 -> drain."""
+    import os
+    import uuid
+    from datetime import datetime
+
+    from sparkfusion.streaming import tumbling_window_agg
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    fresh = mk([(1, datetime(2024, 6, 1, 3, 30), 1, "view", 1.0),
+                (2, datetime(2024, 6, 1, 3, 40), 2, "view", 1.0)])
+    # first file present BEFORE the query starts -> batch 0
+    fresh.coalesce(1).write.mode("append").parquet(src)
+    schema = fresh.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = tumbling_window_agg(stream, watermark="1 hour")
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    # UPDATE mode: the only mode where the watermark late-row filter applies
+    # (complete mode documents watermark as a no-op — it must keep all state)
+    q = (
+        agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()  # batch 0: watermark -> 02:40
+        late = mk([(3, datetime(2024, 6, 1, 0, 0), 3, "view", 1.0)])
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # batch 1: 00:00 is below the watermark
+    finally:
+        q.stop()
+    starts = {r["window_start"] for r in spark.table(name).collect()}
+    # update mode emitted the 03:00 window in batch 0; batch 1's midnight row
+    # is below the 02:40 watermark -> filtered, its window never emitted
+    assert int(datetime(2024, 6, 1, 3, 0).timestamp()) in starts
+    assert int(datetime(2024, 6, 1, 0, 0).timestamp()) not in starts
