@@ -45,8 +45,15 @@ def normalize(df) -> tuple[list[str], list[tuple]]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as e
     from sparkfusion.session import STAR_TABLES, get_session
@@ -71,26 +78,31 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
+            results[name] = {"status": "err", "err": str(ex)[:300]}
             n_fail += 1
             continue
         elapsed = time.time() - t0
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {elapsed:.1f}s)")
+            results[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             n_pass += 1
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
+            results[name] = {"status": "err", "err": f"duckdb: {str(ex)[:300]}"}
             n_fail += 1
             continue
         scols, srows = normalize(sdf)
         ocols, orows = normalize(odf)
         if scols != ocols:
             print(f"FAIL {name}: columns {scols} != {ocols}")
+            results[name] = {"status": "schema_mismatch"}
             n_fail += 1
         elif len(srows) != len(orows):
             print(f"FAIL {name}: rowcount {len(srows)} != {len(orows)}")
+            results[name] = {"status": "rowcount_mismatch"}
             n_fail += 1
         elif srows != orows:
             diff = next(
@@ -99,11 +111,27 @@ def main() -> int:
             print(f"FAIL {name}: values differ, first at sorted-row {diff[0]}:")
             print(f"  spark:  {diff[1]}")
             print(f"  duckdb: {diff[2]}")
+            results[name] = {"status": "value_mismatch"}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows, {elapsed:.1f}s)")
+            results[name] = {
+                "status": "pass",
+                "rows": len(srows),
+                "sec": round(elapsed, 2),
+            }
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "passed": n_pass, "failed": n_fail, "queries": results},
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
