@@ -106,7 +106,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(embedding) AS dim,
            round(embedding[1]::DOUBLE, 6) AS first_val,
-           round(list_aggregate(list_transform(embedding[1:8], x -> (x*x)::DOUBLE), 'sum'), 6) AS head_sq_sum,
+           round(list_aggregate(list_transform(embedding[1:8], x -> x::DOUBLE * x::DOUBLE), 'sum'), 6) AS head_sq_sum,
            len(list_filter(embedding, x -> x > 0)) AS n_positive
     FROM embeddings
     """,
@@ -114,9 +114,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def arr_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface over the embeddings list column (§2.8 'Spark
     F.* superset'): size, element access, slice+transform+aggregate fold,
-    filter count. Folds run in sequential order → exact cross-engine match
-    (head_sq_sum rounded: the float→double square loses nothing, but the sum
-    is kept rounding-stable anyway)."""
+    filter count. Folds run in sequential order → exact cross-engine match.
+    The oracle must cast EACH ELEMENT to double BEFORE multiplying —
+    ``(x*x)::DOUBLE`` squares in float32 first and sits ~1e-9 off Spark's
+    double×double, which round(…,6) exposes at tie boundaries (found by the
+    full sf0.1 gate, latent at sf0.01)."""
     emb = table(spark, sf_dir, "embeddings")
     sliced = F.slice(F.col("embedding"), 1, 8)
     sq_sum = F.aggregate(
