@@ -52,3 +52,29 @@ def get_random_df(spark: SparkSession, types: list[str], rows: int) -> DataFrame
             raise ValueError(f"get_random_df: unsupported type {t!r}")
         df = df.withColumn(name, col)
     return df.drop("id")
+
+
+def build_calendar(spark, start: str, end: str):
+    """Calendar dimension generator: one row per day in [start, end] with the
+    derived attributes (year/month/quarter/ISO week/ISO weekday/weekend
+    flag) every warehouse joins against. Fully distributed: the spine is a
+    ``sequence()`` explode (no driver loop, no collect); at any span the
+    frame is tiny next to fact tables and broadcasts into joins."""
+    from pyspark.sql import functions as F
+
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit(start)), F.to_date(F.lit(end)), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("d")
+    )
+    return spine.select(
+        F.date_format("d", "yyyy-MM-dd").alias("iso"),
+        F.year("d").cast("long").alias("y"),
+        F.month("d").cast("long").alias("m"),
+        (F.weekday("d") + 1).cast("long").alias("dow"),
+        ((F.weekday("d") + 1) >= 6).alias("is_weekend"),
+        F.weekofyear("d").cast("long").alias("woy"),
+        F.quarter("d").cast("long").alias("q"),
+    )

@@ -220,3 +220,26 @@ def s19_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).orc(path)
     return spark.read.orc(path)
+
+
+@register(
+    "cal1_calendar_dim",
+    oracle="""
+    SELECT strftime(d, '%Y-%m-%d') AS iso,
+           CAST(year(d) AS BIGINT) AS y, CAST(month(d) AS BIGINT) AS m,
+           CAST(isodow(d) AS BIGINT) AS dow, isodow(d) >= 6 AS is_weekend,
+           CAST(weekofyear(d) AS BIGINT) AS woy, CAST(quarter(d) AS BIGINT) AS q
+    FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                                        INTERVAL 1 DAY))::DATE AS d)
+    """,
+)
+def cal1_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension for 2024 (366 rows): generated spine + derived
+    year/month/quarter/ISO week/ISO weekday/weekend attributes — the
+    conformed dimension every rollup joins against, produced distributed
+    (sequence explode) and broadcastable at any span. ISO weekday parity:
+    Spark weekday()+1 == DuckDB isodow (Mon=1..Sun=7); weekofyear is ISO
+    week in both. See :func:`sparkfusion.sources.generators.build_calendar`."""
+    from ..sources.generators import build_calendar
+
+    return build_calendar(spark, "2024-01-01", "2024-12-31")

@@ -147,3 +147,25 @@ def test_interval_overlap_equals_brute_force(spark, lefts, rights, width):
         if s1 <= s2 + d2 and s2 <= s1 + d1
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    old=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3)), min_size=0, max_size=8, unique_by=lambda t: t[0]),
+    new=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3)), min_size=0, max_size=8, unique_by=lambda t: t[0]),
+)
+def test_snapshot_diff_roundtrip_property(spark, old, new):
+    """merge(old, diff(old, new)) == new for ANY pair of keyed versions."""
+    from sparkfusion.operators.merge import merge_upsert, snapshot_diff
+
+    if not old and not new:
+        return
+    o = spark.createDataFrame(old or [(99, 0)], "k int, v int")
+    n = spark.createDataFrame(new or [(98, 0)], "k int, v int")
+    if not old:
+        o = o.filter("k < 0")
+    if not new:
+        n = n.filter("k < 0")
+    diff = snapshot_diff(o, n, ["k"], ["v"])
+    rebuilt = merge_upsert(o, diff, keys=["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, n.collect()))
