@@ -87,3 +87,58 @@ class ParquetUpsertSink:
         with open(tmp, "w") as f:
             f.write(str(batch_id))
         os.replace(tmp, os.path.join(self.path, _MARKER))
+
+
+class AggregateRollupSink:
+    """``foreachBatch`` callable maintaining a MATERIALIZED AGGREGATE from an
+    append stream: each micro-batch is reduced to its partial-aggregate
+    state (:func:`sparkfusion.operators.incremental.aggregate_state`) and
+    merged onto the snapshot with
+    :func:`sparkfusion.operators.incremental.merge_states` — the streaming
+    form of incremental MV refresh (mv1). Per-batch cost is
+    O(batch + groups), never O(history); the snapshot commits through the
+    same versioned copy-on-write + marker protocol as
+    :class:`ParquetUpsertSink`.
+
+    Unlike an upsert (naturally idempotent), an ADDITIVE merge replayed
+    after crash-restart would double-count — so the commit marker also
+    records the last applied ``batch_id``, and a batch at or below it is
+    SKIPPED. foreachBatch guarantees monotonically increasing batch ids,
+    which makes that ledger sufficient for exactly-once aggregation.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: Sequence[str], aggs_fn):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        # aggs_fn: () -> {name: (kind, Column)} built lazily per call — a
+        # Column captured at init would bind to a stale session
+        self.aggs_fn = aggs_fn
+
+    def _last_applied(self) -> int:
+        p = os.path.join(self.path, "_LAST_BATCH")
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.incremental import aggregate_state, merge_states
+
+        if batch_id <= self._last_applied():
+            return  # replayed batch: already merged, adding again would double-count
+        aggs = self.aggs_fn()
+        delta = aggregate_state(batch_df, self.keys, aggs)
+        prev = read_snapshot(self.spark, self.path)
+        merged = delta if prev is None else merge_states(prev, delta, self.keys, aggs)
+        v = (latest_version(self.path) or 0) + 1
+        out = os.path.join(self.path, f"v{v}")
+        merged.write.mode("overwrite").parquet(out)
+        tmp = os.path.join(self.path, f"_LATEST.tmp.{v}")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.path, _MARKER))
+        tmpb = os.path.join(self.path, f"_LAST_BATCH.tmp.{v}")
+        with open(tmpb, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmpb, os.path.join(self.path, "_LAST_BATCH"))

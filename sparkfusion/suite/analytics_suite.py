@@ -878,3 +878,51 @@ def a21_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(2.0)
         ).alias("approx_within_2"),
     )
+
+
+@register(
+    "mv3_streaming_rollup",
+    oracle="""
+    SELECT o_orderstatus, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           count(o_totalprice) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def mv3_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-MV maintenance roundtrip: two micro-batches of
+    orders (even keys, then odd) pushed through the versioned
+    copy-on-write rollup sink (foreachBatch shape), then the committed
+    snapshot read back — and it must equal the from-scratch monthly
+    aggregate over ALL orders (the oracle). Mergeable DECIMAL states make
+    batch boundaries invisible; the COW-version protocol makes a replayed
+    batch overwrite instead of double-count. See
+    :class:`sparkfusion.streaming.cdc.AggregateRollupSink`."""
+    import shutil
+
+    from ..streaming.cdc import AggregateRollupSink, read_snapshot
+    from .sources_suite import IO_DIR
+
+    path = os.path.join(IO_DIR, "mv3_rollup")
+    shutil.rmtree(path, ignore_errors=True)  # versions restart each run
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+            "month"
+        ),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    aggs_fn = lambda: {
+        "revenue": ("sum", F.col("o_totalprice").cast("decimal(18,6)")),
+        "n": ("count", F.col("o_totalprice")),
+    }
+    sink = AggregateRollupSink(
+        spark, path, keys=["o_orderstatus", "month"], aggs_fn=aggs_fn
+    )
+    sink(orders.filter(F.col("o_orderkey") % 2 == 0), 0)
+    sink(orders.filter(F.col("o_orderkey") % 2 == 1), 1)
+    snap = read_snapshot(spark, path)
+    return snap.select(
+        "o_orderstatus", "month", F.col("revenue").cast("double").alias("revenue"), "n"
+    )
