@@ -97,10 +97,10 @@ def snapshot_diff(
         *[F.col(c) for c in compare_cols],
     )
     joined = o.join(n, on=keys, how="full_outer")
-    changed = None
+    # seed False: with no compare_cols the diff is presence-only (I/D rows)
+    changed = F.lit(False)
     for c in compare_cols:
-        neq = ~F.col(c).eqNullSafe(F.col(f"__o_{c}"))
-        changed = neq if changed is None else (changed | neq)
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__o_{c}"))
     op = (
         F.when(F.col("__in_old").isNull(), F.lit("I"))
         .when(F.col("__in_new").isNull(), F.lit("D"))

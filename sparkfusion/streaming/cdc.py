@@ -30,12 +30,14 @@ _MARKER = "_LATEST"
 
 
 def latest_version(path: str) -> int | None:
-    """Committed snapshot version at ``path``, or None before first commit."""
+    """Committed snapshot version at ``path``, or None before first commit.
+    The marker holds ``version`` or ``version batch_id`` (one atomic file —
+    see :class:`AggregateRollupSink` on why both facts must commit together)."""
     marker = os.path.join(path, _MARKER)
     if not os.path.exists(marker):
         return None
     with open(marker) as f:
-        return int(f.read().strip())
+        return int(f.read().split()[0])
 
 
 def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
@@ -116,11 +118,12 @@ class AggregateRollupSink:
         self.aggs_fn = aggs_fn
 
     def _last_applied(self) -> int:
-        p = os.path.join(self.path, "_LAST_BATCH")
+        p = os.path.join(self.path, _MARKER)
         if not os.path.exists(p):
             return -1
         with open(p) as f:
-            return int(f.read().strip())
+            parts = f.read().split()
+        return int(parts[1]) if len(parts) > 1 else -1
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.incremental import aggregate_state, merge_states
@@ -134,11 +137,10 @@ class AggregateRollupSink:
         v = (latest_version(self.path) or 0) + 1
         out = os.path.join(self.path, f"v{v}")
         merged.write.mode("overwrite").parquet(out)
+        # ONE atomic replace commits BOTH facts: a marker holding only the
+        # version with a separate batch ledger has a crash window between
+        # the two writes in which a replayed batch double-counts
         tmp = os.path.join(self.path, f"_LATEST.tmp.{v}")
         with open(tmp, "w") as f:
-            f.write(str(v))
+            f.write(f"{v} {batch_id}")
         os.replace(tmp, os.path.join(self.path, _MARKER))
-        tmpb = os.path.join(self.path, f"_LAST_BATCH.tmp.{v}")
-        with open(tmpb, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmpb, os.path.join(self.path, "_LAST_BATCH"))

@@ -318,12 +318,12 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    spark = events.sparkSession
-    # transformWithState requires the RocksDB state store provider
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    # transformWithState requires the RocksDB state store provider; the
+    # CALLER must set spark.sql.streaming.stateStore.providerClass =
+    # ...state.RocksDBStateStoreProvider before STARTING the query — setting
+    # it here would mutate the shared session as a side effect of building a
+    # DataFrame (and break sibling queries restarting from HDFS-backed
+    # checkpoints), against the house no-session-conf-mutation discipline.
     return events.groupBy("user_id").transformWithStateInPandas(
         RunningCounts(), outputStructType=out_schema, outputMode="Update", timeMode="None"
     )

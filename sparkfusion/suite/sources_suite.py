@@ -243,3 +243,37 @@ def cal1_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.generators import build_calendar
 
     return build_calendar(spark, "2024-01-01", "2024-12-31")
+
+
+@register(
+    "s20_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 7.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    """,
+)
+def s20_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite roundtrip: orders written partitioned by
+    status, then ONLY the 'F' partition backfilled with corrected prices
+    (+7.0) — the other partitions must survive untouched (static overwrite
+    would clobber the table; append would duplicate the re-run). The oracle
+    is the expected post-backfill state over the ORIGINAL parquet. See
+    :func:`sparkfusion.sources.writers.overwrite_partitions`."""
+    import shutil
+
+    from ..sources.writers import overwrite_partitions
+
+    path = os.path.join(IO_DIR, "orders_by_status")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    overwrite_partitions(orders, path, ["o_orderstatus"])
+    fix = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(7.0)
+    )
+    overwrite_partitions(fix, path, ["o_orderstatus"])
+    return spark.read.parquet(path)

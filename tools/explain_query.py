@@ -11,6 +11,7 @@ from __future__ import annotations
 import sys
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 
 def main() -> None:
@@ -32,12 +33,10 @@ def main() -> None:
     if name not in qs:
         sys.exit(f"unknown query {name!r}; run with no args to list")
     spark = get_session("explain", cpus=8)
+    from plan_util import plan_string
+
     df = qs[name](spark, sf_dir)
-    print(
-        df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-    )
+    print(plan_string(df))
     if show_sql:
         sql = oracle_sql().get(name)
         print("-- DuckDB oracle SQL --")
