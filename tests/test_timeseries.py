@@ -110,3 +110,26 @@ def test_zscore_no_outliers_in_uniform_group(spark):
         [("g", i, 5.0 + (i % 2) * 0.1) for i in range(10)], "g string, i int, v double"
     )
     assert zscore_outliers(df, "v", ["g"], threshold=3.0).count() == 0
+
+
+def test_resample_counts_without_agg_col(spark):
+    # the counts-only branch (no `total` column in the output)
+    df = spark.createDataFrame(
+        [("a", _ts(0), 1.0), ("a", _ts(2), 2.0)], "k string, t timestamp, v double"
+    )
+    out = resample_counts(df, "t", ["k"], bucket="hour")
+    assert out.columns == ["k", "bucket", "n"]
+    got = {r["bucket"].hour: r["n"] for r in out.collect()}
+    assert got == {0: 1, 1: 0, 2: 1}
+
+
+def test_resample_day_bucket(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 5), 1.0), ("a", datetime(2024, 1, 3, 7), 1.0)],
+        "k string, t timestamp, v double",
+    )
+    out = resample_counts(df, "t", ["k"], bucket="day")
+    days = {r["bucket"].day: r["n"] for r in out.collect()}
+    assert days == {1: 1, 2: 0, 3: 1}  # the empty middle day materializes
