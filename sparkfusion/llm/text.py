@@ -248,6 +248,71 @@ def pack_sequences(
     )
 
 
+def bm25_scores(
+    df,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 relevance of every matching document against a bag of query terms
+    — the keyword-retrieval primitive (inverted-index search) a corpus
+    pipeline runs for decontamination lookups and eval-set mining.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (RSJ +1 form, ≥ 0).
+
+    Scale shape (100 TB posture): one corpus scan computes the word array
+    once — document length comes from the same array that feeds the explode,
+    and the query-term filter lands BEFORE the tf groupBy, so only candidate
+    (doc, term) rows ever shuffle (|query| tiny ⇒ the tf frame is a sliver of
+    the corpus). N/avgdl reduce to a 1-row aggregate and per-term df to
+    ≤|query| rows; both join back by broadcast. No global sort; callers rank
+    with ``orderBy(...).limit(k)`` (TakeOrderedAndProject) when they want
+    top-k hits.
+
+    Determinism: tf/df/dl/N are exact integers; avgdl is one double division
+    of exact sums; the per-doc score sums ≤ |query| doubles and is rounded to
+    6 dp — both engines agree (suite oracle replicates the formula verbatim).
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    docs = (
+        df.repartition(id_col)
+        .select(F.col(id_col), words(F.lower(F.col(text_col))).alias("ws"))
+        .withColumn("dl", F.size("ws"))
+    )
+    terms = docs.select(id_col, "dl", F.explode("ws").alias("term")).filter(
+        F.col("term").isin([t.lower() for t in query_terms])
+    )
+    tf = terms.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).withColumn(
+        "avgdl", F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn("part", idf * tf_d * F.lit(k1 + 1.0) / denom)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("part"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df,
     id_col: str = "doc_id",

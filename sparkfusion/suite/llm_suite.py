@@ -1304,3 +1304,42 @@ def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+_BM25_TERMS = ("vector", "stream", "filter")
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+    WITH dw AS (SELECT doc_id, {_W} AS w FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl FROM dw),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+    ),
+    t AS (SELECT doc_id, unnest(w) AS term FROM dw),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM t
+      WHERE term IN ('vector', 'stream', 'filter') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+    SELECT doc_id,
+           round(sum(
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * CAST(tf AS DOUBLE) * 2.2
+             / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+           ), 6) AS bm25,
+           count(*) AS n_terms
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) over the corpus for a fixed
+    3-term query — inverted-index search scored per matching document. See
+    :func:`sparkfusion.llm.text.bm25_scores` for the one-scan scale shape
+    (query-term filter before the tf groupBy, broadcast df/avgdl). Exact
+    integer tf/df/dl/N; one double division for avgdl; per-doc sum of ≤3
+    libm terms rounded to 6 dp (same cross-engine discipline as tfidf)."""
+    docs = table(spark, sf_dir, "documents")
+    return text.bm25_scores(docs, list(_BM25_TERMS), "doc_id", "text", k1=1.2, b=0.75)

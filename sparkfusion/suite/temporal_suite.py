@@ -301,3 +301,40 @@ def w6_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.sum(dec).over(w).cast("double").alias("sum_last_hour"),
     )
+
+
+@register(
+    "w7_running_distinct",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_so_far
+    FROM events
+    """,
+)
+def w7_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — Spark has no DISTINCT
+    window aggregate, and the naive ``size(collect_set() over w)`` buffers
+    every distinct value per row (OOM on high-cardinality keys at 100 TB).
+    Scale-safe emulation: mark each (user, type)'s FIRST occurrence with one
+    row_number window, then a running SUM of the 0/1 marker over the time
+    order — two windows sharing the same user_id shuffle, constant state per
+    row, whole-stage codegen throughout. Total order (ts_us, event_id) is
+    unique, so both engines cut every frame identically."""
+    ev = _events_us(spark, sf_dir)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("is_first", (F.row_number().over(w_first) == 1).cast("long"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.sum("is_first").over(w_run).alias("n_types_so_far"),
+        )
+    )

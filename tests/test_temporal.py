@@ -76,3 +76,28 @@ def test_interval_overlap_touching_endpoints_count(spark):
     out = interval_overlap_join(left, right, "ls", "le", "rs", "re", bucket_width=50)
     # closed-interval semantics: touching at a point IS an overlap
     assert sorted(r["r_id"] for r in out.collect()) == [10]
+
+
+def test_w7_running_distinct_brute_force(spark, sf_dir):
+    """Suite w7 (first-occurrence marker + running sum) vs per-user brute
+    force over the collected sf0.001 events."""
+    from sparkfusion.suite.temporal_suite import w7_running_distinct
+
+    rows = w7_running_distinct(spark, sf_dir).collect()
+    from sparkfusion.session import events_with_ts
+    from pyspark.sql import functions as F
+
+    ev = (
+        events_with_ts(spark, sf_dir)
+        .select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+        .collect()
+    )
+    seen: dict[int, set] = {}
+    want = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts_us"], r["event_id"])):
+        s = seen.setdefault(r["user_id"], set())
+        s.add(r["event_type"])
+        want[r["event_id"]] = len(s)
+    assert len(rows) == len(ev)
+    for r in rows:
+        assert r["n_types_so_far"] == want[r["event_id"]], r["event_id"]
