@@ -110,3 +110,61 @@ def weighted_sample(
         .limit(k)
         .drop("__wkey")
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic pseudo-random negative-pair mining for contrastive
+    training: each anchor document gets ``k`` negatives drawn uniformly-ish
+    from the corpus, as a pure function of the ids — reproducible across
+    runs, engines, and partitionings (the property ``df.sample``-based
+    negative mining lacks).
+
+    Shape: ids hash into ``n_buckets`` md5 buckets; anchors in bucket ``b``
+    take candidates from bucket ``(b+1) % n_buckets`` (an EQUI-join — never a
+    cross join), then keep the ``k`` candidates with the smallest
+    ``md5(anchor·candidate)`` per anchor (row_number window, anchor
+    partition). Candidate pools are disjoint from the anchor's own bucket, so
+    a pair can never be a self-pair. At 100 TB, ``n_buckets`` scales as
+    ``n / (4k)`` to keep the per-bucket join quadratic bounded at ~O(n·k)
+    output with O(k²)-ish per-bucket work; the join shuffles on the bucket
+    key and the window on the anchor id.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"negative_pairs: n_buckets must be >= 2, got {n_buckets}")
+    if k < 1:
+        raise ValueError(f"negative_pairs: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % n_buckets
+    )
+    anchors = df.select(F.col(id_col).alias("anchor_id"), bucket.alias("b"))
+    cands = df.select(
+        F.col(id_col).alias("neg_id"),
+        ((bucket + F.lit(n_buckets) - 1) % n_buckets).alias("b"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy("pair_h", "neg_id")
+    return (
+        anchors.join(cands, "b")
+        .withColumn(
+            "pair_h",
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col("anchor_id").cast("string"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("anchor_id", "neg_id", "rk")
+    )

@@ -1343,3 +1343,80 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm terms rounded to 6 dp (same cross-engine discipline as tfidf)."""
     docs = table(spark, sf_dir, "documents")
     return text.bm25_scores(docs, list(_BM25_TERMS), "doc_id", "text", k1=1.2, b=0.75)
+
+
+@register(
+    "sim_pq_topk",
+    oracle="""
+    WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      SELECT CAST(c.vec_id AS INTEGER) AS code, js.j, c.v[js.j*16+1 : js.j*16+16] AS csub
+      FROM e c, js WHERE c.vec_id < 8
+    ),
+    subs AS (
+      SELECT e.vec_id, js.j, e.v[js.j*16+1 : js.j*16+16] AS sub FROM e, js
+    ),
+    codes AS (
+      SELECT s.vec_id, s.j,
+        (SELECT cb.code FROM cb WHERE cb.j = s.j
+          ORDER BY round(list_distance(s.sub, cb.csub), 9) ASC, cb.code ASC LIMIT 1) AS code
+      FROM subs s
+    ),
+    dtab AS (
+      SELECT s.j, cb.code,
+             CAST(round(list_distance(s.sub, cb.csub), 9) AS DECIMAL(18,9)) AS qd
+      FROM subs s JOIN cb ON cb.j = s.j
+      WHERE s.vec_id = 0
+    )
+    SELECT 0 AS q_id, c.vec_id, CAST(sum(qd) AS DOUBLE) AS adist
+    FROM codes c JOIN dtab ON dtab.j = c.j AND dtab.code = c.code
+    WHERE c.vec_id != 0
+    GROUP BY c.vec_id
+    ORDER BY adist ASC, c.vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (query = vec 0): 64-dim vectors → 4
+    subspace codes against an 8-codeword deterministic codebook, ranked by
+    the ADC distance-table sum (DECIMAL-exact). Completes the ANN ladder
+    (brute/sign-LSH/RP-LSH/IVF/int8-SQ/PQ) — PQ is the memory-bound regime's
+    answer: 64× smaller corpus representation, query-time float math only
+    against the m·n_codes codebook. See :mod:`sparkfusion.llm.pq`."""
+    from ..llm.pq import pq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return pq_adc_topk(emb, q, "vec_id", "embedding", m=4, dim=64, n_codes=8, k=10)
+
+
+@register(
+    "neg_pair_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS bkt
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+             md5(CAST(a.doc_id AS VARCHAR) || '_' || CAST(c.doc_id AS VARCHAR)) AS pair_h
+      FROM b a JOIN b c ON c.bkt = (a.bkt + 1) % 32
+    )
+    SELECT anchor_id, neg_id, rk FROM (
+      SELECT anchor_id, neg_id,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY pair_h, neg_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 4
+    """,
+)
+def neg_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative mining: 4 deterministic pseudo-random
+    negatives per anchor via md5 bucket-pairing — an equi-join (never a cross
+    join), self-pair-free, reproducible across engines/partitionings. See
+    :func:`sparkfusion.llm.chunking.negative_pairs` for the 100 TB bucket
+    sizing."""
+    from ..llm.chunking import negative_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return negative_pairs(docs, "doc_id", k=4, n_buckets=32)

@@ -424,3 +424,31 @@ def test_fuzzy_join_finds_typos_and_caps_hot_grams(spark):
     out2 = fuzzy_join(many, many.selectExpr("id as rid", "name as rname"),
                       "id", "name", "rid", "rname", max_dist=1, q=3, max_df=10)
     assert out2.count() == 0  # 'aaa' df=80 > 10 -> capped, no m^2 flood
+
+
+def test_negative_pairs_properties(spark, sf_dir):
+    from sparkfusion.llm.chunking import negative_pairs
+    from sparkfusion.session import table
+    import pytest as _pytest
+
+    docs = table(spark, sf_dir, "documents")
+    out = negative_pairs(docs, "doc_id", k=4, n_buckets=16).cache()
+    rows = out.collect()
+    # no self pairs, rank bounded
+    assert all(r["anchor_id"] != r["neg_id"] for r in rows)
+    assert all(1 <= r["rk"] <= 4 for r in rows)
+    # each anchor emits at most k, and anchors with a non-empty neighbor
+    # bucket emit exactly k when the bucket has >= k members
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["neg_id"])
+    assert all(len(v) <= 4 for v in per_anchor.values())
+    # deterministic: second run identical
+    again = {(r["anchor_id"], r["neg_id"], r["rk"]) for r in
+             negative_pairs(docs, "doc_id", k=4, n_buckets=16).collect()}
+    assert again == {(r["anchor_id"], r["neg_id"], r["rk"]) for r in rows}
+    out.unpersist()
+    with _pytest.raises(ValueError):
+        negative_pairs(docs, "doc_id", k=0)
+    with _pytest.raises(ValueError):
+        negative_pairs(docs, "doc_id", n_buckets=1)

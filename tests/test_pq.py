@@ -1,0 +1,96 @@
+"""PQ ANN: encoding shape, ADC math vs numpy brute force, recall sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfusion.llm.pq import pq_adc_topk, pq_encode, pq_subvectors, seeded_codebook
+from sparkfusion.session import table
+
+M, DIM, NC = 4, 64, 8
+
+
+def test_subvectors_shape(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    subs = pq_subvectors(emb, "vec_id", "embedding", M, DIM)
+    assert subs.count() == n * M
+    one = subs.filter((F.col("vec_id") == 0)).collect()
+    assert sorted(r["j"] for r in one) == list(range(M))
+    assert all(len(r["sub"]) == DIM // M for r in one)
+
+
+def test_subvectors_rejects_bad_split():
+    with pytest.raises(ValueError):
+        pq_subvectors(None, "id", "emb", 5, 64)
+
+
+def test_encode_one_code_per_subspace(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    cb = seeded_codebook(emb, m=M, dim=DIM, n_codes=NC)
+    assert cb.count() == M * NC
+    codes = pq_encode(emb, cb, m=M, dim=DIM)
+    n = emb.count()
+    assert codes.count() == n * M
+    assert codes.groupBy("vec_id").count().filter(F.col("count") != M).count() == 0
+    rng = codes.agg(F.min("code"), F.max("code")).first()
+    assert rng[0] >= 0 and rng[1] < NC
+    # a codebook vector encodes to itself in every subspace (distance 0)
+    self_codes = codes.filter(F.col("vec_id") == 3).collect()
+    assert all(r["code"] == 3 for r in self_codes)
+
+
+def test_adc_matches_numpy(spark, sf_dir):
+    """Spark's ADC distances equal a straight numpy reimplementation."""
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    d = DIM // M
+    cb = {
+        (c, j): vecs[c][j * d : (j + 1) * d] for c in range(NC) for j in range(M)
+    }
+
+    def enc(v):
+        out = []
+        for j in range(M):
+            sub = v[j * d : (j + 1) * d]
+            dists = [
+                (round(float(np.sqrt(((sub - cb[(c, j)]) ** 2).sum())), 9), c)
+                for c in range(NC)
+            ]
+            out.append(min(dists)[1])
+        return out
+
+    q = vecs[0]
+    dtab = {
+        (j, c): round(float(np.sqrt(((q[j * d : (j + 1) * d] - cb[(c, j)]) ** 2).sum())), 9)
+        for j in range(M)
+        for c in range(NC)
+    }
+    want = {}
+    for vid, v in vecs.items():
+        if vid == 0:
+            continue
+        want[vid] = round(sum(dtab[(j, c)] for j, c in enumerate(enc(v))), 9)
+    top = sorted(want.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+
+    got = pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") == 0), m=M, dim=DIM, n_codes=NC, k=10
+    ).collect()
+    assert [(r["vec_id"], round(r["adist"], 9)) for r in got] == [
+        (vid, pytest.approx(ad, abs=1e-9)) for vid, ad in top
+    ]
+
+
+def test_pq_recall_overlaps_exact(spark, sf_dir):
+    """PQ with a tiny 8-codeword codebook is coarse, but its top-10 must
+    still overlap the exact top-10 (same corpus, query vec 0)."""
+    from sparkfusion.llm.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in pq_adc_topk(emb, q, m=M, dim=DIM, n_codes=NC, k=10).collect()}
+    assert len(exact & approx) >= 1
