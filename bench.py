@@ -69,6 +69,11 @@ HEADLINE = {
     "g1_pagerank": "g1_pagerank",
     "j11_interval_overlap": "j11_interval_overlap",
     "cdc2_snapshot_diff": "cdc2_snapshot_diff",
+    "bf1_bloom_semi_join": "bf1_bloom_semi_join",
+    "bm25_search": "bm25_search",
+    "sim_pq_topk": "sim_pq_topk",
+    "w7_running_distinct": "w7_running_distinct",
+    "neg_pair_sample": "neg_pair_sample",
 }
 
 REPEATS = 3
