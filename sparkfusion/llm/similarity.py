@@ -390,3 +390,38 @@ def cosine_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label embedding centroid — the class-prototype aggregation used
+    for centroid classifiers, cluster init, and per-source drift monitoring.
+
+    Returns one row per (label, dim position) with the EXACT integer sum of
+    ``round(x·scale)`` quantized components, the member count, and the
+    centroid component as their ratio in double. Quantize-then-sum makes the
+    reduction integer-exact: a naive double sum's value depends on partition
+    merge order (the one thing this suite's determinism contract forbids),
+    while BIGINT sums are associative — bit-identical across engines,
+    partitionings, and cluster sizes, at 1e-6 quantization granularity
+    (float32 inputs carry ~1e-7 relative precision, so nothing real is lost).
+
+    Scale shape: posexplode (rows × dim) feeds a map-side-combinable
+    groupBy(label, pos) — the shuffle carries only |labels|·dim partial sums
+    per partition, not the exploded rows.
+    """
+    q = F.round(F.col("x").cast("double") * F.lit(float(scale))).cast("long")
+    return (
+        df.select(F.col(label_col).alias("label"), F.posexplode(emb_col).alias("pos", "x"))
+        .select("label", "pos", q.alias("qx"))
+        .groupBy("label", "pos")
+        .agg(F.sum("qx").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "centroid",
+            F.col("sum_q").cast("double") / F.col("n").cast("double") / F.lit(float(scale)),
+        )
+    )

@@ -1420,3 +1420,25 @@ def neg_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return negative_pairs(docs, "doc_id", k=4, n_buckets=32)
+
+
+@register(
+    "emb_label_centroid",
+    oracle="""
+    SELECT label, CAST(t.i - 1 AS INT) AS pos,
+           sum(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)) AS sum_q,
+           count(*) AS n,
+           CAST(sum(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0 AS centroid
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, t.i
+    """,
+)
+def emb_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (class prototypes) via quantize-then-sum:
+    BIGINT sums of round(x·1e6) components are associative, so the reduction
+    is bit-identical across engines and partitionings — the deterministic
+    form of a mean-vector aggregate (a naive double sum is merge-order-
+    dependent). See :func:`sparkfusion.llm.similarity.label_centroids`."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb, "label", "embedding")

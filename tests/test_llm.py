@@ -452,3 +452,33 @@ def test_negative_pairs_properties(spark, sf_dir):
         negative_pairs(docs, "doc_id", k=0)
     with _pytest.raises(ValueError):
         negative_pairs(docs, "doc_id", n_buckets=1)
+
+
+def test_label_centroids_exact_vs_numpy(spark, sf_dir):
+    import numpy as np
+
+    from sparkfusion.llm.similarity import label_centroids
+    from sparkfusion.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    got = {
+        (r["label"], r["pos"]): (r["sum_q"], r["n"], r["centroid"])
+        for r in label_centroids(emb).collect()
+    }
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    dim = len(rows[0]["embedding"])
+    for lab, vecs in by_label.items():
+        arr = np.array(vecs, dtype=np.float64)
+        for pos in range(dim):
+            v = arr[:, pos] * 1e6
+            # HALF_UP (away from zero) to match Spark/DuckDB round(), not
+            # numpy's banker's rounding
+            q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+            sum_q, n = int(q.sum()), len(vecs)
+            want_c = sum_q / n / 1e6
+            assert got[(lab, pos)] == (sum_q, n, want_c)
+    # every (label, pos) accounted for
+    assert len(got) == len(by_label) * dim
