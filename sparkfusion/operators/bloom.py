@@ -90,26 +90,33 @@ def bloom_might_contain(
     """
     out = probe
     conds: list[Column] = []
+    # every hash joins the SAME broadcast frame (disambiguated by dataset
+    # alias, not by renamed projections) so the canonicalized
+    # BroadcastExchange is identical across the k joins and Spark's
+    # ReuseExchange computes the bitmap build ONCE — without this, each join
+    # re-scans and re-aggregates the build side k times
     for i, pos in enumerate(_bit_positions(F.col(key), num_bits, num_hashes)):
-        pcol, bcol, mcol = f"__bf_pos{i}", f"__bf_bucket{i}", f"__bf_mask{i}"
-        bm = F.broadcast(
-            bitmap.select(F.col("bucket").alias(bcol), F.col("mask").alias(mcol))
-        )
+        pcol, t = f"__bf_pos{i}", f"__bf{i}"
+        bm = F.broadcast(bitmap.alias(t))
         out = out.withColumn(pcol, pos).join(
-            bm, F.expr(f"{pcol} div 64") == F.col(bcol), "left"
+            bm, F.expr(f"{pcol} div 64") == F.col(f"{t}.bucket"), "left"
         )
         # missing word-row or unset bit → not present; coalesce(NULL)=0 → drop
         conds.append(
             F.coalesce(
-                F.expr(f"shiftright({mcol}, int({pcol} % 64)) & 1"), F.lit(0)
+                F.expr(f"shiftright({t}.mask, int({pcol} % 64)) & 1"), F.lit(0)
             )
             == F.lit(1)
         )
     keep = conds[0]
     for c in conds[1:]:
         keep = keep & c
-    helper = [c for i in range(num_hashes) for c in (f"__bf_pos{i}", f"__bf_bucket{i}", f"__bf_mask{i}")]
-    return out.where(keep).drop(*helper)
+    out = out.where(keep)
+    for i in range(num_hashes):
+        out = out.drop(F.col(f"__bf{i}.bucket")).drop(F.col(f"__bf{i}.mask")).drop(
+            f"__bf_pos{i}"
+        )
+    return out
 
 
 def bloom_semi_join(
@@ -133,7 +140,11 @@ def bloom_semi_join(
     keys = small.select(F.col(small_key).alias(small_key)).where(
         F.col(small_key).isNotNull()
     )
-    bitmap = bloom_bitmap(keys, small_key, num_bits, num_hashes)
+    # the bitmap feeds num_hashes probe joins; cache() pins the (≤ num_bits/64
+    # row, i.e. kilobyte) aggregate so the build side is scanned once, not
+    # once per hash — plan-level ReuseExchange is not guaranteed across the
+    # per-join dataset aliases
+    bitmap = bloom_bitmap(keys, small_key, num_bits, num_hashes).cache()
     pruned = bloom_might_contain(big, bitmap, big_key, num_bits, num_hashes)
     return pruned.join(keys, pruned[big_key] == keys[small_key], "left_semi")
 
