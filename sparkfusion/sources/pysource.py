@@ -1,0 +1,90 @@
+"""Custom Python DataSource — the Spark 4 public connector extension point.
+
+The reference registers custom in-memory table providers with its session
+(SURVEY.md §2.1 S7/S8: MemTable batch + literal-dataframe sources,
+``src/utils/dataframe.rs`` ``df_from_columns``); Spark's equivalent
+extension point for a *new format* is the Python DataSource API
+(``pyspark.sql.datasource``): implement ``DataSource``/``DataSourceReader``,
+register once per session, then ``spark.read.format(name)`` plans it like
+any other source — including partition planning, so reads parallelize
+across executors.
+
+This module ships a deterministic synthetic source (``sparkfusion_docs``)
+as the working demo: every row is a pure function of its row id (Knuth
+multiplicative hash), so the output is reproducible across engines — the
+suite oracle mirrors it with ``generate_series`` in DuckDB.
+
+Scale notes: ``partitions()`` splits the id range into contiguous slices —
+each executor materializes only its slice (no driver materialization, no
+skew). Rows cross Python→JVM per batch; a production connector for a real
+format would be IO-bound, not compute-bound, so the Python overhead
+amortizes. This is the extension-point demo, not a hot-path operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+FORMAT_NAME = "sparkfusion_docs"
+
+#: Knuth multiplicative hash constant (2^32 / golden ratio)
+_KNUTH = 2654435761
+
+
+def synth_row(i: int) -> tuple[int, int, float]:
+    """The pure row function: (doc_id, bucket, score) for row id ``i``.
+    Integer math only → bit-identical in any engine."""
+    return (i, i % 7, ((i * _KNUTH) % 1000) / 1000.0)
+
+
+class RangeDocsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 1000))
+        self.num_partitions = int(options.get("partitions", 4))
+        if self.n < 0 or self.num_partitions < 1:
+            raise ValueError(
+                f"sparkfusion_docs: need n >= 0 and partitions >= 1, "
+                f"got n={self.n} partitions={self.num_partitions}"
+            )
+
+    def partitions(self) -> list[InputPartition]:
+        step = -(-self.n // self.num_partitions) if self.n else 1
+        return [
+            InputPartition((start, min(start + step, self.n)))
+            for start in range(0, max(self.n, 1), step)
+        ]
+
+    def read(self, partition: InputPartition):
+        start, end = partition.value
+        for i in range(start, end):
+            yield synth_row(i)
+
+
+class RangeDocsDataSource(DataSource):
+    """``spark.read.format("sparkfusion_docs").option("n", N)`` source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        return "doc_id bigint, bucket int, score double"
+
+    def reader(self, schema) -> RangeDocsReader:
+        return RangeDocsReader(self.options)
+
+
+def register_python_datasource(spark) -> None:
+    """Idempotent session registration of the demo format."""
+    spark.dataSource.register(RangeDocsDataSource)
+
+
+def read_synth_docs(spark, n: int = 5000, partitions: int = 8):
+    """Read the synthetic source (registering the format if needed)."""
+    register_python_datasource(spark)
+    return (
+        spark.read.format(FORMAT_NAME)
+        .option("n", str(n))
+        .option("partitions", str(partitions))
+        .load()
+    )

@@ -325,3 +325,38 @@ def c5_c6_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, region_empty, filtered_empty) for n in names],
         "col_name string, region_empty boolean, filtered_probe_empty boolean",
     )
+
+
+@register(
+    "p22_variant_json",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def p22_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4): ``parse_json``
+    decodes the JSON string ONCE into the binary variant encoding, then
+    ``variant_get`` does typed path access — the scale path for repeated
+    multi-field extraction, vs ``get_json_object`` (p21) re-parsing the
+    string per call. Typed longs aggregate exactly; integer sums are
+    associative so the groupBy is engine/partitioning-stable."""
+    from ..session import table
+
+    ev = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return (
+        ev.select("event_type", F.parse_json("props").alias("v"))
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -277,3 +277,28 @@ def s20_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     )
     overwrite_partitions(fix, path, ["o_orderstatus"])
     return spark.read.parquet(path)
+
+
+@register(
+    "s21_python_datasource",
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 4999)) AS i)
+    SELECT CAST(i % 7 AS INT) AS bucket, count(*) AS n,
+           sum((i * 2654435761) % 1000) AS sum_milli
+    FROM g GROUP BY i % 7
+    """,
+)
+def s21_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 connector extension point): a
+    registered ``sparkfusion_docs`` format read like any built-in source,
+    partition-planned across 8 slices. Every row is a pure integer function
+    of its id, so DuckDB mirrors the source with ``generate_series`` — and
+    the score sum is re-integerized (round(score·1000)) so the aggregate is
+    associative-exact. See :mod:`sparkfusion.sources.pysource`."""
+    from ..sources.pysource import read_synth_docs
+
+    docs = read_synth_docs(spark, n=5000, partitions=8)
+    return docs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("score") * 1000).cast("long")).alias("sum_milli"),
+    )
