@@ -23,7 +23,12 @@ amortizes. This is the extension-point demo, not a hot-path operator.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 FORMAT_NAME = "sparkfusion_docs"
 
@@ -60,6 +65,46 @@ class RangeDocsReader(DataSourceReader):
             yield synth_row(i)
 
 
+class RangeDocsStreamReader(SimpleDataSourceStreamReader):
+    """Finite micro-batch stream over the same synthetic rows: each batch
+    advances the offset by ``rate`` ids until ``n`` is reached, then reports
+    no new data (so ``processAllAvailable()`` terminates deterministically).
+
+    Offsets are plain JSON dicts ``{"next": i}`` — exactly-once across
+    restarts comes from ``readBetweenOffsets`` replaying any committed span
+    verbatim (rows are a pure function of the id, so replay is trivially
+    idempotent). This is the custom-connector analog of the suite's
+    file-based streams: the public Spark 4 extension point for a streaming
+    source a production pipeline would point at a queue/change-feed.
+    """
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 2000))
+        self.rate = int(options.get("rate", 500))
+        if self.n < 0 or self.rate < 1:
+            raise ValueError(
+                f"sparkfusion_docs stream: need n >= 0 and rate >= 1, "
+                f"got n={self.n} rate={self.rate}"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        # the prefetching wrapper iterates the rows with next(); return an
+        # iterator, not a list
+        s = int(start["next"])
+        if s >= self.n:
+            return (iter(()), start)
+        e = min(s + self.rate, self.n)
+        return (iter([synth_row(i) for i in range(s, e)]), {"next": e})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [synth_row(i) for i in range(int(start["next"]), int(end["next"]))]
+        )
+
+
 class RangeDocsDataSource(DataSource):
     """``spark.read.format("sparkfusion_docs").option("n", N)`` source."""
 
@@ -72,6 +117,9 @@ class RangeDocsDataSource(DataSource):
 
     def reader(self, schema) -> RangeDocsReader:
         return RangeDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> RangeDocsStreamReader:
+        return RangeDocsStreamReader(self.options)
 
 
 def register_python_datasource(spark) -> None:
@@ -86,5 +134,17 @@ def read_synth_docs(spark, n: int = 5000, partitions: int = 8):
         spark.read.format(FORMAT_NAME)
         .option("n", str(n))
         .option("partitions", str(partitions))
+        .load()
+    )
+
+
+def read_synth_docs_stream(spark, n: int = 2000, rate: int = 500):
+    """Open the synthetic source as a micro-batch stream (finite: ``n`` rows
+    at ``rate`` rows/batch, then idle)."""
+    register_python_datasource(spark)
+    return (
+        spark.readStream.format(FORMAT_NAME)
+        .option("n", str(n))
+        .option("rate", str(rate))
         .load()
     )

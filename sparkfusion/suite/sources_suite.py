@@ -302,3 +302,30 @@ def s21_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("score") * 1000).cast("long")).alias("sum_milli"),
     )
+
+
+@register(
+    "s22_python_stream_source",
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT CAST(i % 7 AS INT) AS bucket, count(*) AS n,
+           sum((i * 2654435761) % 1000) AS sum_milli
+    FROM g GROUP BY i % 7
+    """,
+)
+def s22_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING source (Spark 4 SimpleDataSourceStreamReader):
+    2000 synthetic rows arrive over 4 micro-batches of 500, aggregated with a
+    streaming groupBy (complete mode) and driven to completion — offsets are
+    JSON dicts, replay via readBetweenOffsets is idempotent because rows are
+    a pure function of the id. Oracle = the same rows via generate_series.
+    See :mod:`sparkfusion.sources.pysource`."""
+    from ..sources.pysource import read_synth_docs_stream
+    from ..streaming.windows import run_stream_to_table
+
+    stream = read_synth_docs_stream(spark, n=2000, rate=500)
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("score") * 1000).cast("long")).alias("sum_milli"),
+    )
+    return run_stream_to_table(agg, "complete")

@@ -44,3 +44,41 @@ def test_variant_typed_access(spark, sf_dir):
     for r in out.values():
         assert r["min_k"] <= r["max_k"]
         assert r["n"] > 0
+
+
+def test_stream_source_exactly_once(spark):
+    """Finite custom stream delivers ids [0, n) exactly once across batches."""
+    import uuid
+
+    from sparkfusion.sources.pysource import read_synth_docs_stream
+
+    name = f"pysrc_{uuid.uuid4().hex[:8]}"
+    stream = read_synth_docs_stream(spark, n=1200, rate=300)
+    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == list(range(1200))
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 2, "must span multiple micro-batches"
+
+
+def test_stream_reader_offsets_replay():
+    from sparkfusion.sources.pysource import RangeDocsStreamReader, synth_row
+
+    r = RangeDocsStreamReader({"n": "10", "rate": "4"})
+    off = r.initialOffset()
+    seen = []
+    while True:
+        it, nxt = r.read(off)
+        rows = list(it)
+        if not rows:
+            break
+        seen.extend(rows)
+        # replay of the committed span must reproduce the same rows
+        assert list(r.readBetweenOffsets(off, nxt)) == rows
+        off = nxt
+    assert seen == [synth_row(i) for i in range(10)]
