@@ -26,8 +26,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "sparkfusion_docs"
@@ -148,3 +150,90 @@ def read_synth_docs_stream(spark, n: int = 2000, rate: int = 500):
         .option("rate", str(rate))
         .load()
     )
+
+
+JSONL_FORMAT = "sparkfusion_jsonl"
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """JSON-lines directory sink with a two-phase commit protocol — the
+    write-side extension point (reference parity: the hand-rolled parquet/
+    json sinks in ``src/utils/dataframe.rs`` ``write_df_to_file``):
+
+    - each task streams its partition to ``part-<uuid>.jsonl.tmp`` and
+      returns the file name as its commit message;
+    - the DRIVER promotes every ``.tmp`` to its final name and drops a
+      ``_SUCCESS`` marker only after all tasks succeed (``commit``), or
+      deletes the temporaries (``abort``) — a failed/speculated task can
+      never leave a half-written file visible to readers.
+
+    Keys are serialized sorted so the byte output is deterministic for a
+    given row.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sparkfusion_jsonl: 'path' option is required")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl.tmp")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages):
+        import os
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, name))
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp_path, m.tmp_path[: -len(".tmp")])
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class JsonlDirDataSource(DataSource):
+    """``df.write.format("sparkfusion_jsonl").option("path", dir)`` sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return JSONL_FORMAT
+
+    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+        return JsonlDirWriter(self.options, overwrite)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlDirDataSource)
+
+
+def write_jsonl(df, path: str, mode: str = "append") -> None:
+    """Write a DataFrame through the custom two-phase-commit JSONL sink."""
+    register_jsonl_sink(df.sparkSession)
+    df.write.format(JSONL_FORMAT).option("path", path).mode(mode).save()

@@ -329,3 +329,31 @@ def s22_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("score") * 1000).cast("long")).alias("sum_milli"),
     )
     return run_stream_to_table(agg, "complete")
+
+
+@register(
+    "s23_jsonl_sink_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def s23_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSourceWriter (Spark 4 write-side extension point):
+    documents stream through the two-phase-commit JSONL sink (task temp
+    files promoted by the driver commit, _SUCCESS marker), are read back
+    with the native JSON reader, and must aggregate identically to the
+    ORIGINAL parquet — sink+codec fidelity proof, same pattern as the ORC
+    roundtrip (s19). See :class:`sparkfusion.sources.pysource.JsonlDirWriter`."""
+    import shutil
+
+    from ..sources.pysource import write_jsonl
+
+    path = os.path.join(IO_DIR, "documents_jsonl")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_jsonl(docs, path, mode="overwrite")
+    back = spark.read.json(os.path.join(path, "*.jsonl"))
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars")
+    )

@@ -82,3 +82,56 @@ def test_stream_reader_offsets_replay():
         assert list(r.readBetweenOffsets(off, nxt)) == rows
         off = nxt
     assert seen == [synth_row(i) for i in range(10)]
+
+
+def test_jsonl_sink_commit_protocol(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+    from sparkfusion.sources.pysource import write_jsonl
+
+    path = str(tmp_path / "out")
+    df = spark.range(100).select("id", (F.col("id") % 3).alias("g")).repartition(4)
+    write_jsonl(df, path, mode="append")
+    names = os.listdir(path)
+    assert "_SUCCESS" in names
+    assert not [n for n in names if n.endswith(".tmp")], "temps must be promoted"
+    parts = [n for n in names if n.endswith(".jsonl")]
+    assert len(parts) == 4  # one committed file per task
+    back = spark.read.json(os.path.join(path, "*.jsonl"))
+    assert back.count() == 100
+    assert {r["id"] for r in back.collect()} == set(range(100))
+
+
+def test_jsonl_sink_overwrite_replaces(spark, tmp_path):
+    import os
+
+    from sparkfusion.sources.pysource import write_jsonl
+
+    path = str(tmp_path / "out2")
+    write_jsonl(spark.range(10).coalesce(1), path, mode="append")
+    write_jsonl(spark.range(5).coalesce(1), path, mode="overwrite")
+    back = spark.read.json(os.path.join(path, "*.jsonl"))
+    assert back.count() == 5
+
+
+def test_jsonl_abort_removes_temps(tmp_path):
+    import os
+
+    from sparkfusion.sources.pysource import JsonlDirWriter, _JsonlCommit
+
+    w = JsonlDirWriter({"path": str(tmp_path / "a")}, overwrite=False)
+    os.makedirs(str(tmp_path / "a"), exist_ok=True)
+    tmp = str(tmp_path / "a" / "part-x.jsonl.tmp")
+    open(tmp, "w").write("{}\n")
+    w.abort([_JsonlCommit(tmp, 1), None])
+    assert not os.path.exists(tmp)
+
+
+def test_jsonl_requires_path():
+    import pytest as _pytest
+
+    from sparkfusion.sources.pysource import JsonlDirWriter
+
+    with _pytest.raises(ValueError):
+        JsonlDirWriter({}, overwrite=False)
