@@ -64,3 +64,25 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet globally ordered on ``cols`` WITHOUT a
+    single-reducer sort: ``repartitionByRange`` samples split points and
+    range-shuffles rows into ``num_files`` balanced slices, each slice sorts
+    locally, and the slices are disjoint and ordered — so per-file min/max
+    footers on the leading column never overlap and a point/range filter
+    prunes to one (or few) files. The single-dimension sibling of
+    :func:`write_zordered`: best when one column dominates the filter
+    workload (e.g. time), Z-order when several do."""
+    (
+        df.repartitionByRange(num_files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -217,3 +217,42 @@ def dq5_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_count(orders, "o_orderkey", "orders.o_orderkey").unionByName(
         dup_count(li, "l_orderkey", "lineitem.l_orderkey")
     )
+
+
+@register(
+    "a16_equidepth_histogram",
+    oracle="""
+    SELECT o_orderpriority, bucket, count(*) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    GROUP BY o_orderpriority, bucket
+    """,
+)
+def a16_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group equi-depth (quantile) histogram: 4 equal-count buckets of
+    order value per priority class, with each bucket's row count and value
+    bounds — the distribution profile that drives range-partition planning
+    and skew detection (a15 is the fixed-WIDTH sibling). NTILE's
+    remainder-to-leading-buckets split is standard SQL semantics on both
+    engines; the (value, key) order is total so bucket assignment is
+    deterministic. Shuffles once on the group key; per-group windows scale
+    with group count (a GLOBAL ntile would serialize on one reducer — at
+    100 TB use approx_percentile breakpoints instead, a21)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("bucket"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

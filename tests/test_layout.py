@@ -72,3 +72,36 @@ def test_zvalue_rejects_key_wider_than_63_bits(spark):
     df = spark.createDataFrame([(1, 2, 3, 4)], "a int, b int, c int, d int")
     with _pytest.raises(ValueError, match="64-bit"):
         df.select(zvalue([F.col(c) for c in "abcd"], bits=16))
+
+
+def test_range_sorted_write_files_disjoint(spark, sf_dir, tmp_path):
+    """Per-file [min,max] spans of the sort column must be pairwise disjoint
+    (that's what makes footer pruning hit exactly one file per point)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sparkfusion.sources.layout import write_range_sorted
+    from sparkfusion.session import table
+
+    path = str(tmp_path / "orders_sorted")
+    orders = table(spark, sf_dir, "orders")
+    write_range_sorted(orders, path, ["o_totalprice"], num_files=4)
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "o_totalprice"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"file spans overlap: {hi1} > {lo2}"
+    # content preserved
+    assert spark.read.parquet(path).count() == orders.count()
