@@ -363,3 +363,39 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def bpe_pair_counts(df, id_col: str = "doc_id", text_col: str = "text", k: int = 50):
+    """Corpus-wide adjacent character-pair frequencies — the candidate-merge
+    count that drives one BPE tokenizer-training step (the most frequent
+    pair becomes the next merge rule). Distributed shape: documents
+    repartition by id BEFORE the word explode, each word emits its
+    ``len-1`` overlapping 2-grams via a codegen ``transform(sequence(...))``
+    (no Python), the pair groupBy is map-side combinable, and the top-k is
+    ``orderBy().limit()`` → TakeOrderedAndProject. Exact integer counts with
+    a (count DESC, pair) deterministic tiebreak.
+
+    A full BPE trainer iterates: apply the winning merge, recount. Each
+    iteration is this same one-shuffle job over the (cached) word corpus —
+    at 100 TB you run it over the word-frequency table (word, count) instead
+    of raw text, which this function's word explode reduces to on its first
+    aggregation.
+    """
+    pairs = (
+        df.repartition(id_col)
+        .select(F.explode(words(F.lower(F.col(text_col)))).alias("word"))
+        # single-char words emit no pairs — and Spark's sequence(1, 0) counts
+        # DOWN rather than being empty, so the guard is load-bearing
+        .filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(k)
+    )

@@ -1442,3 +1442,26 @@ def emb_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent). See :func:`sparkfusion.llm.similarity.label_centroids`."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.label_centroids(emb, "label", "embedding")
+
+
+@register(
+    "bpe1_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest({_W}) AS word FROM documents
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(t.i AS INT), 2) AS pair
+      FROM w, UNNEST(generate_series(1, length(word) - 1)) AS t(i)
+    )
+    SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def bpe1_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs across the corpus — one BPE
+    tokenizer-training merge-count step, distributed (see
+    :func:`sparkfusion.llm.text.bpe_pair_counts`). Exact integer counts,
+    (n DESC, pair) total order shared with the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, "doc_id", "text", k=50)

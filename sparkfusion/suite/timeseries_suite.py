@@ -178,3 +178,60 @@ def ts5_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", "value", F.round(F.col("z"), 6).alias("z")
     )
+
+
+@register(
+    "fe2_user_trend",
+    oracle="""
+    WITH q AS (
+      SELECT user_id,
+             epoch_us(ts) - 1700000000000000 AS x,
+             CAST(round(value * 1000000) AS BIGINT) AS yq
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, count(*) AS n, sum(x) AS sx, sum(yq) AS sy,
+             sum(CAST(x AS HUGEINT) * yq) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM q GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope_q
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+)
+def fe2_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend (slope of value vs time) from EXACT moment
+    sums — the per-entity drift/trend feature a feature store computes at
+    scale. Closed form slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²): x is epoch-µs
+    re-based near the data epoch and y quantized to 1e-6 so every sum is an
+    exact DECIMAL(38,0)/INT128 integer (associative → partitioning-stable);
+    the single double division at the end is IEEE-identical across engines,
+    rounded to 9. One map-side-combinable groupBy — no window, no second
+    pass. ``slope_q`` is in 1e-6 value units per µs."""
+    ev = events_with_ts(spark, sf_dir)
+    dec = "decimal(38,0)"
+    x = (F.unix_micros(F.col("ts")) - F.lit(1700000000000000)).cast(dec)
+    yq = F.round(F.col("value") * 1e6).cast("long").cast(dec)
+    s = (
+        ev.select("user_id", x.alias("x"), yq.alias("yq"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("yq").alias("sy"),
+            F.sum(F.col("x") * F.col("yq")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.round(num.cast("double") / den.cast("double"), 9).alias("slope_q"),
+        )
+    )

@@ -133,3 +133,36 @@ def test_resample_day_bucket(spark):
     out = resample_counts(df, "t", ["k"], bucket="day")
     days = {r["bucket"].day: r["n"] for r in out.collect()}
     assert days == {1: 1, 2: 0, 3: 1}  # the empty middle day materializes
+
+
+def test_fe2_user_trend_matches_numpy(spark, sf_dir):
+    """Suite OLS slope vs numpy.polyfit on the same quantized inputs."""
+    import numpy as np
+    import pytest
+
+    from sparkfusion.session import events_with_ts
+    from sparkfusion.suite.timeseries_suite import fe2_user_trend
+    from pyspark.sql import functions as F
+
+    got = {r["user_id"]: r["slope_q"] for r in fe2_user_trend(spark, sf_dir).collect()}
+    ev = (
+        events_with_ts(spark, sf_dir)
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts_us"] - 1700000000000000, round(r["value"] * 1e6))
+        )
+    for uid, pts in by_user.items():
+        if len(pts) < 2:
+            assert uid not in got
+            continue
+        x = np.array([p[0] for p in pts], dtype=np.float64)
+        y = np.array([p[1] for p in pts], dtype=np.float64)
+        if np.all(x == x[0]):
+            assert uid not in got
+            continue
+        slope = np.polyfit(x, y, 1)[0]
+        assert got[uid] == pytest.approx(slope, rel=1e-6, abs=1e-9), uid
