@@ -256,3 +256,59 @@ def a16_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "dq5_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(floor(value / 50) AS INT), 9) AS bucket,
+             CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END AS is_base
+      FROM events
+    ),
+    c AS (
+      SELECT bucket,
+             sum(is_base) AS n_base,
+             sum(1 - is_base) AS n_cur
+      FROM b GROUP BY bucket
+    ),
+    t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM c)
+    SELECT bucket, n_base, n_cur,
+           round((CAST(n_base + 1 AS DOUBLE) / (tb + 10)
+                  - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+                 * ln((CAST(n_base + 1 AS DOUBLE) / (tb + 10))
+                      / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10))), 9) AS psi_term
+    FROM c CROSS JOIN t
+    """,
+)
+def dq5_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift profile: event values bucketed into
+    10 fixed-width bins, baseline window (before a fixed cut timestamp) vs
+    current, add-one smoothed shares, per-bucket PSI contribution
+    ``(p−q)·ln(p/q)`` — the distribution-shift monitor run between pipeline
+    snapshots (Σterms > 0.2 = investigate). Emitting per-BUCKET terms keeps
+    every number a function of exact integer counts plus one libm ln
+    (rounded 9) — no cross-row float summation anywhere, so the result is
+    engine- and partitioning-stable; callers sum the rounded terms in
+    DECIMAL for the scalar PSI. One scan, one 10-row groupBy, broadcast
+    totals."""
+    ev = events_with_ts(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    is_base = (F.unix_micros(F.col("ts")) < F.lit(1705363200000000)).cast("long")
+    c = (
+        ev.select(bucket.alias("bucket"), is_base.alias("is_base"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_base").alias("n_base"),
+            F.sum(F.lit(1) - F.col("is_base")).alias("n_cur"),
+        )
+    )
+    t = c.agg(F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc"))
+    p = (F.col("n_base") + 1).cast("double") / (F.col("tb") + 10)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + 10)
+    return c.join(F.broadcast(t)).select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+    )

@@ -55,3 +55,20 @@ def test_keep_latest_tiebreaks_deterministically(spark):
     )
     out = {r["k"]: r["tag"] for r in keep_latest(df, ["k"], ["t", "id"]).collect()}
     assert out == {"u": "newest", "v": "only"}  # t DESC, then id DESC
+
+
+def test_psi_drift_terms_sane(spark, sf_dir):
+    from sparkfusion.suite.quality_suite import dq5_psi_drift
+
+    rows = dq5_psi_drift(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    # every term is a finite float; identical distributions give ~0 terms;
+    # smoothing keeps terms finite even for empty-side buckets
+    total = sum(r["psi_term"] for r in rows)
+    assert all(abs(r["psi_term"]) < 10 for r in rows)
+    assert abs(total) < 10
+    # counts partition the events table
+    from sparkfusion.session import table
+
+    n = table(spark, sf_dir, "events").count()
+    assert sum(r["n_base"] + r["n_cur"] for r in rows) == n
