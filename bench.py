@@ -74,6 +74,8 @@ HEADLINE = {
     "sim_pq_topk": "sim_pq_topk",
     "w7_running_distinct": "w7_running_distinct",
     "neg_pair_sample": "neg_pair_sample",
+    "bpe1_pair_counts": "bpe1_pair_counts",
+    "fe2_user_trend": "fe2_user_trend",
 }
 
 REPEATS = 3

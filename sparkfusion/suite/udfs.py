@@ -189,3 +189,69 @@ def x5_udf_iter_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     score = make_iter_scoring_udf()
     return docs.select("doc_id", score(F.col("text")).alias("score"))
+
+
+@register(
+    "x6_grouped_map_normalize",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS m
+      FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type, m,
+             round(quantile_cont(abs(value - m), 0.5), 6) AS d
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, m
+    )
+    SELECT e.event_type, e.event_id, e.value,
+           CASE WHEN d > 0 THEN round((e.value - m) / d, 9) ELSE 0.0 END AS z
+    FROM events e JOIN mad USING (event_type)
+    """,
+)
+def x6_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas operator (``groupBy().applyInPandas``): per-
+    event_type robust (median/MAD) z-scores computed inside pandas — the
+    custom-per-group-algorithm escape hatch, proven end to end against the
+    pure-SQL expression of the same statistic. See
+    :func:`sparkfusion.functions.grouped.grouped_robust_normalize` (and its
+    note that expressions are preferred when semantics allow)."""
+    from ..functions.grouped import grouped_robust_normalize
+    from ..session import events_with_ts
+
+    return grouped_robust_normalize(events_with_ts(spark, sf_dir))
+
+
+@register(
+    "x7_cogroup_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view'
+    )
+    SELECT p.user_id, count(*) AS n_purchases,
+           sum(CASE WHEN EXISTS (
+                 SELECT 1 FROM v
+                 WHERE v.user_id = p.user_id
+                   AND v.t >= p.t - 3600000000 AND v.t < p.t)
+               THEN 1 ELSE 0 END) AS n_attributed
+    FROM p GROUP BY p.user_id
+    """,
+)
+def x7_cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas operator (``cogroup().applyInPandas``): per-user
+    purchases and views arrive co-partitioned as two pandas frames; counts
+    purchases with a view in the preceding hour — custom two-sided alignment
+    logic, oracle-checked against the windowed-EXISTS SQL form. See
+    :func:`sparkfusion.functions.grouped.cogroup_view_attribution`."""
+    from ..functions.grouped import cogroup_view_attribution
+    from ..session import events_with_ts
+
+    ev = events_with_ts(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts_us")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts_us")
+    return cogroup_view_attribution(purchases, views)

@@ -72,3 +72,35 @@ def test_iter_udf_loads_model_once_per_partition(spark):
     assert all(r["s"] == 1.5 for r in out)  # 3 tokens x 0.5
     # one load per partition, NOT one per ~5-row batch (would be ~20)
     assert acc.value == 4
+
+
+def test_grouped_map_mad_zero_gives_zero_z(spark):
+    from sparkfusion.functions.grouped import grouped_robust_normalize
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 5.0), ("b", 4, 1.0), ("b", 5, 3.0), ("b", 6, 9.0)],
+        ["event_type", "event_id", "value"],
+    )
+    out = {r["event_id"]: r["z"] for r in grouped_robust_normalize(df).collect()}
+    assert out[1] == out[2] == out[3] == 0.0  # constant group → mad 0 → z 0
+    assert out[5] == 0.0  # b's median value
+    assert out[4] < 0 < out[6]
+
+
+def test_cogroup_attribution_edges(spark):
+    from sparkfusion.functions.grouped import cogroup_view_attribution
+
+    HOUR = 3_600_000_000
+    purchases = spark.createDataFrame(
+        [(1, 10 * HOUR), (1, 20 * HOUR), (2, 5 * HOUR)], ["user_id", "ts_us"]
+    )
+    views = spark.createDataFrame(
+        # u1: one view 30min before first purchase; one view AT second
+        # purchase time (excluded: window is [t-1h, t))
+        [(1, 10 * HOUR - HOUR // 2), (1, 20 * HOUR), (3, 1 * HOUR)],
+        ["user_id", "ts_us"],
+    )
+    out = {r["user_id"]: r for r in cogroup_view_attribution(purchases, views).collect()}
+    assert out[1]["n_purchases"] == 2 and out[1]["n_attributed"] == 1
+    assert out[2]["n_purchases"] == 1 and out[2]["n_attributed"] == 0
+    assert 3 not in out  # view-only users emit nothing
