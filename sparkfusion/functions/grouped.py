@@ -60,13 +60,17 @@ ATTR_SCHEMA = "user_id bigint, n_purchases bigint, n_attributed bigint"
 
 
 def _attribute(purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
-    """Count purchases with >=1 view in the preceding hour for one user."""
-    if purchases.empty:
+    """Count purchases with >=1 view in the preceding hour for one user.
+
+    A key absent from one side arrives as a ZERO-COLUMN pandas frame (not
+    merely zero rows), so guards must check columns, not just ``.empty``.
+    """
+    if "user_id" not in purchases.columns or not len(purchases):
         return pd.DataFrame(columns=["user_id", "n_purchases", "n_attributed"]).astype(
             {"user_id": "int64", "n_purchases": "int64", "n_attributed": "int64"}
         )
     uid = int(purchases["user_id"].iloc[0])
-    vt = views["ts_us"].to_numpy() if not views.empty else []
+    vt = views["ts_us"].to_numpy() if "ts_us" in views.columns and len(views) else []
     n_attr = 0
     for t in purchases["ts_us"]:
         if len(vt) and ((vt >= t - 3_600_000_000) & (vt < t)).any():
