@@ -144,3 +144,92 @@ def frame_sample(df: DataFrame, every_n: int = 10, decode_stub: bool = True) -> 
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "content").mapInPandas(sample_partition, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real binary image decode: PPM (P6) — no codec library required
+# ---------------------------------------------------------------------------
+
+#: deterministic synthetic pixel function (media_id, x, y, channel) → byte
+def _ppm_pixel(media_id: int, x: int, y: int, c: int) -> int:
+    return (x * 7 + y * 13 + media_id + c * 37) % 256
+
+
+def make_ppm(media_id: int, width: int = 8, height: int = 6) -> bytes:
+    """Build a binary PPM (P6) image whose pixels are a pure function of
+    (media_id, x, y, channel) — real bytes through the real container
+    format, reproducible anywhere."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    body = bytes(
+        _ppm_pixel(media_id, x, y, c)
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+    return header + body
+
+
+def ppm_media_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach a binary PPM payload per row (pandas UDF builder — binary
+    generation is inherently Python; Arrow-batched)."""
+    import pandas as pd  # noqa: F811
+
+    @F.pandas_udf(BinaryType())
+    def build(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: make_ppm(int(i)))
+
+    return df.select(F.col(id_col).alias("media_id")).withColumn(
+        "content", build(F.col("media_id"))
+    )
+
+
+PPM_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+    ]
+)
+
+
+def decode_ppm(df: DataFrame) -> DataFrame:
+    """REAL image decode with no codec dependency: parse the PPM (P6) binary
+    container — ASCII header (magic, dimensions, maxval) + packed RGB24
+    pixel body — per Arrow batch inside ``mapInPandas``, with numpy doing
+    the pixel math. Emits exact integer per-channel sums (associative →
+    engine/partitioning-stable; mean = sum/(w·h) is one exact division away).
+
+    This upgrades the multimodal surface from plumbing-proven to
+    decode-proven for a real on-disk image format; JPEG/PNG still route
+    through :func:`decode_media`'s documented codec stub."""
+    import re
+
+    import numpy as np
+
+    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(blob)
+                # header = magic + dims + maxval, terminated by EXACTLY ONE
+                # whitespace byte before the raw body (str.split would eat
+                # leading body bytes that happen to be whitespace values)
+                m = re.match(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", buf)
+                if m is None:
+                    raise ValueError(f"not a P6 PPM payload for media_id={mid}")
+                w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+                if maxval != 255:
+                    raise ValueError(f"unsupported maxval {maxval}")
+                px = np.frombuffer(
+                    buf[m.end() : m.end() + w * h * 3], dtype=np.uint8
+                ).reshape(h, w, 3)
+                sums = px.sum(axis=(0, 1), dtype=np.int64)
+                out.append((int(mid), w, h, int(sums[0]), int(sums[1]), int(sums[2])))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return df.mapInPandas(decode_partition, PPM_DECODED_SCHEMA)

@@ -1465,3 +1465,33 @@ def bpe1_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n DESC, pair) total order shared with the oracle."""
     docs = table(spark, sf_dir, "documents")
     return text.bpe_pair_counts(docs, "doc_id", "text", k=50)
+
+
+@register(
+    "mm_ppm_decode",
+    oracle="""
+    WITH g AS (
+      SELECT a.x, b.y
+      FROM (SELECT unnest(generate_series(0, 7)) AS x) a,
+           (SELECT unnest(generate_series(0, 5)) AS y) b
+    )
+    SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+           sum((x * 7 + y * 13 + doc_id) % 256) AS sum_r,
+           sum((x * 7 + y * 13 + doc_id + 37) % 256) AS sum_g,
+           sum((x * 7 + y * 13 + doc_id + 74) % 256) AS sum_b
+    FROM documents, g
+    GROUP BY doc_id
+    """,
+)
+def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary image decode, no codec library: every document id gets a
+    binary PPM (P6) payload — actual header + RGB24 body bytes — which
+    ``mapInPandas`` + numpy parses back to per-channel integer pixel sums.
+    The pixel function is pure, so DuckDB's oracle computes the same sums
+    analytically over the (x, y) grid: a full binary-container roundtrip
+    proven against an engine that never saw the bytes. JPEG/PNG/ffmpeg
+    stay behind the documented codec stub (mm_decode_features). See
+    :func:`sparkfusion.llm.multimodal.decode_ppm`."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.ppm_media_table(docs, "doc_id")
+    return multimodal.decode_ppm(media)

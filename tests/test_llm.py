@@ -482,3 +482,27 @@ def test_label_centroids_exact_vs_numpy(spark, sf_dir):
             assert got[(lab, pos)] == (sum_q, n, want_c)
     # every (label, pos) accounted for
     assert len(got) == len(by_label) * dim
+
+
+def test_ppm_roundtrip_bytes_and_decode(spark):
+    """make_ppm emits a valid P6 container; decode_ppm recovers exact sums,
+    including payloads whose first body byte is a whitespace value."""
+    from sparkfusion.llm.multimodal import _ppm_pixel, decode_ppm, make_ppm, ppm_media_table
+
+    # find an id whose first pixel byte is whitespace (0x20/0x0a/...) to pin
+    # the header-parse edge
+    ws_ids = [i for i in range(300) if _ppm_pixel(i, 0, 0, 0) in (9, 10, 13, 32)]
+    assert ws_ids, "generator never hits whitespace bytes?"
+    ids = [0, 1, ws_ids[0]]
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = {r["media_id"]: r for r in decode_ppm(ppm_media_table(df, "doc_id")).collect()}
+    for i in ids:
+        want_r = sum(_ppm_pixel(i, x, y, 0) for x in range(8) for y in range(6))
+        want_g = sum(_ppm_pixel(i, x, y, 1) for x in range(8) for y in range(6))
+        r = out[i]
+        assert (r["width"], r["height"]) == (8, 6)
+        assert r["sum_r"] == want_r and r["sum_g"] == want_g
+    # container well-formedness
+    blob = make_ppm(7)
+    assert blob.startswith(b"P6\n8 6\n255\n")
+    assert len(blob) == len(b"P6\n8 6\n255\n") + 8 * 6 * 3
