@@ -926,3 +926,172 @@ def mv3_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(
         "o_orderstatus", "month", F.col("revenue").cast("double").alias("revenue"), "n"
     )
+
+
+@register(
+    "gap1_islands",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           min(event_id) AS first_id, max(event_id) AS last_id
+    FROM (
+      SELECT user_id, event_id,
+             event_id - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS grp
+      FROM events
+    )
+    GROUP BY user_id, grp
+    """,
+)
+def gap1_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE event ids per user via
+    the classic ``value − row_number`` trick (consecutive values share the
+    difference) — the streak/contiguity primitive (uptime runs, consecutive
+    days active). One window + one groupBy, both on the user_id shuffle."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.withColumn("grp", F.col("event_id") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_id"),
+            F.max("event_id").alias("last_id"),
+        )
+        .drop("grp")
+    )
+
+
+@register(
+    "rfm1_segmentation",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             max(epoch_us(o_orderdate)) AS last_us,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_us, frequency, monetary,
+           NTILE(4) OVER (ORDER BY last_us DESC, o_custkey) AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+    FROM base
+    """,
+)
+def rfm1_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quartiles per
+    customer — the classic marketing-mart rollup. DECIMAL money sums;
+    deterministic (metric DESC, custkey) NTILE orders. The three global
+    NTILEs each serialize on one reducer over the CUSTOMER-level aggregate
+    (not the fact table) — at 100 TB swap them for approx_percentile
+    breakpoints (a21) exactly as a16 documents for equi-depth bucketing."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_us").desc(), "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return base.select(
+        "o_custkey",
+        "last_us",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )
+
+
+@register(
+    "pop1_wow_growth",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) AS day_us,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT day_us, revenue,
+           lag(revenue, 7) OVER (ORDER BY day_us) AS revenue_prev_week,
+           round(revenue / lag(revenue, 7) OVER (ORDER BY day_us) - 1, 9)
+             AS wow_growth
+    FROM daily
+    """,
+)
+def pop1_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: daily revenue vs the value 7 rows earlier
+    (week-over-week on a daily series) — the reporting primitive behind
+    every trend dashboard. DECIMAL daily sums cast to double, ratio rounded
+    9; lag window over the tiny DAY-level aggregate (the global window sorts
+    days, not orders)."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("day_us")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    w = Window.orderBy("day_us")
+    prev = F.lag("revenue", 7).over(w)
+    return daily.select(
+        "day_us",
+        "revenue",
+        prev.alias("revenue_prev_week"),
+        F.round(F.col("revenue") / prev - 1, 9).alias("wow_growth"),
+    )
+
+
+@register(
+    "abc1_pareto_parts",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(revenue) AS total FROM pr),
+    ranked AS (
+      SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum,
+             total
+      FROM pr CROSS JOIN tot
+    )
+    SELECT l_partkey, revenue,
+           round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 9) AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def abc1_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification: parts ranked by revenue with cumulative
+    share cut at 80%/95% — the inventory-analytics classic. The cumulative
+    window runs in DECIMAL (exact prefix sums; a double running sum would be
+    order-fragile), the single division per row is rounded 9. Like rfm1, the
+    global window orders the PART-level aggregate, not the fact table."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue")
+    )
+    tot = pr.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pr.join(F.broadcast(tot)).withColumn("cum", F.sum("revenue").over(w))
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    return ranked.select(
+        "l_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(share, 9).alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+    )

@@ -137,3 +137,36 @@ def test_assign_split_deterministic_and_partitioned(spark):
     assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
     with pytest.raises(ValueError):
         assign_split(F.col("doc_id"), [("a", 50)])
+
+
+def test_gap1_islands_contiguity(spark, sf_dir):
+    """Each island is a maximal run: internally contiguous, and neither
+    first_id-1 nor last_id+1 belongs to the same user."""
+    from sparkfusion.session import table
+    from sparkfusion.suite.analytics_suite import gap1_islands
+
+    islands = gap1_islands(spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], set()).add(r["event_id"])
+    n_events = 0
+    for isl in islands:
+        ids = by_user[isl["user_id"]]
+        n_events += isl["n_events"]
+        assert isl["n_events"] == isl["last_id"] - isl["first_id"] + 1
+        assert all(i in ids for i in range(isl["first_id"], isl["last_id"] + 1))
+        assert isl["first_id"] - 1 not in ids and isl["last_id"] + 1 not in ids
+    assert n_events == len(ev)
+
+
+def test_abc1_classes_monotone(spark, sf_dir):
+    from sparkfusion.suite.analytics_suite import abc1_pareto_parts
+
+    rows = sorted(
+        abc1_pareto_parts(spark, sf_dir).collect(), key=lambda r: r["cum_share"]
+    )
+    assert rows[-1]["cum_share"] == 1.0
+    order = {"A": 0, "B": 1, "C": 2}
+    classes = [order[r["abc_class"]] for r in rows]
+    assert classes == sorted(classes)
