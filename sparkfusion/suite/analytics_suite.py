@@ -1095,3 +1095,49 @@ def abc1_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 9).alias("cum_share"),
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
     )
+
+
+@register(
+    "a22_weighted_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice,
+             sum(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT l_returnflag, min(l_extendedprice) AS weighted_median_price
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def a22_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group (price weighted by quantity): the smallest
+    value whose DECIMAL-exact cumulative weight reaches half the total —
+    the ``2·cum ≥ tot`` comparison stays in integers/decimals, so there is
+    no division or float threshold anywhere and the result is the exact
+    weighted median on both engines. One window shuffle on the group key
+    with a deterministic (price, orderkey, linenumber) order; neither
+    engine has a weighted-median builtin, so this is the portable form."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    wc = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qty).over(wc).alias("cum"),
+        F.sum(qty).over(wt).alias("tot"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
+    )

@@ -170,3 +170,32 @@ def test_abc1_classes_monotone(spark, sf_dir):
     order = {"A": 0, "B": 1, "C": 2}
     classes = [order[r["abc_class"]] for r in rows]
     assert classes == sorted(classes)
+
+
+def test_weighted_median_brute_force(spark, sf_dir):
+    from sparkfusion.session import table
+    from sparkfusion.suite.analytics_suite import a22_weighted_median
+
+    got = {
+        r["l_returnflag"]: r["weighted_median_price"]
+        for r in a22_weighted_median(spark, sf_dir).collect()
+    }
+    rows = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["l_returnflag"]].append((r["l_extendedprice"], r["l_quantity"]))
+    for g, pts in groups.items():
+        pts.sort()
+        tot = sum(q for _, q in pts)
+        cum = 0.0
+        for price, q in pts:
+            cum += q
+            if 2 * cum >= tot - 1e-9:
+                assert got[g] == price, g
+                break
