@@ -1141,3 +1141,45 @@ def a22_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("l_extendedprice").alias("weighted_median_price"))
     )
+
+
+@register(
+    "rc1_recursive_subtree",
+    oracle="""
+    WITH RECURSIVE anc(node, a) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION ALL
+      SELECT node, a // 2 FROM anc WHERE a > 1
+    )
+    SELECT a AS ancestor, count(*) AS n_subtree,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_bal
+    FROM anc JOIN customer c ON anc.node = c.c_custkey
+    GROUP BY a
+    """,
+)
+def rc1_recursive_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4 SQL surface): customers form an implicit
+    binary referral tree (parent = custkey div 2); the recursion walks every
+    node's ancestor chain, then one groupBy rolls up subtree size and
+    DECIMAL-exact subtree balance per ancestor — the hierarchy/BOM rollup
+    DataFusion users hand-write as iterative queries. Recursion depth is
+    log2(N) (~21 at sf1); each step is one self-join the engine executes
+    iteratively — the DataFrame-loop siblings (connected components,
+    PageRank at operators/graph.py) remain the explicit-control form with
+    localCheckpoint lineage management."""
+    from ..session import load_star
+
+    load_star(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, a) AS (
+          SELECT c_custkey, c_custkey FROM customer
+          UNION ALL
+          SELECT node, a div 2 FROM anc WHERE a > 1
+        )
+        SELECT a AS ancestor, count(*) AS n_subtree,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_bal
+        FROM anc JOIN customer c ON anc.node = c.c_custkey
+        GROUP BY a
+        """
+    )

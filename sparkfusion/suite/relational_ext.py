@@ -304,3 +304,35 @@ def bf1_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "j12_null_safe_join",
+    oracle="""
+    WITH l AS (SELECT nullif(o_orderstatus, 'O') AS skey FROM orders),
+    d AS (
+      SELECT * FROM (VALUES ('F', 'finished'), ('P', 'pending'), (NULL, 'open'))
+        AS t(skey, label)
+    )
+    SELECT d.label, count(*) AS n
+    FROM l JOIN d ON l.skey IS NOT DISTINCT FROM d.skey
+    GROUP BY d.label
+    """,
+)
+def j12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): open orders map
+    to a NULL dimension key and must still match the dimension's NULL row —
+    plain equality silently drops them (NULL = NULL is NULL). The null-safe
+    operator stays a hash-joinable equi-key on both engines (Spark plans
+    EqualNullSafe inside BroadcastHashJoin, no fallback to NLJ)."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("skey")
+    )
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("P", "pending"), (None, "open")], ["skey", "label"]
+    )
+    return (
+        orders.join(F.broadcast(dim), orders["skey"].eqNullSafe(dim["skey"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

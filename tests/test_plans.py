@@ -237,3 +237,19 @@ def test_o11_weighted_sample_take_ordered(spark, sf_dir):
 
     plan = plan_of(o11_weighted_sample(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    """EqualNullSafe must plan as a broadcast HASH join, not a nested loop."""
+    from sparkfusion.suite.relational_ext import j12_null_safe_join
+
+    plan = plan_of(j12_null_safe_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recursive_subtree_has_no_cartesian(spark, sf_dir):
+    from sparkfusion.suite.analytics_suite import rc1_recursive_subtree
+
+    plan = plan_of(rc1_recursive_subtree(spark, sf_dir))
+    assert "CartesianProduct" not in plan
