@@ -336,3 +336,71 @@ def j12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "u5_intersect_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity >= 25
+    INTERSECT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount >= 0.05
+    """,
+)
+def u5_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiplicity-preserving intersection (each duplicate
+    row survives min(count_left, count_right) times), vs u2's set-semantics
+    INTERSECT. Plans as a single aggregate-and-compare, no distinct."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_discount") >= 0.05).select("l_returnflag", "l_linestatus")
+    return a.intersectAll(b)
+
+
+@register(
+    "u6_except_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount >= 0.05
+    EXCEPT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity >= 25
+    """,
+)
+def u6_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference (left multiplicity minus right
+    multiplicity, floored at zero), vs u3's set-semantics EXCEPT. Sides
+    ordered so the difference is non-empty (a 0-row result would be a
+    vacuous correctness check)."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_discount") >= 0.05).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_quantity") >= 25).select("l_returnflag", "l_linestatus")
+    return a.exceptAll(b)
+
+
+@register(
+    "l1_lateral_topn",
+    oracle="""
+    SELECT n_name, c.c_custkey, c.c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) c
+    """,
+)
+def l1_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per-nation top-2 customers by balance —
+    the per-row-subquery SQL surface (Spark 4 DecorrelateInnerQuery rewrites
+    it into a ranked join; the window form w3 is the DataFrame spelling of
+    the same plan). Deterministic (acctbal DESC, custkey) order."""
+    from ..session import load_star
+
+    load_star(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(
+        """
+        SELECT n_name, c.c_custkey, c.c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
+        """
+    )
