@@ -1170,6 +1170,10 @@ def rc1_recursive_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import load_star
 
     load_star(spark, sf_dir, ("customer",))
+    # the recursion emits N·log2(N) ancestor rows; Spark's default 1M-row
+    # recursion guard trips at sf1 (150k customers × ~18 levels ≈ 2.7M).
+    # Runtime-settable, so the driver's plain session gets it too.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
     return spark.sql(
         """
         WITH RECURSIVE anc(node, a) AS (
