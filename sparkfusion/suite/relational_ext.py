@@ -404,3 +404,64 @@ def l1_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+@register(
+    "a23_bool_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           count(*) FILTER (WHERE l_tax = 0) AS n_tax_free
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a23_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate surface: count_if (FILTER clause),
+    bool_and/every, bool_or/any — the data-quality assertion aggregates
+    (exact, associative, map-side combinable)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") >= 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+    )
+
+
+@register(
+    "p24_from_xml",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(regexp_extract(x, '<key>([0-9]+)</key>', 1) AS BIGINT) AS key,
+           regexp_extract(x, '<status>([A-Z])</status>', 1) AS status
+    FROM (
+      SELECT o_orderkey,
+             '<order><key>' || o_orderkey || '</key><status>' || o_orderstatus
+               || '</status></order>' AS x
+      FROM orders
+    )
+    """,
+)
+def p24_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML parsing (Spark 4 ``from_xml``): a constructed XML payload per
+    order is parsed back through the REAL XML reader into a typed struct;
+    the oracle recovers the same fields by regexp (an engine with no XML
+    support cross-checks the decode). Completes the semi-structured trio:
+    JSON (p14/p21), VARIANT (p22), XML (p24)."""
+    orders = table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<order><key>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</key><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status></order>"),
+    )
+    return (
+        orders.select("o_orderkey", xml.alias("x"))
+        .select(
+            "o_orderkey", F.from_xml("x", "key BIGINT, status STRING").alias("v")
+        )
+        .select("o_orderkey", F.col("v.key").alias("key"), F.col("v.status").alias("status"))
+    )

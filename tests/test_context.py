@@ -60,3 +60,26 @@ def test_register_udf_sql(ctx):
     ctx.register_batch("t_two", [(21,)], schema="x int")
     assert ctx.sql("SELECT double_it(x) AS y FROM t_two").collect()[0].y == 42
     ctx.deregister_table("t_two")
+
+
+def test_observe_inline_metrics(spark, sf_dir):
+    """df.observe(): collect pipeline metrics DURING the action — no second
+    scan. The zero-extra-pass form of the dq1 profile for writes/exports."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sparkfusion.session import table
+
+    obs = Observation("export_metrics")
+    li = table(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total_price"),
+        F.count_if(F.col("l_quantity") <= 0).alias("n_bad_qty"),
+    )
+    n = observed.count()  # one action: rows counted AND metrics observed
+    m = obs.get
+    assert m["n_rows"] == n
+    assert m["n_bad_qty"] == 0
+    assert float(m["total_price"]) > 0
