@@ -168,3 +168,52 @@ def negative_pairs(
         .filter(F.col("rk") <= k)
         .select("anchor_id", "neg_id", "rk")
     )
+
+
+def fim_splits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 30,
+) -> DataFrame:
+    """Fill-in-the-middle (FIM) training splits: each document is cut into
+    (prefix, middle, suffix) at two deterministic md5-derived points — the
+    span-corruption transform FIM/infilling pretraining applies to a slice
+    of the corpus (Bavarian et al.-style), as a pure key function so the
+    same document always yields the same split across runs and engines.
+
+    Cut points: c1 in [1, L/2], c2 in (c1, L) via two md5 draws scaled by
+    integer arithmetic — SQL-expressible (the suite oracle mirrors the
+    formula). Documents shorter than ``min_len`` pass through whole as
+    prefix-only rows (middle and suffix empty). Map-only pass, no shuffle.
+    """
+    L = F.length(F.col(text_col))
+    h1 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    h2 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 9, 8), 16, 10).cast(
+        "long"
+    )
+    # c1 in [1, L/2]; c2 in [c1+1, L-1] (both 1-based substring bounds).
+    # greatest(…, 1) keeps the modulo legal for short (ineligible) docs —
+    # the WHEN below never uses those values, but ANSI mode evaluates the
+    # expression for every row and x % 0 would error
+    c1 = (h1 % F.greatest((L.cast("long") / F.lit(2)).cast("long"), F.lit(1)) + 1).cast(
+        "int"
+    )
+    c2 = c1 + (h2 % F.greatest(L.cast("long") - c1 - 1, F.lit(1))).cast("int") + 1
+    eligible = L >= min_len
+    base = df.withColumn("__c1", c1).withColumn("__c2", c2)
+    return base.select(
+        F.col(id_col),
+        F.when(eligible, F.expr(f"substring({text_col}, 1, __c1)"))
+        .otherwise(F.col(text_col))
+        .alias("prefix"),
+        F.when(eligible, F.expr(f"substring({text_col}, __c1 + 1, __c2 - __c1)"))
+        .otherwise(F.lit(""))
+        .alias("middle"),
+        F.when(eligible, F.expr(f"substring({text_col}, __c2 + 1)"))
+        .otherwise(F.lit(""))
+        .alias("suffix"),
+        eligible.alias("is_fim"),
+    )

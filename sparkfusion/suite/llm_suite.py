@@ -1495,3 +1495,41 @@ def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media = multimodal.ppm_media_table(docs, "doc_id")
     return multimodal.decode_ppm(media)
+
+
+@register(
+    "fim1_splits",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS L,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS h2
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, L,
+             CAST(h1 % greatest(L // 2, 1) + 1 AS INT) AS c1
+      FROM b
+    ),
+    d AS (
+      SELECT doc_id, text, L, c1,
+             c1 + CAST(h2 % greatest(L - c1 - 1, 1) AS INT) + 1 AS c2
+      FROM c JOIN b USING (doc_id, text, L)
+    )
+    SELECT doc_id,
+           CASE WHEN L >= 30 THEN substring(text, 1, c1) ELSE text END AS prefix,
+           CASE WHEN L >= 30 THEN substring(text, c1 + 1, c2 - c1) ELSE '' END AS middle,
+           CASE WHEN L >= 30 THEN substring(text, c2 + 1) ELSE '' END AS suffix,
+           L >= 30 AS is_fim
+    FROM d
+    """,
+)
+def fim1_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training splits: deterministic md5-derived
+    (prefix, middle, suffix) cuts per document — the span-corruption
+    transform infilling pretraining applies, reproducible across engines
+    and runs (see :func:`sparkfusion.llm.chunking.fim_splits`). Map-only."""
+    from ..llm.chunking import fim_splits
+
+    docs = table(spark, sf_dir, "documents")
+    return fim_splits(docs, "doc_id", "text", min_len=30)

@@ -100,3 +100,30 @@ def test_execute_stream_batches(spark):
     assert sum(b.num_rows for b in batches) == 2500
     all_vals = sorted(v for b in batches for v in b.column("v").to_pylist())
     assert all_vals == list(range(2500))
+
+
+def test_to_arrow_roundtrip(spark, sf_dir):
+    """Spark 4 df.toArrow(): direct pyarrow.Table interchange (C-surface
+    sibling of toPandas), values identical to the collected rows."""
+    import pyarrow as pa
+
+    from sparkfusion.session import table
+
+    nation = table(spark, sf_dir, "nation").orderBy("n_nationkey")
+    t = nation.toArrow()
+    assert isinstance(t, pa.Table)
+    assert t.num_rows == nation.count()
+    assert t.column("n_name").to_pylist() == [r["n_name"] for r in nation.collect()]
+
+
+def test_parameterized_sql(spark, sf_dir):
+    """spark.sql named parameters: injection-safe literal binding."""
+    from sparkfusion.session import load_star
+
+    load_star(spark, sf_dir, ("nation",))
+    out = spark.sql(
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey = :rk",
+        args={"rk": 1},
+    ).collect()
+    want = spark.sql("SELECT count(*) AS n FROM nation WHERE n_regionkey = 1").collect()
+    assert out == want

@@ -506,3 +506,37 @@ def test_ppm_roundtrip_bytes_and_decode(spark):
     blob = make_ppm(7)
     assert blob.startswith(b"P6\n8 6\n255\n")
     assert len(blob) == len(b"P6\n8 6\n255\n") + 8 * 6 * 3
+
+
+def test_fim_splits_reassemble(spark, sf_dir):
+    """prefix+middle+suffix must reassemble the original text exactly, with
+    non-empty middles for eligible docs and pass-through for short ones."""
+    from sparkfusion.llm.chunking import fim_splits
+    from sparkfusion.session import table
+
+    docs = table(spark, sf_dir, "documents")
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = fim_splits(docs, "doc_id", "text", min_len=30).collect()
+    assert len(out) == len(orig)
+    for r in out:
+        t = orig[r["doc_id"]]
+        if r["is_fim"]:
+            assert r["prefix"] + r["middle"] + r["suffix"] == t
+            assert len(r["prefix"]) >= 1 and len(r["middle"]) >= 1
+        else:
+            assert r["prefix"] == t and r["middle"] == "" and r["suffix"] == ""
+    # determinism
+    again = fim_splits(docs, "doc_id", "text", min_len=30).collect()
+    assert {(r["doc_id"], r["prefix"]) for r in again} == {
+        (r["doc_id"], r["prefix"]) for r in out
+    }
+
+
+def test_fim_splits_short_docs_pass_through(spark):
+    from sparkfusion.llm.chunking import fim_splits
+
+    df = spark.createDataFrame([(1, "tiny"), (2, "x" * 100)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in fim_splits(df, "doc_id", "text", min_len=30).collect()}
+    assert rows[1]["is_fim"] is False and rows[1]["prefix"] == "tiny"
+    assert rows[2]["is_fim"] is True
+    assert rows[2]["prefix"] + rows[2]["middle"] + rows[2]["suffix"] == "x" * 100
