@@ -76,6 +76,10 @@ HEADLINE = {
     "neg_pair_sample": "neg_pair_sample",
     "bpe1_pair_counts": "bpe1_pair_counts",
     "fe2_user_trend": "fe2_user_trend",
+    "mm_ppm_decode": "mm_ppm_decode",
+    "rc1_recursive_subtree": "rc1_recursive_subtree",
+    "abc1_pareto_parts": "abc1_pareto_parts",
+    "x6_grouped_map_normalize": "x6_grouped_map_normalize",
 }
 
 REPEATS = 3
