@@ -399,3 +399,24 @@ def bpe_pair_counts(df, id_col: str = "doc_id", text_col: str = "text", k: int =
         .orderBy(F.col("n").desc(), "pair")
         .limit(k)
     )
+
+
+def url_canonicalize(col: Column | str) -> Column:
+    """Canonical URL key for web-corpus dedup/aggregation: lowercase scheme
+    and host, strip a ``www.`` prefix and default ``:80``/``:443`` ports,
+    drop the fragment and ``utm_*`` tracking parameters, and tidy leftover
+    ``?``/``&`` separators. Pure regex column expression (map-only, codegen);
+    the patterns use only character classes and bounded alternations so the
+    Java-regex and RE2 dialects agree — the key every crawl pipeline groups
+    by before exact dedup.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(c, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_extract(c, r"^[A-Za-z]+://[^/?#]+([/?#].*)?$", 1)
+    rest = F.regexp_replace(rest, r"#.*$", "")          # fragment
+    rest = F.regexp_replace(rest, r"utm_[a-z]+=[^&#]*&?", "")  # tracking params
+    rest = F.regexp_replace(rest, r"[?&]+$", "")        # dangling separators
+    return F.concat(scheme, F.lit("://"), host, rest)

@@ -1533,3 +1533,51 @@ def fim1_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return fim_splits(docs, "doc_id", "text", min_len=30)
+
+
+@register(
+    "url1_canonicalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Site' || CAST(doc_id % 20 AS VARCHAR)
+               || '.COM:443/Path/' || CAST(doc_id AS VARCHAR)
+               || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+               || '&utm_campaign=x#frag' AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+               '^www\\.', ''), ':(80|443)$', '') AS host,
+             regexp_replace(regexp_replace(regexp_replace(
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+([/?#].*)?$', 1),
+               '#.*$', ''), 'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]+$', '') AS rest
+      FROM u
+    )
+    SELECT doc_id, scheme || '://' || host || rest AS canon_url
+    FROM parts
+    """,
+)
+def url1_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the dedup key every web-crawl pipeline derives
+    before grouping: case-folds scheme/host, strips www/default ports,
+    fragments and utm_* tracking params. Messy URLs are synthesized
+    deterministically per doc (uppercase host, :443, utm params mid-query,
+    fragment) so both engines normalize the same inputs. See
+    :func:`sparkfusion.llm.text.url_canonicalize`."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".COM:443/Path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+    )
+    return docs.select(
+        "doc_id", text.url_canonicalize(url).alias("canon_url")
+    )

@@ -540,3 +540,20 @@ def test_fim_splits_short_docs_pass_through(spark):
     assert rows[1]["is_fim"] is False and rows[1]["prefix"] == "tiny"
     assert rows[2]["is_fim"] is True
     assert rows[2]["prefix"] + rows[2]["middle"] + rows[2]["suffix"] == "x" * 100
+
+
+def test_url_canonicalize_cases(spark):
+    from sparkfusion.llm.text import url_canonicalize
+
+    cases = [
+        ("HTTP://WWW.EXAMPLE.COM:80/A/B?x=1#top", "http://example.com/A/B?x=1"),
+        ("https://site.org:443/p/?utm_source=a&q=2&utm_medium=b",
+         "https://site.org/p/?q=2"),
+        ("https://a.net/only?utm_campaign=x", "https://a.net/only"),
+        ("http://Host.Com", "http://host.com"),
+        ("https://h.io:8080/keep", "https://h.io:8080/keep"),  # non-default port kept
+    ]
+    df = spark.createDataFrame(cases, ["url", "want"])
+    out = df.select("want", url_canonicalize("url").alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["want"], (r["got"], r["want"])
