@@ -465,3 +465,90 @@ def p24_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", F.col("v.key").alias("key"), F.col("v.status").alias("status"))
     )
+
+
+@register(
+    "f10_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           reverse(c_name) AS rev_name,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr_seg,
+           repeat(substr(c_name, 1, 2), 2) AS rep2,
+           levenshtein(c_mktsegment, 'BUILDING') AS lev_building
+    FROM customer
+    """,
+)
+def f10_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function parity sampler (§2.8 extension): lpad / reverse /
+    translate / repeat / levenshtein — byte-deterministic on both engines."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("c_name").alias("rev_name"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("tr_seg"),
+        F.repeat(F.substring("c_name", 1, 2), 2).alias("rep2"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev_building"),
+    )
+
+
+@register(
+    "f11_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+           CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0
+    FROM orders
+    """,
+)
+def f11_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function parity sampler: date_trunc / last_day / extract
+    (year, quarter) / datediff — compared as integer epoch-µs and ISO
+    strings so calendar conventions (not engine formatting) are what's
+    checked."""
+    o = table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.unix_micros(F.date_trunc("month", ts)).alias("month_start_us"),
+        F.date_format(F.last_day(ts.cast("date")), "yyyy-MM-dd").alias("month_end"),
+        F.year(ts).alias("yr"),
+        F.quarter(ts).alias("qtr"),
+        F.datediff(ts.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch0"
+        ),
+    )
+
+
+@register(
+    "f12_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_quantity) AS BIGINT) AS qty_round,
+           CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct_floor,
+           CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+           abs(l_linenumber - 4) AS line_dist,
+           CAST(power(l_linenumber, 2) AS BIGINT) AS line_sq,
+           round(sqrt(CAST(l_quantity AS DOUBLE)), 9) AS qty_sqrt
+    FROM lineitem
+    """,
+)
+def f12_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function parity sampler: round (HALF_UP both engines) / floor /
+    ceil / abs / power / sqrt — integer-exact except the sqrt, which is
+    rounded 9 per the ulp discipline."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity").cast("long").alias("qty_round"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("disc_pct_floor"),
+        F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct_ceil"),
+        F.abs(F.col("l_linenumber") - 4).alias("line_dist"),
+        F.pow("l_linenumber", F.lit(2)).cast("long").alias("line_sq"),
+        F.round(F.sqrt(F.col("l_quantity").cast("double")), 9).alias("qty_sqrt"),
+    )
