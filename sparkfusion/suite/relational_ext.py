@@ -552,3 +552,33 @@ def f12_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow("l_linenumber", F.lit(2)).cast("long").alias("line_sq"),
         F.round(F.sqrt(F.col("l_quantity").cast("double")), 9).alias("qty_sqrt"),
     )
+
+
+@register(
+    "f13_conditional_functions",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           ifnull(nullif(c_nationkey, 0), -1) AS nation_or_neg1,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 5000.0) AS bal_cap5k,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END AS standing
+    FROM customer
+    """,
+)
+def f13_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-function parity sampler: coalesce / nullif / ifnull /
+    greatest / least / CASE — the NULL-handling surface (§2.8 extension)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.ifnull(F.nullif(F.col("c_nationkey"), F.lit(0)), F.lit(-1)).alias(
+            "nation_or_neg1"
+        ),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("c_acctbal", F.lit(5000.0)).alias("bal_cap5k"),
+        F.when(F.col("c_acctbal") < 0, "overdrawn").otherwise("ok").alias("standing"),
+    )

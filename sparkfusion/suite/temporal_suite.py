@@ -338,3 +338,34 @@ def w7_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_first").over(w_run).alias("n_types_so_far"),
         )
     )
+
+
+@register(
+    "w8_value_windows",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event,
+           nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def w8_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first_value / last_value / nth_value): per
+    event, the user's first, last, and second event ids in time order.
+    last_value/nth_value get the explicit UNBOUNDED FOLLOWING frame (the
+    default frame ends at CURRENT ROW — the classic silent-wrong-answer);
+    the unique (ts_us, event_id) order makes all three deterministic."""
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w_full).alias("last_event"),
+        F.nth_value("event_id", 2).over(w_full).alias("second_event"),
+    )
