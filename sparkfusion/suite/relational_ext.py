@@ -582,3 +582,30 @@ def f13_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("c_acctbal", F.lit(5000.0)).alias("bal_cap5k"),
         F.when(F.col("c_acctbal") < 0, "overdrawn").otherwise("ok").alias("standing"),
     )
+
+
+@register(
+    "u7_union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, NULL AS c_name FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL BY NAME
+    SELECT c_custkey AS o_orderkey, NULL AS o_totalprice, c_name
+    FROM customer WHERE c_custkey % 100 = 0
+    """,
+)
+def u7_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (``unionByName(allowMissingColumns=True)``):
+    two frames with different column sets combine by NAME, absent columns
+    null-filled — the append path when a pipeline's schema grows (positional
+    UNION would silently misalign). DuckDB mirrors with UNION ALL BY NAME."""
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 100 == 0)
+        .select(F.col("c_custkey").alias("o_orderkey"), "c_name")
+    )
+    return orders.unionByName(cust, allowMissingColumns=True)

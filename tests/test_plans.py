@@ -253,3 +253,39 @@ def test_recursive_subtree_has_no_cartesian(spark, sf_dir):
 
     plan = plan_of(rc1_recursive_subtree(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_join_strategy_hints(spark, sf_dir):
+    """Join-strategy hints are respected: shuffle_hash → ShuffledHashJoin,
+    merge → SortMergeJoin, broadcast → BroadcastHashJoin — the manual
+    override surface when AQE's choice must be pinned."""
+    from sparkfusion.session import table
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    p_sh = plan_of(orders.join(cust.hint("shuffle_hash"), orders["o_custkey"] == cust["c_custkey"]))
+    assert "ShuffledHashJoin" in p_sh
+    p_m = plan_of(orders.join(cust.hint("merge"), orders["o_custkey"] == cust["c_custkey"]))
+    assert "SortMergeJoin" in p_m
+    p_b = plan_of(orders.join(cust.hint("broadcast"), orders["o_custkey"] == cust["c_custkey"]))
+    assert "BroadcastHashJoin" in p_b
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a hive-partitioned fact with a filtered dim must inject a
+    dynamic partition-pruning subquery into the fact scan — at 100 TB this
+    is what keeps a star join from reading every date partition."""
+    from pyspark.sql import functions as F
+
+    from sparkfusion.session import table
+
+    path = str(tmp_path / "orders_part")
+    orders = table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame([("F", "finished")], ["status", "label"]).filter(
+        F.col("label") == "finished"
+    )
+    joined = fact.join(dim, fact["o_orderstatus"] == dim["status"])
+    plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan or "partitionfilters: [isnotnull(o_orderstatus" in plan
