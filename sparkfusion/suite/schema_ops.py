@@ -360,3 +360,31 @@ def p22_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "p25_explode_outer",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> length(x) >= 8) AS longw
+      FROM documents
+    )
+    SELECT doc_id, t.w AS long_word
+    FROM d, UNNEST(CASE WHEN len(longw) = 0 THEN [NULL] ELSE longw END) AS t(w)
+    """,
+)
+def p25_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` — generator that PRESERVES rows with empty arrays
+    (NULL element) where plain explode silently drops the document: the
+    difference between "doc has no long words" being queryable and the doc
+    vanishing from the output. Oracle emulates with a [NULL] substitution
+    before UNNEST."""
+    from ..llm.text import words
+
+    docs = table(spark, sf_dir, "documents")
+    longw = F.filter(words(F.lower(F.col("text"))), lambda w: F.length(w) >= 8)
+    return docs.select("doc_id", longw.alias("longw")).select(
+        "doc_id", F.explode_outer("longw").alias("long_word")
+    )
