@@ -609,3 +609,53 @@ def u7_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("o_orderkey"), "c_name")
     )
     return orders.unionByName(cust, allowMissingColumns=True)
+
+
+@register(
+    "a25_bit_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS and_line,
+           bit_or(l_linenumber) AS or_line,
+           bit_xor(l_linenumber) AS xor_line
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a25_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and / bit_or / bit_xor) — associative and
+    commutative by construction, so partitioning can never change them; the
+    flag-mask reduction surface."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("and_line"),
+        F.bit_or("l_linenumber").alias("or_line"),
+        F.bit_xor("l_linenumber").alias("xor_line"),
+    )
+
+
+@register(
+    "p26_csv_expr",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ','
+             || CAST(o_custkey AS VARCHAR) AS csv_row,
+           o_custkey AS parsed_custkey
+    FROM orders
+    """,
+)
+def p26_csv_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV codec EXPRESSIONS (`to_csv` / `from_csv`): encode a struct to a
+    CSV line and parse it back per row — the single-row sibling of the file
+    CSV source (S1) and of the JSON expr pair (p14/p21); roundtrip proven by
+    emitting a field parsed back out of the encoded line."""
+    o = table(spark, sf_dir, "orders")
+    enc = o.select(
+        "o_orderkey",
+        F.to_csv(F.struct("o_orderkey", "o_orderstatus", "o_custkey")).alias("csv_row"),
+    )
+    schema = "o_orderkey BIGINT, o_orderstatus STRING, o_custkey BIGINT"
+    return enc.select(
+        "o_orderkey",
+        "csv_row",
+        F.from_csv("csv_row", schema).getField("o_custkey").alias("parsed_custkey"),
+    )

@@ -127,3 +127,31 @@ def test_parameterized_sql(spark, sf_dir):
     ).collect()
     want = spark.sql("SELECT count(*) AS n FROM nation WHERE n_regionkey = 1").collect()
     assert out == want
+
+
+def test_map_in_arrow_matches_expression(spark, sf_dir):
+    """mapInArrow: RecordBatch-level transform (no pandas materialization) —
+    the lowest-overhead Python batch hook; results equal the pure-expression
+    form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql import functions as F
+    from sparkfusion.session import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+    def scale(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pc.multiply(b.column(1), 2.0)],
+                names=["l_orderkey", "qty2"],
+            )
+
+    got = (
+        li.mapInArrow(scale, "l_orderkey long, qty2 double")
+        .agg(F.sum("qty2").alias("s"))
+        .first()["s"]
+    )
+    want = li.agg(F.sum(F.col("l_quantity") * 2.0).alias("s")).first()["s"]
+    assert got == want
