@@ -659,3 +659,31 @@ def p26_csv_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "csv_row",
         F.from_csv("csv_row", schema).getField("o_custkey").alias("parsed_custkey"),
     )
+
+
+@register(
+    "f14_hash_encoding_functions",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           to_base64(encode(c_name)) AS name_b64,
+           to_hex(c_custkey) AS key_hex,
+           decode(from_base64(to_base64(encode(c_name)))) AS b64_roundtrip
+    FROM customer
+    """,
+)
+def f14_hash_encoding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash + binary-encoding parity sampler: md5 / sha2-256 / base64 / hex
+    with a base64 decode roundtrip — the content-addressing and wire-format
+    surface (fingerprints, cache keys, payload transport)."""
+    c = table(spark, sf_dir, "customer")
+    b64 = F.base64(F.col("c_name").cast("binary"))
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        b64.alias("name_b64"),
+        F.hex("c_custkey").alias("key_hex"),
+        F.unbase64(b64).cast("string").alias("b64_roundtrip"),
+    )
