@@ -687,3 +687,28 @@ def f14_hash_encoding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("c_custkey").alias("key_hex"),
         F.unbase64(b64).cast("string").alias("b64_roundtrip"),
     )
+
+
+@register(
+    "a26_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def a26_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP, SQL:2016 —
+    Spark 4 surface): nation names per region concatenated in a
+    DETERMINISTIC order — without the WITHIN GROUP order the result depends
+    on partition arrival order, the classic listagg flakiness."""
+    from ..session import load_star
+
+    load_star(spark, sf_dir, ("nation",))
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey
+        """
+    )
