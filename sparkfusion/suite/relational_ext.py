@@ -712,3 +712,27 @@ def a26_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation GROUP BY n_regionkey
         """
     )
+
+
+@register(
+    "a27_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_prio,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def a27_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags on ROLLUP: distinguish a NULL that came FROM the
+    data from a NULL meaning 'all values' at a rollup level — without the
+    flag, subtotal rows are ambiguous (the classic rollup-consumption bug).
+    a8 is the plain rollup; this is how a consumer reads it safely."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+    )

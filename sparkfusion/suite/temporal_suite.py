@@ -369,3 +369,29 @@ def w8_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_id").over(w_full).alias("last_event"),
         F.nth_value("event_id", 2).over(w_full).alias("second_event"),
     )
+
+
+@register(
+    "w10_rank_with_ties",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             rank() OVER (PARTITION BY c_mktsegment
+                          ORDER BY round(c_acctbal, -2) DESC) AS rnk
+      FROM customer
+    ) WHERE rnk <= 3
+    """,
+)
+def w10_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITH ties (rank() ≤ k): equal keys all survive — the
+    semantic w3's row_number top-k cannot express (row_number arbitrarily
+    drops tied rows without a tiebreak; rank keeps them and may return more
+    than k). Balances rounded to hundreds so ties actually occur."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.round("c_acctbal", -2).desc())
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -235,3 +235,46 @@ def fe2_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num.cast("double") / den.cast("double"), 9).alias("slope_q"),
         )
     )
+
+
+@register(
+    "ts6_ewma",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vals) AS INT) AS n,
+           round(list_reduce(vals, (acc, x) -> acc * 0.8 + x * 0.2), 9) AS ewma
+    FROM ordered
+    """,
+)
+def ts6_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.2) per user — the
+    recurrence ``acc = 0.8·acc + 0.2·x`` is inherently sequential, so no
+    window function expresses it; instead the ordered value list folds
+    through a higher-order ``aggregate`` (seeded with the first element to
+    match DuckDB's ``list_reduce``). The fold is sequential on BOTH engines
+    → bit-deterministic, rounded 9. Scale note: per-entity history must fit
+    one task (bounded sessions/devices); unbounded streams use the
+    incremental form — EWMA is itself a one-value-state streaming update."""
+    ev = events_with_ts(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    ordered = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts_us", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2),
+    )
+    return ordered.select(
+        "user_id", F.size("vals").alias("n"), F.round(fold, 9).alias("ewma")
+    )
