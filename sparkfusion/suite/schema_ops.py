@@ -388,3 +388,27 @@ def p25_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", longw.alias("longw")).select(
         "doc_id", F.explode_outer("longw").alias("long_word")
     )
+
+
+@register(
+    "p28_map_roundtrip",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def p28_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per-user counts assemble into a
+    ``map<event_type, count>`` column (``map_from_entries``) and explode
+    back to rows — the complex-type sibling of the struct round-trip
+    (p15/p16). Maps never appear in the compared output (map hashing is
+    engine-specific, like raw structs); the round-trip proves the type
+    plumbing while the oracle checks the recovered rows."""
+    from ..session import table
+
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    as_map = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    return as_map.select("user_id", F.explode("m").alias("event_type", "n"))

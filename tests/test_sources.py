@@ -73,3 +73,27 @@ def test_csv_no_header_naming(spark, tmp_path):
     df = read_csv_no_header(spark, p)
     assert df.columns == ["column_1", "column_2"]
     assert df.count() == 2
+
+
+def test_input_file_name_lineage(spark, sf_dir, tmp_path):
+    """input_file_name(): row-level file provenance — per-file row counts
+    from the lineage column must match the parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sparkfusion.session import table
+
+    path = str(tmp_path / "orders4")
+    table(spark, sf_dir, "orders").repartition(4).write.mode("overwrite").parquet(path)
+    per_file = {
+        r["f"].replace("file://", ""): r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(per_file) == 4
+    for f in glob.glob(path + "/*.parquet"):
+        assert per_file[f] == pq.ParquetFile(f).metadata.num_rows
