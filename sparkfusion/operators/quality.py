@@ -116,3 +116,27 @@ def keep_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def schema_diff(old_df: DataFrame, new_df: DataFrame) -> DataFrame:
+    """Schema drift between two frame versions as data: one row per added /
+    removed / retyped column — the governance check a pipeline runs before
+    appending a new batch to an existing dataset (silent type widening and
+    column loss are the classic slow-corruption bugs). Schema objects are
+    driver-side metadata (like the C-series interchange ops), so the diff
+    builds a literal frame; columns: (column, change, old_type, new_type).
+    """
+    old = {f.name: f.dataType.simpleString() for f in old_df.schema.fields}
+    new = {f.name: f.dataType.simpleString() for f in new_df.schema.fields}
+    rows = []
+    for name in sorted(old.keys() | new.keys()):
+        if name not in new:
+            rows.append((name, "removed", old[name], None))
+        elif name not in old:
+            rows.append((name, "added", None, new[name]))
+        elif old[name] != new[name]:
+            rows.append((name, "retyped", old[name], new[name]))
+    spark = old_df.sparkSession
+    return spark.createDataFrame(
+        rows, "col_name string, change string, old_type string, new_type string"
+    )

@@ -312,3 +312,29 @@ def dq5_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
     )
+
+
+@register(
+    "dq6_schema_drift",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('o_orderpriority', 'removed', 'string', NULL),
+      ('o_refund_flag', 'added', NULL, 'boolean'),
+      ('o_totalprice', 'retyped', 'double', 'decimal(12,2)')
+    ) AS t(col_name, change, old_type, new_type)
+    """,
+)
+def dq6_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift detection: a new batch of orders drops a column, adds
+    one, and retypes the money column — the diff surfaces every change as
+    rows BEFORE the append corrupts the dataset. See
+    :func:`sparkfusion.operators.quality.schema_diff`."""
+    from ..operators.quality import schema_diff
+
+    old = table(spark, sf_dir, "orders")
+    new = (
+        old.drop("o_orderpriority")
+        .withColumn("o_refund_flag", F.lit(False))
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(12,2)"))
+    )
+    return schema_diff(old, new)

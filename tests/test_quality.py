@@ -72,3 +72,18 @@ def test_psi_drift_terms_sane(spark, sf_dir):
 
     n = table(spark, sf_dir, "events").count()
     assert sum(r["n_base"] + r["n_cur"] for r in rows) == n
+
+
+def test_schema_diff_identity_and_cases(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparkfusion.operators.quality import schema_diff
+    from sparkfusion.session import table
+
+    orders = table(spark, sf_dir, "orders")
+    assert schema_diff(orders, orders).count() == 0  # identical → empty
+    changed = orders.withColumn("o_orderkey", F.col("o_orderkey").cast("int"))
+    rows = schema_diff(orders, changed).collect()
+    assert len(rows) == 1
+    assert (rows[0]["col_name"], rows[0]["change"]) == ("o_orderkey", "retyped")
+    assert rows[0]["old_type"] == "bigint" and rows[0]["new_type"] == "int"
