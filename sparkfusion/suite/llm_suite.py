@@ -1581,3 +1581,42 @@ def url1_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", text.url_canonicalize(url).alias("canon_url")
     )
+
+
+@register(
+    "arr2_set_ops",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_distinct(list_filter({_W}, x -> length(x) <= 4)) AS short_w,
+             list_distinct(list_filter({_W}, x -> contains(x, 'a'))) AS a_w
+      FROM documents
+    )
+    SELECT doc_id,
+           len(list_distinct(list_concat(short_w, a_w))) AS n_union,
+           len(list_intersect(short_w, a_w)) AS n_intersect,
+           len(list_filter(short_w, x -> NOT list_contains(a_w, x))) AS n_except,
+           len(list_intersect(short_w, a_w)) > 0 AS has_overlap
+    FROM w
+    """,
+)
+def arr2_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array SET operations (array_union / array_intersect / array_except /
+    arrays_overlap — all distinct-semantics): vocabulary overlap between two
+    per-document word sets. Compared by SIZE (element order of set results
+    is engine-specific, cardinalities are not) — completes the array surface
+    next to arr_functions' transform/fold/filter."""
+    from ..llm.text import words
+
+    docs = table(spark, sf_dir, "documents")
+    w = words(F.lower(F.col("text")))
+    short_w = F.array_distinct(F.filter(w, lambda x: F.length(x) <= 4))
+    a_w = F.array_distinct(F.filter(w, lambda x: x.contains("a")))
+    base = docs.select("doc_id", short_w.alias("s"), a_w.alias("a"))
+    return base.select(
+        "doc_id",
+        F.size(F.array_union("s", "a")).alias("n_union"),
+        F.size(F.array_intersect("s", "a")).alias("n_intersect"),
+        F.size(F.array_except("s", "a")).alias("n_except"),
+        F.arrays_overlap("s", "a").alias("has_overlap"),
+    )
