@@ -736,3 +736,32 @@ def a27_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("int").alias("g_prio"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "f16_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           epoch_us(o_orderdate + INTERVAL 1 MONTH) AS plus_month_us,
+           strftime(CAST(o_orderdate AS DATE) + 45, '%Y-%m-%d') AS ship_by,
+           (2026 - CAST(extract(year FROM o_orderdate) AS INT)) * 12
+             + (8 - CAST(extract(month FROM o_orderdate) AS INT)) AS cal_months_to_ref
+    FROM orders
+    """,
+)
+def f16_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/interval arithmetic sampler: +1 MONTH (both engines clamp
+    Jan 31 → Feb 29), +45 days, and whole-calendar-month distance to a fixed
+    reference — compared as epoch-µs and ISO strings. (``months_between``'s
+    fractional-month rules differ across engines, so the portable form is
+    integer year/month arithmetic.)"""
+    o = table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.unix_micros(ts + F.expr("INTERVAL 1 MONTH")).alias("plus_month_us"),
+        F.date_format(F.date_add(ts.cast("date"), 45), "yyyy-MM-dd").alias("ship_by"),
+        ((F.lit(2026) - F.year(ts)) * 12 + (F.lit(8) - F.month(ts))).alias(
+            "cal_months_to_ref"
+        ),
+    )
