@@ -38,10 +38,14 @@ FORMAT_NAME = "sparkfusion_docs"
 _KNUTH = 2654435761
 
 
-def synth_row(i: int) -> tuple[int, int, float]:
-    """The pure row function: (doc_id, bucket, score) for row id ``i``.
-    Integer math only → bit-identical in any engine."""
-    return (i, i % 7, ((i * _KNUTH) % 1000) / 1000.0)
+def synth_row(i: int) -> tuple[int, int, int, float]:
+    """The pure row function: (doc_id, bucket, milli, score) for row id
+    ``i``. The integer ``milli`` column is the comparison contract — all
+    integer math, bit-identical in any engine; ``score = milli/1000`` is the
+    derived float kept for realism but NEVER part of an oracle (the r5
+    driver hash mismatch on s21/s22 traced to the float→round roundtrip)."""
+    m = (i * _KNUTH) % 1000
+    return (i, i % 7, m, m / 1000.0)
 
 
 class RangeDocsReader(DataSourceReader):
@@ -115,7 +119,7 @@ class RangeDocsDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> str:
-        return "doc_id bigint, bucket int, score double"
+        return "doc_id bigint, bucket int, milli bigint, score double"
 
     def reader(self, schema) -> RangeDocsReader:
         return RangeDocsReader(self.options)
@@ -200,14 +204,25 @@ class JsonlDirWriter(DataSourceWriter):
     def commit(self, messages):
         import os
 
-        if self.overwrite:
-            for name in os.listdir(self.path):
-                if name.endswith(".jsonl"):
-                    os.remove(os.path.join(self.path, name))
+        # invalidate the previous generation FIRST so no reader ever sees a
+        # _SUCCESS marker alongside partially-deleted data, then sweep both
+        # stale .jsonl files (overwrite) and orphan .jsonl.tmp left by dead
+        # or speculatively-retried tasks that are NOT in this commit's
+        # message list — an orphan tmp promoted later would double-count.
+        success = os.path.join(self.path, "_SUCCESS")
+        if os.path.exists(success):
+            os.remove(success)
+        committed = {m.tmp_path for m in messages if m is not None}
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if name.endswith(".jsonl.tmp") and full not in committed:
+                os.remove(full)
+            elif name.endswith(".jsonl") and self.overwrite:
+                os.remove(full)
         for m in messages:
             if m is not None:
                 os.replace(m.tmp_path, m.tmp_path[: -len(".tmp")])
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+        with open(success, "w") as f:
             f.write("")
 
     def abort(self, messages):

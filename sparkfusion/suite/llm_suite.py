@@ -460,27 +460,61 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH wc AS (
       SELECT lang, n_chars, len({_W}) AS nw FROM documents
+    ),
+    r AS (
+      SELECT lang, n_chars, nw,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+             count(*)     OVER (PARTITION BY lang) AS cnt
+      FROM wc
     )
     SELECT lang,
            COUNT(*) AS n_docs,
            SUM(nw) AS total_words,
-           round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
-           round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
-    FROM wc GROUP BY lang
+           MAX(CASE WHEN rk = (cnt - 1) // 2 + 1 THEN n_chars END) AS median_lo,
+           MAX(CASE WHEN rk = cnt // 2 + 1 THEN n_chars END) AS median_hi,
+           MAX(CASE WHEN rk = ((cnt - 1) * 9) // 10 + 1 THEN n_chars END) AS p90_lo,
+           MAX(CASE WHEN rk = ((cnt - 1) * 9 + 9) // 10 + 1 THEN n_chars END) AS p90_hi
+    FROM r GROUP BY lang
     """,
 )
 def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus report: doc counts, total words, EXACT median/p90
-    document length (``percentile``, not ``percentile_approx`` — at report
-    granularity the exact sort-based percentile is affordable and
-    cross-engine comparable; both engines use linear interpolation, rounded
-    to 6 dp to absorb last-ulp fold differences). One shuffle on lang."""
+    document length as the two STRADDLING rank values (all-integer contract:
+    lo = value at 0-indexed rank floor((n-1)·q), hi = at ceil((n-1)·q) —
+    interpolation is just their midpoint, but emitting the straddles avoids
+    the float fold entirely; the r5 driver hash flip was a 1-ulp
+    interpolated-percentile difference at the 6th decimal). One shuffle on
+    lang: the rank window sorts within each language partition, same cost
+    shape as the exact percentile it replaces."""
+    from pyspark.sql.window import Window
+
     docs = table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
+    wc = docs.select(
+        "lang",
+        F.col("n_chars"),
+        text.word_count("text").alias("nw"),
+    )
+    lang_w = Window.partitionBy("lang")
+    r = wc.select(
+        "lang",
+        "n_chars",
+        "nw",
+        F.row_number().over(lang_w.orderBy("n_chars")).alias("rk"),
+        F.count(F.lit(1)).over(lang_w).alias("cnt"),
+    )
+
+    def at_rank(rank_expr: str, name: str):
+        return F.max(
+            F.when(F.col("rk") == F.expr(rank_expr), F.col("n_chars"))
+        ).alias(name)
+
+    return r.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(text.word_count("text")).alias("total_words"),
-        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("median_chars"),
-        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90_chars"),
+        F.sum("nw").alias("total_words"),
+        at_rank("(cnt - 1) div 2 + 1", "median_lo"),
+        at_rank("cnt div 2 + 1", "median_hi"),
+        at_rank("((cnt - 1) * 9) div 10 + 1", "p90_lo"),
+        at_rank("((cnt - 1) * 9 + 9) div 10 + 1", "p90_hi"),
     )
 
 

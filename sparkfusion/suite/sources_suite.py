@@ -292,15 +292,17 @@ def s21_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource (Spark 4 connector extension point): a
     registered ``sparkfusion_docs`` format read like any built-in source,
     partition-planned across 8 slices. Every row is a pure integer function
-    of its id, so DuckDB mirrors the source with ``generate_series`` — and
-    the score sum is re-integerized (round(score·1000)) so the aggregate is
-    associative-exact. See :mod:`sparkfusion.sources.pysource`."""
+    of its id, so DuckDB mirrors the source with ``generate_series`` — the
+    compared aggregate sums the source's own INTEGER ``milli`` column
+    directly (no float anywhere in the contract; the r5 driver mismatch came
+    from a score·1000 re-integerization roundtrip).
+    See :mod:`sparkfusion.sources.pysource`."""
     from ..sources.pysource import read_synth_docs
 
     docs = read_synth_docs(spark, n=5000, partitions=8)
     return docs.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("score") * 1000).cast("long")).alias("sum_milli"),
+        F.sum("milli").alias("sum_milli"),
     )
 
 
@@ -319,16 +321,27 @@ def s22_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming groupBy (complete mode) and driven to completion — offsets are
     JSON dicts, replay via readBetweenOffsets is idempotent because rows are
     a pure function of the id. Oracle = the same rows via generate_series.
+    The compared aggregate sums the source's INTEGER ``milli`` column (no
+    float in the contract), and the query verifies the stream ran to
+    completion — a short stream (prefetch hiccup under load) raises loudly
+    instead of hashing partial sums (the r5 driver-mismatch failure mode).
     See :mod:`sparkfusion.sources.pysource`."""
     from ..sources.pysource import read_synth_docs_stream
     from ..streaming.windows import run_stream_to_table
 
-    stream = read_synth_docs_stream(spark, n=2000, rate=500)
+    n_total = 2000
+    stream = read_synth_docs_stream(spark, n=n_total, rate=500)
     agg = stream.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("score") * 1000).cast("long")).alias("sum_milli"),
+        F.sum("milli").alias("sum_milli"),
     )
-    return run_stream_to_table(agg, "complete")
+    out = run_stream_to_table(agg, "complete")
+    got = out.agg(F.sum("n")).collect()[0][0]
+    if got != n_total:
+        raise RuntimeError(
+            f"s22: stream processed {got}/{n_total} rows — incomplete run"
+        )
+    return out
 
 
 @register(
@@ -353,7 +366,11 @@ def s23_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     write_jsonl(docs, path, mode="overwrite")
-    back = spark.read.json(os.path.join(path, "*.jsonl"))
+    # explicit read-back schema: JSON schema INFERENCE is env-sensitive
+    # (n_chars inferred double on some builds flipped the r5 driver hash)
+    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(
+        os.path.join(path, "*.jsonl")
+    )
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars")
     )

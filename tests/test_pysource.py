@@ -11,10 +11,10 @@ def test_partition_planning_and_rows(spark):
     df = read_synth_docs(spark, n=1000, partitions=8)
     assert df.rdd.getNumPartitions() == 8
     assert df.count() == 1000
-    rows = {r["doc_id"]: (r["bucket"], r["score"]) for r in df.collect()}
+    rows = {r["doc_id"]: (r["bucket"], r["milli"], r["score"]) for r in df.collect()}
     for i in (0, 1, 999, 500):
-        _, b, s = synth_row(i)
-        assert rows[i] == (b, s)
+        _, b, m, s = synth_row(i)
+        assert rows[i] == (b, m, s)
 
 
 def test_uneven_and_tiny_ranges(spark):
@@ -126,6 +126,34 @@ def test_jsonl_abort_removes_temps(tmp_path):
     open(tmp, "w").write("{}\n")
     w.abort([_JsonlCommit(tmp, 1), None])
     assert not os.path.exists(tmp)
+
+
+def test_jsonl_commit_sweeps_orphan_tmp_and_reorders_success(tmp_path):
+    """commit() must delete orphan temps from dead/speculative tasks (they'd
+    otherwise double-count if ever promoted) and must remove the previous
+    generation's _SUCCESS before touching data files (no reader window where
+    a success marker coexists with partially-deleted data)."""
+    import os
+
+    from sparkfusion.sources.pysource import JsonlDirWriter, _JsonlCommit
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    # previous generation: a data file + success marker
+    open(os.path.join(d, "part-old.jsonl"), "w").write('{"id": 0}\n')
+    open(os.path.join(d, "_SUCCESS"), "w").write("")
+    # an orphan temp from a task not in the commit list
+    orphan = os.path.join(d, "part-orphan.jsonl.tmp")
+    open(orphan, "w").write('{"id": 99}\n')
+    # the real committed temp
+    good = os.path.join(d, "part-good.jsonl.tmp")
+    open(good, "w").write('{"id": 1}\n')
+
+    w = JsonlDirWriter({"path": d}, overwrite=True)
+    w.commit([_JsonlCommit(good, 1), None])
+
+    names = sorted(os.listdir(d))
+    assert names == ["_SUCCESS", "part-good.jsonl"]
 
 
 def test_jsonl_requires_path():

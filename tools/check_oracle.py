@@ -5,7 +5,14 @@ against the same sf parquet tables, then compares row count, column names and
 order-insensitive values. Use while iterating so oracle mismatches are caught
 before the driver's per-round check.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [query ...] [--json OUT.json]
+           [--plain] [--dump-mismatch DIR]
+
+``--plain`` runs the queries on a PLAIN SparkSession (no sparkfusion confs,
+local[8]) — exactly what the external driver does, so conf-dependence
+regressions surface here first. ``--dump-mismatch DIR`` writes both engines'
+normalized rows for every failing query to ``DIR/<query>.{spark,duckdb}.txt``
+so a value mismatch pins the exact differing cell post-hoc.
 """
 
 from __future__ import annotations
@@ -44,6 +51,18 @@ def normalize(df) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+def _dump_rows(dump_dir: str, name: str, engine: str, cols, rows) -> None:
+    """Write one engine's normalized result for a failing query."""
+    import os
+
+    os.makedirs(dump_dir, exist_ok=True)
+    path = os.path.join(dump_dir, f"{name}.{engine}.txt")
+    with open(path, "w") as f:
+        f.write("\t".join(cols) + "\n")
+        for r in rows:
+            f.write(repr(r) + "\n")
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     json_out = None
@@ -53,6 +72,16 @@ def main() -> int:
             sys.exit("usage: check_oracle.py [SF_DIR] [QUERY...] [--json OUT.json]")
         json_out = args[i + 1]
         del args[i : i + 2]
+    dump_dir = None
+    if "--dump-mismatch" in args:
+        i = args.index("--dump-mismatch")
+        if i + 1 >= len(args):
+            sys.exit("--dump-mismatch requires a directory argument")
+        dump_dir = args[i + 1]
+        del args[i : i + 2]
+    plain = "--plain" in args
+    if plain:
+        args.remove("--plain")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     results: dict[str, dict] = {}
@@ -62,7 +91,19 @@ def main() -> int:
 
     import os
 
-    spark = get_session("check_oracle")
+    if plain:
+        # mirror the external driver: its own SparkSession, no sparkfusion
+        # confs — any query that silently depends on get_session()'s confs
+        # fails here before the driver finds it
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_oracle_plain")
+            .getOrCreate()
+        )
+    else:
+        spark = get_session("check_oracle")
     con = duckdb.connect()
     for t in STAR_TABLES:
         path = f"{sf_dir}/{t}.parquet"
@@ -106,6 +147,9 @@ def main() -> int:
             print(f"FAIL {name}: rowcount {len(srows)} != {len(orows)}")
             results[name] = {"status": "rowcount_mismatch"}
             n_fail += 1
+            if dump_dir:
+                _dump_rows(dump_dir, name, "spark", scols, srows)
+                _dump_rows(dump_dir, name, "duckdb", ocols, orows)
         elif srows != orows:
             diff = next(
                 (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
@@ -115,6 +159,9 @@ def main() -> int:
             print(f"  duckdb: {diff[2]}")
             results[name] = {"status": "value_mismatch"}
             n_fail += 1
+            if dump_dir:
+                _dump_rows(dump_dir, name, "spark", scols, srows)
+                _dump_rows(dump_dir, name, "duckdb", ocols, orows)
         else:
             print(f"PASS {name} ({len(srows)} rows, {elapsed:.1f}s)")
             results[name] = {
