@@ -140,11 +140,18 @@ def bloom_semi_join(
     keys = small.select(F.col(small_key).alias(small_key)).where(
         F.col(small_key).isNotNull()
     )
-    # the bitmap feeds num_hashes probe joins; cache() pins the (≤ num_bits/64
-    # row, i.e. kilobyte) aggregate so the build side is scanned once, not
-    # once per hash — plan-level ReuseExchange is not guaranteed across the
-    # per-join dataset aliases
-    bitmap = bloom_bitmap(keys, small_key, num_bits, num_hashes).cache()
+    # the bitmap feeds num_hashes probe joins, so the build side must be
+    # computed once, not once per hash (plan-level ReuseExchange is not
+    # guaranteed across the per-join dataset aliases). localCheckpoint, not
+    # cache(): a cache() entry lives in the CacheManager until an explicit
+    # unpersist — repeated invocations (correctness sweeps, bench REPEATS)
+    # would accumulate pinned storage for the session lifetime — whereas
+    # checkpoint blocks are released by the ContextCleaner when the frame is
+    # garbage collected. The bitmap is ≤ num_bits/64 rows (kilobytes), so the
+    # eager materialization is negligible.
+    bitmap = bloom_bitmap(keys, small_key, num_bits, num_hashes).localCheckpoint(
+        eager=True
+    )
     pruned = bloom_might_contain(big, bitmap, big_key, num_bits, num_hashes)
     return pruned.join(keys, pruned[big_key] == keys[small_key], "left_semi")
 

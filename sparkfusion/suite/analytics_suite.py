@@ -1172,18 +1172,29 @@ def rc1_recursive_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_star(spark, sf_dir, ("customer",))
     # the recursion emits N·log2(N) ancestor rows; Spark's default 1M-row
     # recursion guard trips at sf1 (150k customers × ~18 levels ≈ 2.7M).
-    # Runtime-settable, so the driver's plain session gets it too.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
-    return spark.sql(
-        """
-        WITH RECURSIVE anc(node, a) AS (
-          SELECT c_custkey, c_custkey FROM customer
-          UNION ALL
-          SELECT node, a div 2 FROM anc WHERE a > 1
-        )
-        SELECT a AS ancestor, count(*) AS n_subtree,
-               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_bal
-        FROM anc JOIN customer c ON anc.node = c.c_custkey
-        GROUP BY a
-        """
-    )
+    # Raise it ONLY for the duration of this query's execution: the result is
+    # materialized via localCheckpoint while the limit is up, and the prior
+    # value is restored in the finally — leaving the guard raised would strip
+    # the session's runaway-recursion protection for every later query.
+    limit_key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(limit_key, None)
+    spark.conf.set(limit_key, "100000000")
+    try:
+        return spark.sql(
+            """
+            WITH RECURSIVE anc(node, a) AS (
+              SELECT c_custkey, c_custkey FROM customer
+              UNION ALL
+              SELECT node, a div 2 FROM anc WHERE a > 1
+            )
+            SELECT a AS ancestor, count(*) AS n_subtree,
+                   CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_bal
+            FROM anc JOIN customer c ON anc.node = c.c_custkey
+            GROUP BY a
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset(limit_key)
+        else:
+            spark.conf.set(limit_key, prior)
