@@ -7,6 +7,15 @@ text analysis) compose built-ins or Arrow-batched pandas UDFs. No driver-side
 materialization in the hot path.
 """
 
+from .errors import (
+    ConvergenceError,
+    DecodeError,
+    EnvironmentGateError,
+    PlanError,
+    SchemaError,
+    SourceError,
+    SparkfusionError,
+)
 from .session import DEFAULT_SF_DIR, STAR_TABLES, get_session, load_star, table
 
 __version__ = "0.1.0"
@@ -17,5 +26,12 @@ __all__ = [
     "table",
     "DEFAULT_SF_DIR",
     "STAR_TABLES",
+    "SparkfusionError",
+    "PlanError",
+    "SchemaError",
+    "SourceError",
+    "DecodeError",
+    "EnvironmentGateError",
+    "ConvergenceError",
     "__version__",
 ]

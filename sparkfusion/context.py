@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .session import get_session
+from .errors import PlanError
 from .sources import (
     get_empty_df,
     read_batch,
@@ -56,7 +57,7 @@ class SessionContext:
 
         dfs = [read_batch(self.spark, b, schema=schema) for b in batches]
         if not dfs:
-            raise ValueError("read_batches: need at least one batch")
+            raise PlanError("read_batches: need at least one batch")
         return reduce(DataFrame.unionByName, dfs)
 
     def read_empty(self) -> DataFrame:

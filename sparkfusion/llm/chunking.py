@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..errors import PlanError
 
 
 def chunk_sliding(
@@ -36,7 +37,7 @@ def chunk_sliding(
     yields one empty chunk (start 0), so no document silently disappears.
     """
     if size <= 0 or stride <= 0:
-        raise ValueError("chunk_sliding: size and stride must be positive")
+        raise PlanError("chunk_sliding: size and stride must be positive")
     starts = F.sequence(
         F.lit(0),
         F.greatest(F.length(F.col(text_col)) - 1, F.lit(0)),
@@ -65,7 +66,7 @@ def assign_split(
     """
     total = sum(p for _, p in fractions)
     if total != 100:
-        raise ValueError(f"assign_split: fractions must sum to 100, got {total}")
+        raise PlanError(f"assign_split: fractions must sum to 100, got {total}")
     bucket = (
         F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
     )
@@ -135,9 +136,9 @@ def negative_pairs(
     key and the window on the anchor id.
     """
     if n_buckets < 2:
-        raise ValueError(f"negative_pairs: n_buckets must be >= 2, got {n_buckets}")
+        raise PlanError(f"negative_pairs: n_buckets must be >= 2, got {n_buckets}")
     if k < 1:
-        raise ValueError(f"negative_pairs: k must be >= 1, got {k}")
+        raise PlanError(f"negative_pairs: k must be >= 1, got {k}")
     from pyspark.sql import Window
 
     bucket = (

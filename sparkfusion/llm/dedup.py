@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint, words
+from ..errors import ConvergenceError, PlanError
 
 # ---------------------------------------------------------------------------
 # shingling
@@ -232,7 +233,7 @@ def base_hash32(col: Column, hash_fn: str = "md5") -> Column:
         return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
     if hash_fn == "xxhash64":
         return F.xxhash64(col).bitwiseAND(F.lit((1 << 32) - 1))
-    raise ValueError(f"base_hash32: unknown hash_fn {hash_fn!r} (md5|xxhash64)")
+    raise PlanError(f"base_hash32: unknown hash_fn {hash_fn!r} (md5|xxhash64)")
 
 
 def band_bucket(cols: list[Column], hash_fn: str = "md5") -> Column:
@@ -438,7 +439,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             return labels
         prev_sum = new_sum
     edges.unpersist()
-    raise RuntimeError(
+    raise ConvergenceError(
         f"connected_components: no convergence in {max_iter} rounds "
         "(component diameter exceeds 2^rounds — raise max_iter or pre-split)"
     )

@@ -22,6 +22,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..errors import DecodeError, EnvironmentGateError
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -96,7 +97,7 @@ def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not decode_stub:
-                raise NotImplementedError(
+                raise EnvironmentGateError(
                     "real media decode requires PIL/ffmpeg — not in this container"
                 )
             feats = [_fake_decode(bytes(c)) for c in pdf["content"]]
@@ -130,7 +131,7 @@ def frame_sample(df: DataFrame, every_n: int = 10, decode_stub: bool = True) -> 
     def sample_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not decode_stub:
-                raise NotImplementedError("real frame sampling requires ffmpeg")
+                raise EnvironmentGateError("real frame sampling requires ffmpeg")
             rows: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_hash": []}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 digest = hashlib.md5(bytes(content)).hexdigest()
@@ -219,10 +220,10 @@ def decode_ppm(df: DataFrame) -> DataFrame:
                 # leading body bytes that happen to be whitespace values)
                 m = re.match(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", buf)
                 if m is None:
-                    raise ValueError(f"not a P6 PPM payload for media_id={mid}")
+                    raise DecodeError(f"not a P6 PPM payload for media_id={mid}")
                 w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
                 if maxval != 255:
-                    raise ValueError(f"unsupported maxval {maxval}")
+                    raise DecodeError(f"unsupported maxval {maxval}")
                 px = np.frombuffer(
                     buf[m.end() : m.end() + w * h * 3], dtype=np.uint8
                 ).reshape(h, w, 3)

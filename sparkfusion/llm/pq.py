@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .ivf import euclid_r9
+from ..errors import PlanError
 
 __all__ = ["pq_subvectors", "pq_encode", "pq_adc_topk"]
 
@@ -47,7 +48,7 @@ def pq_subvectors(
     """Explode each vector into ``m`` subvectors: ``(id, j, sub)`` with
     ``j ∈ [0, m)`` and ``sub`` the j-th contiguous ``dim/m`` slice."""
     if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
+        raise PlanError(f"dim {dim} not divisible by m {m}")
     d = dim // m
     subs = F.array(
         *[

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..errors import PlanError
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -363,7 +364,7 @@ def cosine_pairs(
     Returns (id_a, id_b, cos), id_a < id_b.
     """
     if not exact and bits < 1:
-        raise ValueError(
+        raise PlanError(
             "bits must be >= 1 for the LSH path; pass exact=True to opt in "
             "to the all-pairs O(n^2) join (toy scale / verification only)"
         )

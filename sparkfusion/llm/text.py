@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from ..errors import PlanError
 
 # Minimal per-language stopword sets for the n-gram/stopword-overlap heuristic.
 # Deliberately tiny and deterministic (both engines can evaluate the same
@@ -277,7 +278,7 @@ def bm25_scores(
     6 dp — both engines agree (suite oracle replicates the formula verbatim).
     """
     if not query_terms:
-        raise ValueError("bm25_scores: query_terms must be non-empty")
+        raise PlanError("bm25_scores: query_terms must be non-empty")
     docs = (
         df.repartition(id_col)
         .select(F.col(id_col), words(F.lower(F.col(text_col))).alias("ws"))

@@ -21,6 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..errors import PlanError
 
 
 def funnel(
@@ -44,7 +45,7 @@ def funnel(
     funnel narrows. No window over all events, no per-user sort.
     """
     if not steps:
-        raise ValueError("funnel: steps must be non-empty")
+        raise PlanError("funnel: steps must be non-empty")
     base = events.select(
         F.col(user_col).alias("__u"),
         F.col(ts_col).alias("__t"),

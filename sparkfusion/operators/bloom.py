@@ -31,6 +31,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..errors import PlanError
 
 __all__ = [
     "bloom_bitmap",
@@ -48,9 +49,9 @@ def _bit_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     permutation family, llm/dedup.py).
     """
     if num_bits % 64 != 0:
-        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+        raise PlanError(f"num_bits must be a multiple of 64, got {num_bits}")
     if num_hashes < 1:
-        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+        raise PlanError(f"num_hashes must be >= 1, got {num_hashes}")
     return [F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits)) for i in range(num_hashes)]
 
 

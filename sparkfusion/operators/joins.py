@@ -18,6 +18,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..errors import PlanError
 
 
 def join_dfs(dfs: Sequence[DataFrame], keys: Sequence[str], how: str = "inner") -> DataFrame:
@@ -33,7 +34,7 @@ def join_dfs(dfs: Sequence[DataFrame], keys: Sequence[str], how: str = "inner") 
     each input rather than re-partitioning per pair.
     """
     if not dfs:
-        raise ValueError("join_dfs: need at least one DataFrame")
+        raise PlanError("join_dfs: need at least one DataFrame")
     keys = list(keys)
     return reduce(lambda left, right: left.join(right, on=keys, how=how), dfs)
 
@@ -64,7 +65,7 @@ def salted_join(
     allowed = {"inner", "left", "left_outer", "leftouter", "semi", "left_semi",
                "leftsemi", "anti", "left_anti", "leftanti"}
     if how.lower() not in allowed:
-        raise ValueError(
+        raise PlanError(
             f"salted_join: how={how!r} not supported — right-side replication "
             "duplicates unmatched right rows under right/full outer joins; "
             f"use one of {sorted(allowed)}"

@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..errors import SchemaError
 
 
 def merge_upsert(
@@ -42,7 +43,7 @@ def merge_upsert(
     value_cols = [c for c in snapshot.columns if c not in keys]
     missing = [c for c in value_cols + list(keys) if c not in changes.columns]
     if missing:
-        raise ValueError(f"merge_upsert: changes missing columns {missing}")
+        raise SchemaError(f"merge_upsert: changes missing columns {missing}")
     chg = changes.select(
         *[F.col(k).alias(f"__c_{k}") for k in keys],
         *[F.col(c).alias(f"__c_{c}") for c in value_cols],

@@ -12,6 +12,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..errors import SchemaError
 
 
 def df_sql(df: DataFrame, predicate: str) -> DataFrame:
@@ -132,7 +133,7 @@ def add_column(df: DataFrame, values_df: DataFrame, order_by: Sequence[str]) -> 
     produces the result. Zero extra jobs; the mismatch check is free.
     """
     if len(values_df.columns) != 1:
-        raise ValueError("add_column: values_df must have exactly one column")
+        raise SchemaError("add_column: values_df must have exactly one column")
     val_col = values_df.columns[0]
     w_left = Window.orderBy(*[F.col(c) for c in order_by])
     w_right = Window.orderBy(*[F.col(c) for c in values_df.columns])

@@ -13,6 +13,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..errors import SchemaError
 
 
 def _require_columns(df: DataFrame, cols: Sequence[str]) -> None:
@@ -20,7 +21,7 @@ def _require_columns(df: DataFrame, cols: Sequence[str]) -> None:
     if missing:
         # mirrors the reference's missing-column error (tests at
         # src/utils/dataframe.rs:1051-1063)
-        raise ValueError(f"columns not found in dataframe: {missing}")
+        raise SchemaError(f"columns not found in dataframe: {missing}")
 
 
 def df_cols_to_json(df: DataFrame, cols: Sequence[str], new_col: str, drop: bool = True) -> DataFrame:

@@ -13,6 +13,7 @@ from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import DataFrame
+from ..errors import PlanError
 
 
 def concat_dfs(dfs: Sequence[DataFrame]) -> DataFrame:
@@ -24,5 +25,5 @@ def concat_dfs(dfs: Sequence[DataFrame]) -> DataFrame:
     reference's schema-by-name batch concat.
     """
     if not dfs:
-        raise ValueError("concat_dfs: need at least one DataFrame")
+        raise PlanError("concat_dfs: need at least one DataFrame")
     return reduce(DataFrame.unionByName, dfs)

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+from ..errors import PlanError
 
 #: random-string alphabet matching the reference's ascii-alphanumeric sampler
 _ALPHANUM = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
@@ -49,7 +50,7 @@ def get_random_df(spark: SparkSession, types: list[str], rows: int) -> DataFrame
         elif t in ("bool", "boolean"):
             col = F.rand() > 0.5
         else:
-            raise ValueError(f"get_random_df: unsupported type {t!r}")
+            raise PlanError(f"get_random_df: unsupported type {t!r}")
         df = df.withColumn(name, col)
     return df.drop("id")
 

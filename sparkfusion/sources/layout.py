@@ -20,6 +20,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..errors import PlanError
 
 
 def zvalue(cols: Sequence[Column], bits: int = 16) -> Column:
@@ -30,7 +31,7 @@ def zvalue(cols: Sequence[Column], bits: int = 16) -> Column:
     cols = list(cols)
     n = len(cols)
     if n * bits > 63:
-        raise ValueError(
+        raise PlanError(
             f"z-value needs {n}x{bits}={n * bits} bits, exceeding a signed "
             "64-bit key; lower `bits` (locality only needs the HIGH bits of "
             "each dimension) or drop a column"

@@ -32,6 +32,8 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from ..errors import SourceError
+
 FORMAT_NAME = "sparkfusion_docs"
 
 #: Knuth multiplicative hash constant (2^32 / golden ratio)
@@ -53,7 +55,7 @@ class RangeDocsReader(DataSourceReader):
         self.n = int(options.get("n", 1000))
         self.num_partitions = int(options.get("partitions", 4))
         if self.n < 0 or self.num_partitions < 1:
-            raise ValueError(
+            raise SourceError(
                 f"sparkfusion_docs: need n >= 0 and partitions >= 1, "
                 f"got n={self.n} partitions={self.num_partitions}"
             )
@@ -88,7 +90,7 @@ class RangeDocsStreamReader(SimpleDataSourceStreamReader):
         self.n = int(options.get("n", 2000))
         self.rate = int(options.get("rate", 500))
         if self.n < 0 or self.rate < 1:
-            raise ValueError(
+            raise SourceError(
                 f"sparkfusion_docs stream: need n >= 0 and rate >= 1, "
                 f"got n={self.n} rate={self.rate}"
             )
@@ -184,7 +186,7 @@ class JsonlDirWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
-            raise ValueError("sparkfusion_jsonl: 'path' option is required")
+            raise SourceError("sparkfusion_jsonl: 'path' option is required")
         self.overwrite = overwrite
 
     def write(self, iterator):

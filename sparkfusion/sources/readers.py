@@ -11,6 +11,7 @@ from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from ..errors import SchemaError
 
 
 def read_csv(spark: SparkSession, path: str, header: bool = True, infer_schema: bool = True,
@@ -98,9 +99,9 @@ def read_literal(spark: SparkSession, **columns: Sequence) -> DataFrame:
     ``read_literal(spark, id=[1, 2], name=["a", "b"])``.
     """
     if not columns:
-        raise ValueError("read_literal: need at least one column")
+        raise SchemaError("read_literal: need at least one column")
     lengths = {len(v) for v in columns.values()}
     if len(lengths) > 1:
-        raise ValueError(f"read_literal: column length mismatch {lengths}")
+        raise SchemaError(f"read_literal: column length mismatch {lengths}")
     rows = list(zip(*columns.values()))
     return spark.createDataFrame(pd.DataFrame(rows, columns=list(columns)))

@@ -52,10 +52,27 @@ def configure_s3(
     conf.set("fs.s3a.threads.max", "10")
 
 
+#: URI scheme for the object store. "s3a" in production; tests flip it to
+#: "file" so the read/write paths below execute END-TO-END against a local
+#: Hadoop filesystem — the container has no S3 endpoint and pyspark ships
+#: without hadoop-aws, so file:// is the closest executable stand-in (it
+#: exercises everything these functions own; the s3a:// connector itself is
+#: Hadoop's code, not ours).
+_SCHEME = "s3a"
+
+
+def _object_uri(bucket: str, key: str) -> str:
+    """Hadoop URI for (bucket, key) under the active scheme. file: URIs take
+    the bucket as a local directory path (no authority component)."""
+    if _SCHEME == "file":
+        return f"file:{bucket}/{key}"
+    return f"{_SCHEME}://{bucket}/{key}"
+
+
 def read_from_s3(spark: SparkSession, bucket: str, key: str, name: str = "t") -> DataFrame:
     """Register an S3 parquet object as a table and return ``select *`` —
     the exact shape of ``read_from_s3`` (``src/utils/aws.rs:168-196``)."""
-    df = spark.read.parquet(f"s3a://{bucket}/{key}")
+    df = spark.read.parquet(_object_uri(bucket, key))
     df.createOrReplaceTempView(name)
     return spark.sql(f"SELECT * FROM {name}")
 
@@ -63,4 +80,4 @@ def read_from_s3(spark: SparkSession, bucket: str, key: str, name: str = "t") ->
 def write_to_s3(df: DataFrame, bucket: str, key: str, mode: str = "overwrite") -> None:
     """Parquet sink to S3 (``write_to_s3``, ``src/utils/aws.rs:198-236``);
     multipart upload handled by the S3A committer."""
-    df.write.mode(mode).parquet(f"s3a://{bucket}/{key}")
+    df.write.mode(mode).parquet(_object_uri(bucket, key))

@@ -286,12 +286,26 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
     total once per micro-batch the user appears in (update mode) — a finite
     single-batch replay therefore equals the batch GROUP BY.
 
-    NOT registered in the suite: the API's state protocol requires a working
-    ``google.protobuf`` (absent in this container — same honest-stub status
-    as the multimodal codecs; tests/test_streaming.py gates on the import).
-    The applyInPandasWithState form (`stream_stateful_counts`) remains the
-    oracle-checked stateful path.
+    NOT registered in the suite: the API's state protocol
+    (``pyspark.sql.streaming.proto.StateMessage_pb2``) requires a working
+    ``google.protobuf``, which is absent in this container and unobtainable
+    (no package index reachable; proof recorded in ARCHITECTURE.md §gates).
+    This function raises :class:`~sparkfusion.errors.EnvironmentGateError`
+    up front on such runtimes — same honest-stub status as the multimodal
+    codecs. The applyInPandasWithState form (`stream_stateful_counts`)
+    remains the oracle-checked stateful path.
     """
+    try:
+        import google.protobuf  # noqa: F401 — pyspark's state protocol needs it
+    except ImportError as ex:
+        from ..errors import EnvironmentGateError
+
+        raise EnvironmentGateError(
+            "transformWithStateInPandas needs google.protobuf (pyspark's "
+            "typed-state wire protocol); install protobuf on the cluster — "
+            "see stream_stateful_counts for the applyInPandasWithState "
+            "equivalent that runs without it"
+        ) from ex
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
     from pyspark.sql.types import LongType, StructField, StructType
 
