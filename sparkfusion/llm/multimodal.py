@@ -234,3 +234,188 @@ def decode_ppm(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode_partition, PPM_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real binary image decode #2: PNG (RGB8, all five scanline filters) — the
+# whole codec is stdlib zlib + numpy, no imaging library
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(media_id: int, width: int = 8, height: int = 6) -> bytes:
+    """Build a real PNG (8-bit RGB, non-interlaced) whose pixels are the SAME
+    pure function as :func:`make_ppm` — so one analytic oracle covers both
+    container formats. Each scanline is written with filter type ``y % 5``,
+    so a decode must implement ALL five PNG filters (None/Sub/Up/Average/
+    Paeth) to reproduce the pixel sums — this is a codec, not an echo."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    px = np.empty((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        for x in range(width):
+            for c in range(3):
+                px[y, x, c] = _ppm_pixel(media_id, x, y, c)
+
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(width * bpp, dtype=np.int32)
+    for y in range(height):
+        cur = px[y].reshape(-1).astype(np.int32)
+        ftype = y % 5
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+        up_left = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if ftype == 0:
+            out = cur
+        elif ftype == 1:  # Sub
+            out = cur - left
+        elif ftype == 2:  # Up
+            out = cur - prev
+        elif ftype == 3:  # Average
+            out = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - up_left
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - up_left)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, up_left))
+            out = cur - pred
+        raw.append(ftype)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_media_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach a binary PNG payload per row (Arrow-batched pandas UDF)."""
+    import pandas as pd  # noqa: F811
+
+    @F.pandas_udf(BinaryType())
+    def build(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: make_png(int(i)))
+
+    return df.select(F.col(id_col).alias("media_id")).withColumn(
+        "content", build(F.col("media_id"))
+    )
+
+
+def _png_decode_pixels(buf: bytes):
+    """Parse one PNG (RGB8, non-interlaced) to an (h, w, 3) uint8 array —
+    signature check, chunk walk with CRC verification, zlib inflate, and
+    full five-filter scanline reconstruction. Raises :class:`DecodeError`
+    on anything malformed."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if buf[: len(_PNG_SIG)] != _PNG_SIG:
+        raise DecodeError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + length : pos + 12 + length])
+        if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise DecodeError(f"PNG chunk {ctype!r} failed CRC")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color) != (8, 2):
+                raise DecodeError(
+                    f"unsupported PNG: depth={depth} color_type={color} "
+                    "(this decoder handles 8-bit RGB)"
+                )
+            if interlace != 0:
+                raise DecodeError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise DecodeError("PNG missing IHDR")
+    raw = _zlib.decompress(bytes(idat))
+    bpp, stride = 3, width * 3
+    if len(raw) != (stride + 1) * height:
+        raise DecodeError(f"PNG data length {len(raw)} != {(stride + 1) * height}")
+    px = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        cur = np.empty(stride, dtype=np.int32)
+        if ftype == 0:
+            cur[:] = line
+        elif ftype == 2:  # Up
+            cur[:] = (line + prev) % 256
+        else:
+            # Sub/Average/Paeth need the already-reconstructed left pixel —
+            # sequential in bpp-sized steps across the row
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                up_left = prev[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                elif ftype == 4:
+                    p = left + up - up_left
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - up_left)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else up_left)
+                else:
+                    raise DecodeError(f"unknown PNG filter type {ftype}")
+                cur[i] = (line[i] + pred) % 256
+        px[y] = cur.astype(np.uint8)
+        prev = cur
+    return px.reshape(height, width, 3)
+
+
+def decode_png(df: DataFrame) -> DataFrame:
+    """REAL PNG decode with no codec dependency — stdlib ``zlib`` inflate +
+    five-filter scanline reconstruction per Arrow batch inside
+    ``mapInPandas``. Output schema and semantics match :func:`decode_ppm`
+    (exact integer per-channel pixel sums), so the same analytic DuckDB
+    oracle verifies this decoder bit-for-bit."""
+
+    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                px = _png_decode_pixels(bytes(blob))
+                h, w, _ = px.shape
+                sums = px.sum(axis=(0, 1), dtype="int64")
+                out.append((int(mid), w, h, int(sums[0]), int(sums[1]), int(sums[2])))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return df.mapInPandas(decode_partition, PPM_DECODED_SCHEMA)

@@ -557,3 +557,46 @@ def test_url_canonicalize_cases(spark):
     out = df.select("want", url_canonicalize("url").alias("got")).collect()
     for r in out:
         assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_png_codec_all_filters_roundtrip(spark):
+    """make_png writes scanlines with rotating filter types (y % 5), so this
+    roundtrip proves the decoder's None/Sub/Up/Average/Paeth reconstruction
+    against the shared analytic pixel function — and through the Spark
+    mapInPandas path, not just in-process."""
+    from sparkfusion.llm.multimodal import (
+        _ppm_pixel,
+        _png_decode_pixels,
+        decode_png,
+        make_png,
+        png_media_table,
+    )
+
+    # tall image → every filter type appears at least twice
+    px = _png_decode_pixels(make_png(42, width=5, height=11))
+    assert px.shape == (11, 5, 3)
+    for y in (0, 1, 2, 3, 4, 10):
+        for x in (0, 4):
+            for c in range(3):
+                assert px[y, x, c] == _ppm_pixel(42, x, y, c)
+
+    df = spark.createDataFrame([(i,) for i in (0, 3, 256, 1000)], "doc_id long")
+    out = {r["media_id"]: r for r in decode_png(png_media_table(df, "doc_id")).collect()}
+    for i in (0, 3, 256, 1000):
+        want = sum(_ppm_pixel(i, x, y, 0) for x in range(8) for y in range(6))
+        assert out[i]["sum_r"] == want
+        assert (out[i]["width"], out[i]["height"]) == (8, 6)
+
+
+def test_png_decode_rejects_malformed():
+    import pytest as _pytest
+
+    from sparkfusion.errors import DecodeError
+    from sparkfusion.llm.multimodal import _png_decode_pixels, make_png
+
+    with _pytest.raises(DecodeError, match="signature"):
+        _png_decode_pixels(b"NOT A PNG AT ALL....")
+    buf = bytearray(make_png(7))
+    buf[20] ^= 0xFF  # corrupt inside IHDR → CRC must catch it
+    with _pytest.raises(DecodeError, match="CRC"):
+        _png_decode_pixels(bytes(buf))
