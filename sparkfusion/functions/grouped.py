@@ -91,3 +91,52 @@ def cogroup_view_attribution(purchases: DataFrame, views: DataFrame) -> DataFram
         .cogroup(views.groupBy("user_id"))
         .applyInPandas(_attribute, schema=ATTR_SCHEMA)
     )
+
+
+GAP_SCHEMA = "user_id bigint, n_events bigint, max_gap_us bigint, sum_gap_us bigint"
+
+
+def arrow_user_gaps(events_us: DataFrame) -> DataFrame:
+    """Per-user inter-event gap statistics via ``applyInArrow`` — the
+    Arrow-native grouped-map shape (Spark 4): each group arrives as a
+    ``pyarrow.Table``, zero pandas materialization, ideal when the per-group
+    logic is itself Arrow/numpy kernels. Input needs (user_id, ts_us) with
+    integer epoch-µs timestamps; output is all-integer (exact in any
+    engine). The logic is deliberately lag-window-expressible so the suite
+    can oracle-check the Arrow path end to end (CLAUDE.md posture: the
+    builtin window IS the hot path; this proves the extension point).
+
+    Scale shape: one group = one user's events in one worker's memory —
+    bounded-entity assumption, same as every grouped-map here.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def gaps(table: pa.Table) -> pa.Table:
+        ts = pc.array_sort_indices(table["ts_us"])
+        sorted_ts = pc.take(table["ts_us"], ts)
+        n = table.num_rows
+        if n > 1:
+            head = sorted_ts.slice(1)
+            tail = sorted_ts.slice(0, n - 1)
+            diffs = pc.subtract(head, tail)
+            max_gap = pc.max(diffs).as_py()
+            sum_gap = pc.sum(diffs).as_py()
+        else:
+            max_gap = 0
+            sum_gap = 0
+        uid = table["user_id"][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+                "max_gap_us": pa.array([int(max_gap)], pa.int64()),
+                "sum_gap_us": pa.array([int(sum_gap)], pa.int64()),
+            }
+        )
+
+    return (
+        events_us.select("user_id", "ts_us")
+        .groupBy("user_id")
+        .applyInArrow(gaps, schema=GAP_SCHEMA)
+    )

@@ -87,3 +87,21 @@ def write_range_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, buckets: int = 8, sort: bool = True
+) -> None:
+    """Persist ``df`` as a BUCKETED table: rows are hash-partitioned into
+    ``buckets`` files per partition on ``key`` at WRITE time, and the bucket
+    spec is recorded in the catalog. Two tables bucketed identically on
+    their join key then sort-merge-join with NO Exchange on either side —
+    at 100 TB this converts the single biggest shuffle in a fact-fact join
+    into a co-located file-to-file merge, paid once at ingest instead of
+    per query. (The catalog-level sibling of the bloom/z-order pruning in
+    this package; Spark's public ``bucketBy`` + ``saveAsTable`` surface.)
+    """
+    w = df.write.format("parquet").mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table_name)

@@ -1684,3 +1684,46 @@ def arr2_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except("s", "a")).alias("n_except"),
         F.arrays_overlap("s", "a").alias("has_overlap"),
     )
+
+
+@register(
+    "lm1_unigram_freq_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    vocab AS (SELECT word, count(*) AS c FROM ww GROUP BY word),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab)
+    SELECT ww.doc_id, count(*) AS n_words,
+           CAST(sum((1000000 * v.c) // t.total) AS BIGINT) AS freq_score
+    FROM ww JOIN vocab v USING (word) CROSS JOIN tot t
+    GROUP BY ww.doc_id
+    """,
+)
+def lm1_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality proxy, two corpus passes: (1) build
+    the corpus vocabulary with occurrence counts, (2) score each document as
+    the sum over its word occurrences of the word's corpus frequency in
+    integer parts-per-million — floor((1e6·count) / total), all-integer so
+    the contract is exact in any engine (the float-logprob variant of this
+    statistic is the classic perplexity filter; the integer frequency form
+    keeps the oracle deterministic). Scale shape: one groupBy(word) for the
+    vocab (map-side combinable), one equi-join words→vocab (AQE handles
+    stopword skew), scalar total broadcast — no collect, no cross joins
+    beyond the 1-row broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    return (
+        words.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.expr("(1000000 * c) div total")).alias("freq_score"),
+        )
+    )

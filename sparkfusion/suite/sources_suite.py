@@ -374,3 +374,47 @@ def s23_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@register(
+    "b1_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join via BUCKETED tables: customer and
+    orders are persisted bucketed 8-ways on the join key
+    (:func:`sparkfusion.sources.layout.write_bucketed`), then joined from
+    the catalog — identical bucket specs let the sort-merge join read
+    co-located bucket files with NO Exchange on either side (plan asserted
+    in tests/test_plans.py). At 100 TB this is THE tool for repeated joins
+    on a stable key: the shuffle is paid once at ingest. Result is checked
+    against the plain (shuffled) join oracle — bucketing must never change
+    answers, only movement."""
+    from ..sources.layout import write_bucketed
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    write_bucketed(cust, "bkt_customer", "c_custkey", buckets=8)
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "bkt_orders",
+        "c_custkey",
+        buckets=8,
+    )
+    c = spark.table("bkt_customer")
+    o = spark.table("bkt_orders")
+    return (
+        c.join(o, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -255,3 +255,72 @@ def x7_cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts_us")
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts_us")
     return cogroup_view_attribution(purchases, views)
+
+
+@register(
+    "x5_udtf_lateral_words",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(pos * length(word)) AS BIGINT) AS checksum
+    FROM w WHERE word <> '' GROUP BY doc_id
+    """,
+)
+def x5_udtf_lateral_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through a SQL LATERAL join (Spark 4's table-function
+    extension point — the relation-returning sibling of the X1-X4 scalar
+    UDFs; reference surface is scalar-only, ``src/utils/udfs.rs``). Each
+    document row expands into (pos, word) rows on the EXECUTOR; the
+    position-weighted length checksum makes both expansion order and
+    content oracle-verifiable. The builtin equivalent (split + posexplode)
+    stays the hot path; this proves the extension point end-to-end."""
+    from ..functions.udtfs import register_udtfs
+    from ..session import load_star
+
+    load_star(spark, sf_dir, ("documents",))
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, count(*) AS n_words,
+               sum(s.pos * length(s.word)) AS checksum
+        FROM documents d, LATERAL split_words(d.text) s
+        GROUP BY d.doc_id
+        """
+    )
+
+
+@register(
+    "x8_arrow_user_gaps",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    d AS (
+      SELECT user_id,
+             ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS gap
+      FROM e
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us,
+           CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap_us
+    FROM d GROUP BY user_id
+    """,
+)
+def x8_arrow_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native grouped map (``applyInArrow``, Spark 4): per-user
+    inter-event gap stats computed on ``pyarrow.Table`` groups with Arrow
+    compute kernels — zero pandas conversion. All-integer contract
+    (epoch-µs), oracle = the lag-window expression of the same statistic.
+    See :func:`sparkfusion.functions.grouped.arrow_user_gaps`."""
+    from ..functions.grouped import arrow_user_gaps
+    from ..session import events_with_ts
+
+    ev = events_with_ts(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return arrow_user_gaps(ev)

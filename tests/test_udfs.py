@@ -104,3 +104,23 @@ def test_cogroup_attribution_edges(spark):
     assert out[1]["n_purchases"] == 2 and out[1]["n_attributed"] == 1
     assert out[2]["n_purchases"] == 1 and out[2]["n_attributed"] == 0
     assert 3 not in out  # view-only users emit nothing
+
+
+def test_udtf_split_words_contract(spark):
+    """UDTF emits raw split positions, skips empty tokens, handles NULL."""
+    from sparkfusion.functions.udtfs import SplitWords, register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "a  bb ccc"), (2, None), (3, "")], "id int, t string"
+    )
+    df.createOrReplaceTempView("udtf_probe")
+    rows = spark.sql(
+        "SELECT id, s.pos, s.word FROM udtf_probe, LATERAL split_words(t) s ORDER BY id, pos"
+    ).collect()
+    # "a  bb ccc" splits to [a, '', bb, ccc] -> positions 1, 3, 4 survive
+    assert [(r["id"], r["pos"], r["word"]) for r in rows] == [
+        (1, 1, "a"),
+        (1, 3, "bb"),
+        (1, 4, "ccc"),
+    ]
