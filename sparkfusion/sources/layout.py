@@ -15,6 +15,7 @@ is ``repartitionByRange(z)`` + ``sortWithinPartitions(z)``: a range shuffle
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 from functools import reduce
 
@@ -101,6 +102,22 @@ def write_bucketed(
     per query. (The catalog-level sibling of the bloom/z-order pruning in
     this package; Spark's public ``bucketBy`` + ``saveAsTable`` surface.)
     """
+    spark = df.sparkSession
+    # a managed table's warehouse directory outlives the default in-memory
+    # catalog: a FRESH session (the external driver's, a new check run) sees
+    # no table but an existing location, and overwrite-saveAsTable fails with
+    # LOCATION_ALREADY_EXISTS. Drop the catalog entry AND sweep any orphan
+    # directory before writing.
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix) :]
+            break
+    shutil.rmtree(os.path.join(warehouse, table_name.lower()), ignore_errors=True)
+
     w = df.write.format("parquet").mode("overwrite").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

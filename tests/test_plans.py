@@ -289,3 +289,55 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     joined = fact.join(dim, fact["o_orderstatus"] == dim["status"])
     plan = joined._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in plan or "partitionfilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Two tables bucketed identically on the join key must sort-merge-join
+    with NO Exchange on either input (the b1_bucketed_join scale story:
+    shuffle paid once at write). The merge hint forces SMJ — at toy SF
+    Catalyst would otherwise broadcast the small side, which hides the
+    bucket co-location this test pins."""
+    from pyspark.sql import functions as F
+
+    from sparkfusion.session import table
+    from sparkfusion.sources.layout import write_bucketed
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    write_bucketed(cust, "bkt_plan_cust", "c_custkey", buckets=4)
+    write_bucketed(orders, "bkt_plan_ord", "c_custkey", buckets=4)
+    c = spark.table("bkt_plan_cust").hint("merge")
+    o = spark.table("bkt_plan_ord")
+    joined = c.join(o, "c_custkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2
+    # and the result is the plain join's result
+    assert joined.count() == cust.join(orders, "c_custkey").count()
+
+
+def test_write_bucketed_survives_stale_warehouse_dir(spark, sf_dir):
+    """Regression: overwrite-saveAsTable fails with LOCATION_ALREADY_EXISTS
+    when a fresh session's in-memory catalog has no table entry but the
+    warehouse directory survives from a previous session. write_bucketed
+    must sweep the orphan location first — simulated here by dropping the
+    catalog entry while leaving the directory behind."""
+    import os
+
+    from sparkfusion.session import table
+    from sparkfusion.sources.layout import write_bucketed
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey").limit(10)
+    write_bucketed(cust, "bkt_stale_probe", "c_custkey", buckets=2)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(warehouse, "bkt_stale_probe")
+    assert os.path.exists(loc)
+    # drop ONLY the catalog entry; Spark removes managed-table data on DROP,
+    # so recreate the directory to simulate the fresh-session orphan
+    spark.sql("DROP TABLE IF EXISTS bkt_stale_probe")
+    os.makedirs(loc, exist_ok=True)
+    write_bucketed(cust, "bkt_stale_probe", "c_custkey", buckets=2)
+    assert spark.table("bkt_stale_probe").count() == 10
