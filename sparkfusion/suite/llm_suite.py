@@ -1727,3 +1727,105 @@ def lm1_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("(1000000 * c) div total")).alias("freq_score"),
         )
     )
+
+
+@register(
+    "mix1_corpus_rebalance",
+    oracle="""
+    WITH target(lang, target_ppm) AS (
+      VALUES ('en', 400000), ('es', 200000), ('de', 150000),
+             ('fr', 150000), ('zh', 100000)
+    ),
+    actual AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n FROM actual),
+    rates AS (
+      SELECT a.lang,
+             CAST(least(1000000, (t.target_ppm * tt.n) // a.n_l) AS BIGINT)
+               AS rate_ppm
+      FROM actual a JOIN target t USING (lang) CROSS JOIN tot tt
+    )
+    SELECT d.doc_id, d.lang, r.rate_ppm
+    FROM documents d JOIN rates r USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000 < r.rate_ppm
+    """,
+)
+def mix1_corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus MIXTURE rebalancing — the data-mixing step of every training
+    pipeline: given per-language target shares (ppm), compute each
+    language's keep-rate from its ACTUAL share (rate = target_share ·
+    N / n_lang, capped at 1) and select a deterministic hash-threshold
+    sample at that rate. All rates are integer ppm and membership is a pure
+    md5 function of doc_id, so the sampled corpus is identical across runs,
+    engines and partitionings (contrast ``sampleBy``). Unlike the
+    fixed-rate o9 sampler, the rates here are DERIVED from the corpus — a
+    second aggregation pass broadcast back over the scan; map-only
+    otherwise."""
+    docs = table(spark, sf_dir, "documents")
+    target = spark.createDataFrame(
+        [("en", 400000), ("es", 200000), ("de", 150000),
+         ("fr", 150000), ("zh", 100000)],
+        "lang string, target_ppm long",
+    )
+    actual = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    total = actual.agg(F.sum("n_l").alias("n"))
+    rates = (
+        actual.join(F.broadcast(target), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.expr("(target_ppm * n) div n_l"),
+            ).alias("rate_ppm"),
+        )
+    )
+    hash_ppm = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1000000
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .filter(hash_ppm < F.col("rate_ppm"))
+        .select("doc_id", "lang", "rate_ppm")
+    )
+
+
+@register(
+    "nov1_shingle_novelty",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    df AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST((1000000 * sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def nov1_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY score — the diversity complement of dedup: the
+    fraction (integer ppm) of a document's distinct 3-word shingles that
+    appear in NO other document. Low novelty = boilerplate/template text
+    even when no single near-dup pair exists; mixture builders use it to
+    down-weight repetitive sources. Same shingle relation as the MinHash
+    family (llm/dedup.py exploded_shingles: repartition by doc BEFORE
+    exploding), one groupBy(shingle) for document frequency, one equi-join
+    back, one groupBy(doc) — every step bounded-key, no cross join."""
+    from ..llm.dedup import exploded_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", n=3)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END))"
+                " div count(*) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
