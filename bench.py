@@ -80,6 +80,13 @@ HEADLINE = {
     "rc1_recursive_subtree": "rc1_recursive_subtree",
     "abc1_pareto_parts": "abc1_pareto_parts",
     "x6_grouped_map_normalize": "x6_grouped_map_normalize",
+    "mm_png_decode": "mm_png_decode",
+    "x5_udtf_lateral_words": "x5_udtf_lateral_words",
+    "x8_arrow_user_gaps": "x8_arrow_user_gaps",
+    "b1_bucketed_join": "b1_bucketed_join",
+    "lm1_unigram_freq_score": "lm1_unigram_freq_score",
+    "mix1_corpus_rebalance": "mix1_corpus_rebalance",
+    "nov1_shingle_novelty": "nov1_shingle_novelty",
 }
 
 REPEATS = 3

@@ -15,7 +15,6 @@ is ``repartitionByRange(z)`` + ``sortWithinPartitions(z)``: a range shuffle
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 from functools import reduce
 
@@ -89,36 +88,3 @@ def write_range_sorted(
         .parquet(path)
     )
 
-
-def write_bucketed(
-    df: DataFrame, table_name: str, key: str, buckets: int = 8, sort: bool = True
-) -> None:
-    """Persist ``df`` as a BUCKETED table: rows are hash-partitioned into
-    ``buckets`` files per partition on ``key`` at WRITE time, and the bucket
-    spec is recorded in the catalog. Two tables bucketed identically on
-    their join key then sort-merge-join with NO Exchange on either side —
-    at 100 TB this converts the single biggest shuffle in a fact-fact join
-    into a co-located file-to-file merge, paid once at ingest instead of
-    per query. (The catalog-level sibling of the bloom/z-order pruning in
-    this package; Spark's public ``bucketBy`` + ``saveAsTable`` surface.)
-    """
-    spark = df.sparkSession
-    # a managed table's warehouse directory outlives the default in-memory
-    # catalog: a FRESH session (the external driver's, a new check run) sees
-    # no table but an existing location, and overwrite-saveAsTable fails with
-    # LOCATION_ALREADY_EXISTS. Drop the catalog entry AND sweep any orphan
-    # directory before writing.
-    import shutil
-
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for prefix in ("file://", "file:"):
-        if warehouse.startswith(prefix):
-            warehouse = warehouse[len(prefix) :]
-            break
-    shutil.rmtree(os.path.join(warehouse, table_name.lower()), ignore_errors=True)
-
-    w = df.write.format("parquet").mode("overwrite").bucketBy(buckets, key)
-    if sort:
-        w = w.sortBy(key)
-    w.saveAsTable(table_name)

@@ -8,6 +8,8 @@ upload, chunking, and retry are the S3A committer's job, not application code.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -55,6 +57,23 @@ def write_bucketed_table(
     shuffle — the Exchange disappears from the plan (asserted in
     tests/test_plans.py). Bucket pruning also serves point lookups.
     """
+    import shutil
+
+    spark = df.sparkSession
+    # a managed table's warehouse directory outlives the default in-memory
+    # catalog: a FRESH session (the external driver's, a new check run) sees
+    # no table but an existing location, and overwrite-saveAsTable fails
+    # with LOCATION_ALREADY_EXISTS. Drop the catalog entry AND sweep any
+    # orphan directory before writing (tests/test_plans.py regression).
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        for prefix in ("file://", "file:"):
+            if warehouse.startswith(prefix):
+                warehouse = warehouse[len(prefix) :]
+                break
+        shutil.rmtree(os.path.join(warehouse, name.lower()), ignore_errors=True)
+
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -388,26 +388,25 @@ def s23_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free fact-to-fact join via BUCKETED tables: customer and
     orders are persisted bucketed 8-ways on the join key
-    (:func:`sparkfusion.sources.layout.write_bucketed`), then joined from
-    the catalog — identical bucket specs let the sort-merge join read
+    (:func:`sparkfusion.sources.writers.write_bucketed_table`), then joined
+    from the catalog — identical bucket specs let the sort-merge join read
     co-located bucket files with NO Exchange on either side (plan asserted
     in tests/test_plans.py). At 100 TB this is THE tool for repeated joins
     on a stable key: the shuffle is paid once at ingest. Result is checked
     against the plain (shuffled) join oracle — bucketing must never change
     answers, only movement."""
-    from ..sources.layout import write_bucketed
+    from ..sources.writers import write_bucketed_table
 
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    write_bucketed(cust, "bkt_customer", "c_custkey", buckets=8)
-    write_bucketed(
+    c = write_bucketed_table(cust, "bkt_customer", 8, ["c_custkey"], ["c_custkey"])
+    o = write_bucketed_table(
         orders.withColumnRenamed("o_custkey", "c_custkey"),
         "bkt_orders",
-        "c_custkey",
-        buckets=8,
+        8,
+        ["c_custkey"],
+        ["c_custkey"],
     )
-    c = spark.table("bkt_customer")
-    o = spark.table("bkt_orders")
     return (
         c.join(o, "c_custkey")
         .groupBy("c_mktsegment")

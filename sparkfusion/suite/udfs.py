@@ -263,7 +263,7 @@ def x7_cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT doc_id,
              unnest(string_split(text, ' ')) AS word,
-             generate_subscripts(string_split(text, ' '), 1) AS pos
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
       FROM documents
     )
     SELECT doc_id, count(*) AS n_words,
@@ -272,23 +272,25 @@ def x7_cogroup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x5_udtf_lateral_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF through a SQL LATERAL join (Spark 4's table-function
-    extension point — the relation-returning sibling of the X1-X4 scalar
-    UDFs; reference surface is scalar-only, ``src/utils/udfs.rs``). Each
-    document row expands into (pos, word) rows on the EXECUTOR; the
-    position-weighted length checksum makes both expansion order and
-    content oracle-verifiable. The builtin equivalent (split + posexplode)
-    stays the hot path; this proves the extension point end-to-end."""
-    from ..functions.udtfs import register_udtfs
+    """Python UDTF composed with AGGREGATION over the LATERAL output —
+    extends the bare expansion check (`udtf_split_rows`, which only hashes
+    tokens) by verifying the UDTF's emitted POSITIONS through a
+    position-weighted length checksum: expansion order and content both
+    pinned. Same registered ``split_to_rows`` table function
+    (functions/aggregates.py); 0-based raw split positions, empty tokens
+    skipped without renumbering — so DuckDB mirrors it with
+    generate_subscripts - 1. The builtin split + posexplode stays the hot
+    path; this proves the extension point end-to-end."""
+    from ..functions.aggregates import register_udtf
     from ..session import load_star
 
     load_star(spark, sf_dir, ("documents",))
-    register_udtfs(spark)
+    register_udtf(spark)
     return spark.sql(
         """
         SELECT d.doc_id, count(*) AS n_words,
-               sum(s.pos * length(s.word)) AS checksum
-        FROM documents d, LATERAL split_words(d.text) s
+               sum(s.pos * length(s.token)) AS checksum
+        FROM documents d, LATERAL split_to_rows(d.text, ' ') s
         GROUP BY d.doc_id
         """
     )

@@ -300,16 +300,16 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from sparkfusion.session import table
-    from sparkfusion.sources.layout import write_bucketed
+    from sparkfusion.sources.writers import write_bucketed_table
 
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey"), "o_totalprice"
     )
-    write_bucketed(cust, "bkt_plan_cust", "c_custkey", buckets=4)
-    write_bucketed(orders, "bkt_plan_ord", "c_custkey", buckets=4)
-    c = spark.table("bkt_plan_cust").hint("merge")
-    o = spark.table("bkt_plan_ord")
+    c = write_bucketed_table(
+        cust, "bkt_plan_cust", 4, ["c_custkey"], ["c_custkey"]
+    ).hint("merge")
+    o = write_bucketed_table(orders, "bkt_plan_ord", 4, ["c_custkey"], ["c_custkey"])
     joined = c.join(o, "c_custkey")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
@@ -322,16 +322,16 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
 def test_write_bucketed_survives_stale_warehouse_dir(spark, sf_dir):
     """Regression: overwrite-saveAsTable fails with LOCATION_ALREADY_EXISTS
     when a fresh session's in-memory catalog has no table entry but the
-    warehouse directory survives from a previous session. write_bucketed
+    warehouse directory survives from a previous session. write_bucketed_table
     must sweep the orphan location first — simulated here by dropping the
     catalog entry while leaving the directory behind."""
     import os
 
     from sparkfusion.session import table
-    from sparkfusion.sources.layout import write_bucketed
+    from sparkfusion.sources.writers import write_bucketed_table
 
     cust = table(spark, sf_dir, "customer").select("c_custkey").limit(10)
-    write_bucketed(cust, "bkt_stale_probe", "c_custkey", buckets=2)
+    write_bucketed_table(cust, "bkt_stale_probe", 2, ["c_custkey"])
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     loc = os.path.join(warehouse, "bkt_stale_probe")
     assert os.path.exists(loc)
@@ -339,5 +339,5 @@ def test_write_bucketed_survives_stale_warehouse_dir(spark, sf_dir):
     # so recreate the directory to simulate the fresh-session orphan
     spark.sql("DROP TABLE IF EXISTS bkt_stale_probe")
     os.makedirs(loc, exist_ok=True)
-    write_bucketed(cust, "bkt_stale_probe", "c_custkey", buckets=2)
-    assert spark.table("bkt_stale_probe").count() == 10
+    t = write_bucketed_table(cust, "bkt_stale_probe", 2, ["c_custkey"])
+    assert t.count() == 10

@@ -106,21 +106,24 @@ def test_cogroup_attribution_edges(spark):
     assert 3 not in out  # view-only users emit nothing
 
 
-def test_udtf_split_words_contract(spark):
-    """UDTF emits raw split positions, skips empty tokens, handles NULL."""
-    from sparkfusion.functions.udtfs import SplitWords, register_udtfs
+def test_udtf_split_to_rows_position_contract(spark):
+    """split_to_rows emits RAW 0-based split positions (empty tokens skipped
+    without renumbering) and handles NULL input — the contract
+    x5_udtf_lateral_words' checksum oracle depends on."""
+    from sparkfusion.functions.aggregates import register_udtf
 
-    register_udtfs(spark)
+    register_udtf(spark)
     df = spark.createDataFrame(
         [(1, "a  bb ccc"), (2, None), (3, "")], "id int, t string"
     )
     df.createOrReplaceTempView("udtf_probe")
     rows = spark.sql(
-        "SELECT id, s.pos, s.word FROM udtf_probe, LATERAL split_words(t) s ORDER BY id, pos"
+        "SELECT id, s.pos, s.token FROM udtf_probe, LATERAL split_to_rows(t, ' ') s "
+        "ORDER BY id, pos"
     ).collect()
-    # "a  bb ccc" splits to [a, '', bb, ccc] -> positions 1, 3, 4 survive
-    assert [(r["id"], r["pos"], r["word"]) for r in rows] == [
-        (1, 1, "a"),
-        (1, 3, "bb"),
-        (1, 4, "ccc"),
+    # "a  bb ccc" splits to [a, '', bb, ccc] -> raw positions 0, 2, 3 survive
+    assert [(r["id"], r["pos"], r["token"]) for r in rows] == [
+        (1, 0, "a"),
+        (1, 2, "bb"),
+        (1, 3, "ccc"),
     ]
