@@ -218,3 +218,47 @@ def fim_splits(
         .alias("suffix"),
         eligible.alias("is_fim"),
     )
+
+
+def rebalance_by_lang(
+    df: DataFrame,
+    targets: Sequence[tuple[str, int]],
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Deterministic corpus MIXTURE rebalancing: derive each language's
+    keep-rate from its target share vs its ACTUAL share in ``df``
+    (rate_ppm = target_ppm · N / n_lang, capped at 1e6) and keep the rows
+    whose md5(id) threshold falls under it. All-integer rates, pure-key
+    membership — identical across runs, engines and partitionings. Languages
+    absent from ``targets`` are dropped (their target share is 0).
+
+    Returns ``df``'s rows (all columns) plus ``rate_ppm``. Two aggregation
+    passes over ``df`` + a broadcast rates frame; the selection itself is
+    map-only. DuckDB-mirror: same CTE chain with
+    ``('0x' || substr(md5(id), 1, 8))::BIGINT % 1000000 < rate_ppm``.
+    """
+    spark = df.sparkSession
+    target = spark.createDataFrame(
+        list(targets), f"{lang_col} string, target_ppm long"
+    )
+    actual = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("__n_l"))
+    total = actual.agg(F.sum("__n_l").alias("__n"))
+    rates = (
+        actual.join(F.broadcast(target), lang_col)
+        .crossJoin(F.broadcast(total))
+        .select(
+            lang_col,
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.expr("(target_ppm * __n) div __n_l"),
+            ).alias("rate_ppm"),
+        )
+    )
+    hash_ppm = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 1000000
+    )
+    return df.join(F.broadcast(rates), lang_col).filter(hash_ppm < F.col("rate_ppm"))

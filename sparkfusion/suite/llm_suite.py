@@ -1729,12 +1729,23 @@ def lm1_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-language target shares (ppm) shared by mix1 and pipeline2
+_MIX_TARGETS = (
+    ("en", 400000),
+    ("es", 200000),
+    ("de", 150000),
+    ("fr", 150000),
+    ("zh", 100000),
+)
+
+_MIX_TARGET_SQL = "VALUES " + ", ".join(f"('{l}', {p})" for l, p in _MIX_TARGETS)
+
+
 @register(
     "mix1_corpus_rebalance",
-    oracle="""
+    oracle=f"""
     WITH target(lang, target_ppm) AS (
-      VALUES ('en', 400000), ('es', 200000), ('de', 150000),
-             ('fr', 150000), ('zh', 100000)
+      {_MIX_TARGET_SQL}
     ),
     actual AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
     tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n FROM actual),
@@ -1760,35 +1771,11 @@ def mix1_corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and partitionings (contrast ``sampleBy``). Unlike the
     fixed-rate o9 sampler, the rates here are DERIVED from the corpus — a
     second aggregation pass broadcast back over the scan; map-only
-    otherwise."""
-    docs = table(spark, sf_dir, "documents")
-    target = spark.createDataFrame(
-        [("en", 400000), ("es", 200000), ("de", 150000),
-         ("fr", 150000), ("zh", 100000)],
-        "lang string, target_ppm long",
-    )
-    actual = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    total = actual.agg(F.sum("n_l").alias("n"))
-    rates = (
-        actual.join(F.broadcast(target), "lang")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "lang",
-            F.least(
-                F.lit(1000000).cast("long"),
-                F.expr("(target_ppm * n) div n_l"),
-            ).alias("rate_ppm"),
-        )
-    )
-    hash_ppm = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) % 1000000
-    return (
-        docs.select("doc_id", "lang")
-        .join(F.broadcast(rates), "lang")
-        .filter(hash_ppm < F.col("rate_ppm"))
-        .select("doc_id", "lang", "rate_ppm")
-    )
+    otherwise. See :func:`sparkfusion.llm.chunking.rebalance_by_lang`."""
+    from ..llm.chunking import rebalance_by_lang
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return rebalance_by_lang(docs, _MIX_TARGETS).select("doc_id", "lang", "rate_ppm")
 
 
 @register(
@@ -1829,3 +1816,91 @@ def nov1_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+def _pipeline2_oracle() -> str:
+    """Training-shard pipeline oracle: corpus clean (quality ∩ exact-dedup ∩
+    near-dup keepers, same CTEs as pipeline_corpus_clean) → mixture
+    rebalance (same rates as mix1, recomputed over the CLEANED corpus) →
+    512-token sequence packing (same cumulative layout as
+    pack_training_sequences)."""
+    return f"""
+    WITH RECURSIVE {_cc_ctes(_minhash_oracle())},
+    nearkeep AS (
+      SELECT d.doc_id FROM documents d LEFT JOIN comp c ON c.__node = d.doc_id
+      WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+    ),
+    fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    exkeep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+    qual AS (SELECT doc_id FROM ({_QUALITY_SQL}) WHERE quality >= 0.5),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.text FROM documents d
+      JOIN nearkeep USING (doc_id)
+      JOIN exkeep USING (doc_id)
+      JOIN qual USING (doc_id)
+    ),
+    target(lang, target_ppm) AS ({_MIX_TARGET_SQL}),
+    actual AS (SELECT lang, count(*) AS n_l FROM kept GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n FROM actual),
+    rates AS (
+      SELECT a.lang,
+             CAST(least(1000000, (t.target_ppm * tt.n) // a.n_l) AS BIGINT)
+               AS rate_ppm
+      FROM actual a JOIN target t USING (lang) CROSS JOIN tot tt
+    ),
+    samp AS (
+      SELECT k.doc_id, k.text FROM kept k JOIN rates r USING (lang)
+      WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 1000000 < r.rate_ppm
+    ),
+    t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{text.TOKEN_RE}'))::BIGINT
+               AS n_tokens
+      FROM samp
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_off
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_off,
+           (start_off // 512)::BIGINT AS seq_id,
+           (CASE WHEN n_tokens > 0
+                 THEN (start_off + n_tokens - 1) // 512 - start_off // 512 + 1
+                 ELSE 0 END)::BIGINT AS n_seqs
+    FROM c
+    """
+
+
+@register("pipeline2_training_shards", oracle=_pipeline2_oracle())
+def pipeline2_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline, raw corpus → packed shards: clean
+    (quality gate ∩ exact-dedup ∩ MinHash-cluster keepers — the
+    pipeline_corpus_clean composition), REBALANCE the survivors to the
+    target language mixture (rates recomputed over the cleaned corpus, not
+    the raw one), then pack the sampled documents into 512-token training
+    sequences with global offsets. Every stage is the already-verified
+    operator (cluster CC with localCheckpoint, broadcast rates, no-global-
+    sort packing) — this entry pins their COMPOSITION against one DuckDB
+    query, end to end. The output is exactly what a shard-writer would
+    partition by seq_id and serialize."""
+    from ..llm.chunking import rebalance_by_lang
+
+    keep = pipeline_corpus_clean(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    kept = docs.join(keep, "doc_id").select("doc_id", "lang", "text")
+    # downstream stages evaluate their input MULTIPLE times (rebalance:
+    # actual-share counts + the probe; packing: per-partition totals + the
+    # offset join) — without materialization each pass re-runs the entire
+    # MinHash-CC clean pipeline above. One localCheckpoint of the cleaned
+    # corpus bounds that: released on GC, the "cache only frames feeding
+    # multiple subtrees" posture.
+    kept = kept.localCheckpoint(eager=True)
+    sampled = rebalance_by_lang(kept, _MIX_TARGETS).select("doc_id", "text")
+    return text.pack_sequences(sampled, "doc_id", "text", budget=512)
