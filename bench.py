@@ -87,6 +87,8 @@ HEADLINE = {
     "lm1_unigram_freq_score": "lm1_unigram_freq_score",
     "mix1_corpus_rebalance": "mix1_corpus_rebalance",
     "nov1_shingle_novelty": "nov1_shingle_novelty",
+    "pipeline2_training_shards": "pipeline2_training_shards",
+    "g2_triangle_count": "g2_triangle_count",
 }
 
 REPEATS = 3

@@ -79,3 +79,70 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Exact global triangle count via DEGREE-ORIENTED wedge joins — the
+    canonical distributed-graph pattern (used by every production triangle
+    counter: orientation bounds each node's out-degree by O(sqrt(m)), so the
+    wedge join's fanout is sum(outdeg^2) ~ m^1.5 instead of the naive
+    sum(deg^2), which a single hub node would otherwise blow up
+    quadratically).
+
+    Input: undirected edges, any orientation, duplicates/self-loops allowed
+    (normalized here). Three shuffles on node/edge keys — groupBy(node) for
+    degrees, self-join on the wedge apex, equi-join closing edges against
+    the canonical edge set. No cross join, no collect.
+
+    Returns one row: (n_edges, n_wedges, n_triangles), each exact BIGINT.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # orient low-degree -> high-degree (id tiebreak): s is the "apex" side
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("u"),
+            )
+            .otherwise(F.col("v"))
+            .alias("s"),
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("v"),
+            )
+            .otherwise(F.col("u"))
+            .alias("t"),
+        )
+    )
+    o1 = oriented.select(F.col("s"), F.col("t").alias("b"))
+    o2 = oriented.select(F.col("s"), F.col("t").alias("c"))
+    wedges = o1.join(o2, "s").where(F.col("b") < F.col("c"))
+    # close each wedge against the CANONICAL (u < v) edge set — the wedge
+    # endpoints are already id-ordered by construction, so this is a pure
+    # equi-join regardless of how the closing edge was oriented
+    tri = wedges.join(
+        e, (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")), "inner"
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_edges.crossJoin(F.broadcast(n_wedges)).crossJoin(F.broadcast(n_tri))

@@ -1198,3 +1198,54 @@ def rc1_recursive_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(limit_key)
         else:
             spark.conf.set(limit_key, prior)
+
+
+@register(
+    "g2_triangle_count",
+    oracle="""
+    WITH raw AS (
+      SELECT least(o_custkey, (o_orderkey * 2654435761) % 1500 + 1) AS u,
+             greatest(o_custkey, (o_orderkey * 2654435761) % 1500 + 1) AS v
+      FROM orders
+    ),
+    e AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS s,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS t
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    w AS (
+      SELECT o1.s, o1.t AS b, o2.t AS c
+      FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+    ),
+    tri AS (SELECT * FROM w JOIN e ON w.b = e.u AND w.c = e.v)
+    SELECT (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*) FROM w) AS n_wedges,
+           (SELECT count(*) FROM tri) AS n_triangles
+    """,
+)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact triangle counting with DEGREE ORIENTATION (the
+    bounded-fanout trick every production triangle counter uses — a hub
+    node's wedges grow with its oriented out-degree O(sqrt(m)), not its raw
+    degree). The graph is deterministic from orders (custkey ↔ a Knuth-hash
+    target in a fixed low range, which CREATES hub nodes — exactly the skew
+    the orientation neutralizes). Both engines run the same
+    normalize → orient → wedge-join → close pipeline; the report row is
+    (n_edges, n_wedges, n_triangles), all exact. See
+    :func:`sparkfusion.operators.graph.triangle_count`."""
+    from ..operators.graph import triangle_count
+
+    orders = table(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.col("o_custkey").alias("u"),
+        ((F.col("o_orderkey") * 2654435761) % 1500 + 1).alias("v"),
+    )
+    return triangle_count(edges)

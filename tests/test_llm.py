@@ -600,3 +600,19 @@ def test_png_decode_rejects_malformed():
     buf[20] ^= 0xFF  # corrupt inside IHDR → CRC must catch it
     with _pytest.raises(DecodeError, match="CRC"):
         _png_decode_pixels(bytes(buf))
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 (4 triangles) + a pendant edge + a duplicate + a self-loop: the
+    normalizer must drop the loop and dupe, the pendant adds an edge and a
+    wedge but no triangle."""
+    from sparkfusion.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(4, 5), (2, 1), (3, 3)]  # pendant, duplicate (reversed), loop
+    df = spark.createDataFrame(edges, "u long, v long")
+    row = triangle_count(df).collect()[0]
+    assert row["n_edges"] == 7  # 6 K4 edges + pendant
+    assert row["n_triangles"] == 4
+    # every triangle is one closed wedge; open wedges exist via the pendant
+    assert row["n_wedges"] >= row["n_triangles"]
