@@ -89,6 +89,8 @@ HEADLINE = {
     "nov1_shingle_novelty": "nov1_shingle_novelty",
     "pipeline2_training_shards": "pipeline2_training_shards",
     "g2_triangle_count": "g2_triangle_count",
+    "fi1_item_affinity": "fi1_item_affinity",
+    "qf1_quality_threshold_sweep": "qf1_quality_threshold_sweep",
 }
 
 REPEATS = 3

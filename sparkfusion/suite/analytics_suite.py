@@ -1249,3 +1249,80 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_orderkey") * 2654435761) % 1500 + 1).alias("v"),
     )
     return triangle_count(edges)
+
+
+@register(
+    "fi1_item_affinity",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT count(DISTINCT okey) AS n_baskets FROM baskets),
+    bc AS (SELECT brand, count(*) AS cnt FROM baskets GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS support
+      FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, support,
+           CAST(support AS DOUBLE) * n.n_baskets / (ca.cnt * cb.cnt) AS lift
+    FROM pairs
+    JOIN bc ca ON ca.brand = pairs.brand_a
+    JOIN bc cb ON cb.brand = pairs.brand_b
+    CROSS JOIN n
+    WHERE support >= 20
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+)
+def fi1_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity (association-rules support + lift) over
+    co-ordered part brands. The scale-critical move is deduplicating each
+    basket to the BRAND level BEFORE the pair self-join: fanout per order is
+    then bounded by (distinct brands per basket choose 2) <= C(7,2), never
+    by raw line items, and the join itself is an equi-join on the order key
+    (co-partitioned after the dedup shuffle — no cross join anywhere).
+    Brand marginals are a 25-row broadcast; the basket total is a broadcast
+    1-row scalar. Lift is a single IEEE multiply + divide on exact integers
+    (< 2^53), so both engines round identically — no float-sum order
+    sensitivity. Deterministic top-25 via (lift DESC, brand_a, brand_b)
+    total order."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .cache()  # feeds three subtrees: total, marginals, pair join
+    )
+    n = baskets.agg(F.countDistinct("okey").alias("n_baskets"))
+    bc = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = baskets.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    ca = F.broadcast(bc.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("ca")))
+    cb = F.broadcast(bc.select(F.col("brand").alias("brand_b"), F.col("cnt").alias("cb")))
+    return (
+        pairs.join(ca, "brand_a")
+        .join(cb, "brand_b")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("support") >= 20)
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            (
+                F.col("support").cast("double")
+                * F.col("n_baskets")
+                / (F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(25)
+    )

@@ -1904,3 +1904,66 @@ def pipeline2_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = kept.localCheckpoint(eager=True)
     sampled = rebalance_by_lang(kept, _MIX_TARGETS).select("doc_id", "text")
     return text.pack_sequences(sampled, "doc_id", "text", budget=512)
+
+
+@register(
+    "qf1_quality_threshold_sweep",
+    oracle="""
+    WITH scored AS (
+      SELECT length(text) AS n_chars,
+             (1000 * length(list_distinct(string_split(text, ' '))))
+               // greatest(length(string_split(text, ' ')), 1) AS score
+      FROM documents
+    ),
+    b AS (
+      SELECT least(score // 100, 9) AS bucket,
+             count(*) AS n_docs, sum(n_chars) AS bucket_chars
+      FROM scored GROUP BY 1
+    )
+    SELECT bucket * 100 AS threshold,
+           sum(n_docs) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS docs_kept,
+           sum(bucket_chars) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chars_kept
+    FROM b
+    ORDER BY threshold
+    """,
+)
+def qf1_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter threshold calibration: for every alpha-ratio score
+    decile, how many documents (and characters) survive a `score >= t`
+    filter — the sweep a pipeline runs BEFORE committing to a filter
+    threshold, so the 100 TB pass happens once, not once per candidate
+    threshold. The score is the type-token ratio (distinct words / words,
+    the standard repetition filter). One map-only scoring pass (pure column
+    expressions, integer arithmetic only: `1000*uniq div words`), one
+    10-group aggregation, then a cumulative window over the <=10-row bucket
+    frame (post-agg cardinality is grid-bounded, so the unpartitioned
+    window is scale-safe)."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    scored = docs.select(
+        F.length("text").alias("n_chars"),
+        F.expr(
+            "(1000 * size(array_distinct(split(text, ' '))))"
+            " div greatest(size(split(text, ' ')), 1)"
+        ).alias("score"),
+    )
+    b = (
+        scored.select(
+            F.least(F.expr("score div 100"), F.lit(9)).alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("bucket_chars"))
+    )
+    w = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return b.select(
+        (F.col("bucket") * 100).alias("threshold"),
+        F.sum("n_docs").over(w).alias("docs_kept"),
+        F.sum("bucket_chars").over(w).alias("chars_kept"),
+    ).orderBy("threshold")

@@ -616,3 +616,40 @@ def test_triangle_count_known_graph(spark):
     assert row["n_triangles"] == 4
     # every triangle is one closed wedge; open wedges exist via the pendant
     assert row["n_wedges"] >= row["n_triangles"]
+
+
+def test_qf1_sweep_invariants(spark):
+    """docs_kept must be non-increasing in threshold, and the lowest
+    threshold retains the whole corpus."""
+    from sparkfusion.suite import _load_all
+    _load_all()
+    import __spark_entry__ as e
+
+    rows = (
+        e.queries()["qf1_quality_threshold_sweep"](spark, "/root/testdata/sf0.001")
+        .orderBy("threshold")
+        .collect()
+    )
+    assert rows, "sweep returned no buckets"
+    docs = [r["docs_kept"] for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    import duckdb
+
+    total = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert docs[0] == total
+
+
+def test_fi1_affinity_invariants(spark):
+    """Support never exceeds either brand marginal, and lift is positive."""
+    from sparkfusion.suite import _load_all
+    _load_all()
+    import __spark_entry__ as e
+
+    df = e.queries()["fi1_item_affinity"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    for r in rows:
+        assert r["lift"] > 0
+        assert r["support"] >= 20
+    assert len(rows) <= 25
