@@ -338,11 +338,21 @@ def _png_decode_pixels(buf: bytes):
     while pos + 8 <= len(buf):
         (length,) = struct.unpack(">I", buf[pos : pos + 4])
         ctype = buf[pos + 4 : pos + 8]
+        # bounds-check BEFORE slicing: a truncated payload must surface as
+        # DecodeError, not a raw struct.error from a <4-byte CRC unpack
+        # (ADVICE r6 — untyped errors escaped the documented contract)
+        if pos + 12 + length > len(buf):
+            raise DecodeError(
+                f"truncated PNG: chunk {ctype!r} claims {length} bytes but "
+                f"only {len(buf) - pos - 12} remain"
+            )
         data = buf[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", buf[pos + 8 + length : pos + 12 + length])
         if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise DecodeError(f"PNG chunk {ctype!r} failed CRC")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise DecodeError(f"PNG IHDR length {len(data)} != 13")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -360,7 +370,10 @@ def _png_decode_pixels(buf: bytes):
         pos += 12 + length
     if width is None:
         raise DecodeError("PNG missing IHDR")
-    raw = _zlib.decompress(bytes(idat))
+    try:
+        raw = _zlib.decompress(bytes(idat))
+    except _zlib.error as ex:
+        raise DecodeError(f"corrupt PNG IDAT stream: {ex}") from ex
     bpp, stride = 3, width * 3
     if len(raw) != (stride + 1) * height:
         raise DecodeError(f"PNG data length {len(raw)} != {(stride + 1) * height}")

@@ -59,26 +59,81 @@ def write_bucketed_table(
     """
     import shutil
 
+    def _strip_file_scheme(p: str) -> str:
+        for prefix in ("file://", "file:"):
+            if p.startswith(prefix):
+                return p[len(prefix) :]
+        return p
+
     spark = df.sparkSession
     # a managed table's warehouse directory outlives the default in-memory
     # catalog: a FRESH session (the external driver's, a new check run) sees
     # no table but an existing location, and overwrite-saveAsTable fails
-    # with LOCATION_ALREADY_EXISTS. Drop the catalog entry AND sweep any
-    # orphan directory before writing (tests/test_plans.py regression).
+    # with LOCATION_ALREADY_EXISTS. Clear both layers before writing
+    # (tests/test_plans.py regression):
+    #  - catalog entry known → resolve its REAL location + type from the
+    #    catalog; sweep files only for managed tables (DROP already removes
+    #    managed data on most catalogs, rmtree is the in-memory-catalog
+    #    belt-and-braces) — never delete an EXTERNAL table's data.
+    #  - no catalog entry (orphan dir from a previous session) → sweep only
+    #    the default-warehouse path, including the `db.db/tbl` layout for
+    #    db-qualified names.
     if mode == "overwrite":
+        location = table_type = None
+        if spark.catalog.tableExists(name):
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+                if r.col_name == "Location":
+                    location = r.data_type
+                elif r.col_name == "Type":
+                    table_type = r.data_type
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        for prefix in ("file://", "file:"):
-            if warehouse.startswith(prefix):
-                warehouse = warehouse[len(prefix) :]
-                break
-        shutil.rmtree(os.path.join(warehouse, name.lower()), ignore_errors=True)
+        if location is not None:
+            if table_type != "EXTERNAL":
+                shutil.rmtree(_strip_file_scheme(location), ignore_errors=True)
+        else:
+            warehouse = _strip_file_scheme(
+                spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            )
+            parts = name.lower().split(".")
+            rel = parts[-1] if len(parts) == 1 else os.path.join(
+                f"{parts[-2]}.db", parts[-1]
+            )
+            shutil.rmtree(os.path.join(warehouse, rel), ignore_errors=True)
 
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
     return df.sparkSession.table(name)
+
+
+def ensure_bucketed_table(
+    df: DataFrame,
+    name: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Idempotent form of :func:`write_bucketed_table`: skip the (expensive)
+    ingest when ``name`` already exists in this session's catalog with the
+    same bucket count, bucket columns and row count — so repeated invocations
+    (bench REPEATS, correctness sweeps) time the shuffle-free JOIN, not the
+    table rewrite (ADVICE r6). Any spec or cardinality drift falls through to
+    a full overwrite."""
+    spark = df.sparkSession
+    if spark.catalog.tableExists(name):
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        }
+        want_cols = "[" + ", ".join(f"`{c}`" for c in bucket_cols) + "]"
+        if (
+            desc.get("Num Buckets") == str(n_buckets)
+            and desc.get("Bucket Columns") == want_cols
+            and spark.table(name).count() == df.count()
+        ):
+            return spark.table(name)
+    return write_bucketed_table(df, name, n_buckets, bucket_cols, sort_cols)
 
 
 def compact_parquet(spark: SparkSession, path: str, target_files: int) -> int:

@@ -1294,7 +1294,11 @@ def fi1_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
-        .cache()  # feeds three subtrees: total, marginals, pair join
+        # feeds three subtrees (total, marginals, pair join); localCheckpoint
+        # instead of cache() so nothing accumulates in the CacheManager across
+        # repeated invocations (correctness sweeps, bench REPEATS) — same fix
+        # as bloom_semi_join / pipeline2 (ADVICE r6)
+        .localCheckpoint(eager=True)
     )
     n = baskets.agg(F.countDistinct("okey").alias("n_baskets"))
     bc = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))

@@ -469,7 +469,7 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(nw) AS total_words,
+           CAST(SUM(nw) AS BIGINT) AS total_words,
            MAX(CASE WHEN rk = (cnt - 1) // 2 + 1 THEN n_chars END) AS median_lo,
            MAX(CASE WHEN rk = cnt // 2 + 1 THEN n_chars END) AS median_hi,
            MAX(CASE WHEN rk = ((cnt - 1) * 9) // 10 + 1 THEN n_chars END) AS p90_lo,
@@ -1460,7 +1460,8 @@ def neg_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_label_centroid",
     oracle="""
     SELECT label, CAST(t.i - 1 AS INT) AS pos,
-           sum(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)) AS sum_q,
+           CAST(sum(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_q,
            count(*) AS n,
            CAST(sum(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
              / count(*) / 1000000.0 AS centroid
@@ -1510,9 +1511,9 @@ def bpe1_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT unnest(generate_series(0, 5)) AS y) b
     )
     SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
-           sum((x * 7 + y * 13 + doc_id) % 256) AS sum_r,
-           sum((x * 7 + y * 13 + doc_id + 37) % 256) AS sum_g,
-           sum((x * 7 + y * 13 + doc_id + 74) % 256) AS sum_b
+           CAST(sum((x * 7 + y * 13 + doc_id) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((x * 7 + y * 13 + doc_id + 37) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((x * 7 + y * 13 + doc_id + 74) % 256) AS BIGINT) AS sum_b
     FROM documents, g
     GROUP BY doc_id
     """,
@@ -1540,9 +1541,9 @@ def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT unnest(generate_series(0, 5)) AS y) b
     )
     SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
-           sum((x * 7 + y * 13 + doc_id) % 256) AS sum_r,
-           sum((x * 7 + y * 13 + doc_id + 37) % 256) AS sum_g,
-           sum((x * 7 + y * 13 + doc_id + 74) % 256) AS sum_b
+           CAST(sum((x * 7 + y * 13 + doc_id) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((x * 7 + y * 13 + doc_id + 37) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((x * 7 + y * 13 + doc_id + 74) % 256) AS BIGINT) AS sum_b
     FROM documents, g
     GROUP BY doc_id
     """,
@@ -1921,10 +1922,10 @@ def pipeline2_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored GROUP BY 1
     )
     SELECT bucket * 100 AS threshold,
-           sum(n_docs) OVER (ORDER BY bucket DESC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS docs_kept,
-           sum(bucket_chars) OVER (ORDER BY bucket DESC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chars_kept
+           CAST(sum(n_docs) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_kept,
+           CAST(sum(bucket_chars) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS chars_kept
     FROM b
     ORDER BY threshold
     """,

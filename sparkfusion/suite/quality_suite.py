@@ -50,19 +50,25 @@ def dq1_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq2_constraints_lineitem",
     oracle="""
     SELECT 'quantity_positive' AS rule,
-           sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS violations,
+           CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS violations,
            count(*) AS n_rows FROM lineitem
     UNION ALL SELECT 'price_nonnegative',
-           sum(CASE WHEN l_extendedprice >= 0 THEN 0 ELSE 1 END), count(*)
+           CAST(sum(CASE WHEN l_extendedprice >= 0 THEN 0 ELSE 1 END) AS BIGINT),
+           count(*)
     FROM lineitem
     UNION ALL SELECT 'discount_in_unit_range',
-           sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END), count(*)
+           CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS BIGINT),
+           count(*)
     FROM lineitem
     UNION ALL SELECT 'returnflag_domain',
-           sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END), count(*)
+           CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END)
+                AS BIGINT),
+           count(*)
     FROM lineitem
     UNION ALL SELECT 'shipdate_present',
-           sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END), count(*)
+           CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+           count(*)
     FROM lineitem
     """,
 )
@@ -273,7 +279,9 @@ def a16_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b GROUP BY bucket
     ),
     t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM c)
-    SELECT bucket, n_base, n_cur,
+    SELECT bucket,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
            round((CAST(n_base + 1 AS DOUBLE) / (tb + 10)
                   - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
                  * ln((CAST(n_base + 1 AS DOUBLE) / (tb + 10))

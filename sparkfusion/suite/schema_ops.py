@@ -331,7 +331,7 @@ def c5_c6_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p22_variant_json",
     oracle="""
     SELECT event_type, count(*) AS n,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events

@@ -9,6 +9,7 @@ stick to int/string columns (float text round-trips are format-dependent).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -284,7 +285,7 @@ def s20_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH g AS (SELECT unnest(generate_series(0, 4999)) AS i)
     SELECT CAST(i % 7 AS INT) AS bucket, count(*) AS n,
-           sum((i * 2654435761) % 1000) AS sum_milli
+           CAST(sum((i * 2654435761) % 1000) AS BIGINT) AS sum_milli
     FROM g GROUP BY i % 7
     """,
 )
@@ -311,7 +312,7 @@ def s21_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (SELECT unnest(generate_series(0, 1999)) AS i)
     SELECT CAST(i % 7 AS INT) AS bucket, count(*) AS n,
-           sum((i * 2654435761) % 1000) AS sum_milli
+           CAST(sum((i * 2654435761) % 1000) AS BIGINT) AS sum_milli
     FROM g GROUP BY i % 7
     """,
 )
@@ -347,7 +348,7 @@ def s22_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s23_jsonl_sink_roundtrip",
     oracle="""
-    SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang
     """,
 )
@@ -394,15 +395,22 @@ def b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_plans.py). At 100 TB this is THE tool for repeated joins
     on a stable key: the shuffle is paid once at ingest. Result is checked
     against the plain (shuffled) join oracle — bucketing must never change
-    answers, only movement."""
-    from ..sources.writers import write_bucketed_table
+    answers, only movement.
 
+    Tables are sf-scoped and written AT MOST ONCE per session
+    (ensure_bucketed_table skips the ingest when spec + row count already
+    match), so bench REPEATS time the join, not the rewrite (ADVICE r6)."""
+    from ..sources.writers import ensure_bucketed_table
+
+    sf_tag = re.sub(r"[^0-9a-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1].lower())
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    c = write_bucketed_table(cust, "bkt_customer", 8, ["c_custkey"], ["c_custkey"])
-    o = write_bucketed_table(
+    c = ensure_bucketed_table(
+        cust, f"bkt_customer_{sf_tag}", 8, ["c_custkey"], ["c_custkey"]
+    )
+    o = ensure_bucketed_table(
         orders.withColumnRenamed("o_custkey", "c_custkey"),
-        "bkt_orders",
+        f"bkt_orders_{sf_tag}",
         8,
         ["c_custkey"],
         ["c_custkey"],

@@ -232,11 +232,11 @@ def x6_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view'
     )
     SELECT p.user_id, count(*) AS n_purchases,
-           sum(CASE WHEN EXISTS (
+           CAST(sum(CASE WHEN EXISTS (
                  SELECT 1 FROM v
                  WHERE v.user_id = p.user_id
                    AND v.t >= p.t - 3600000000 AND v.t < p.t)
-               THEN 1 ELSE 0 END) AS n_attributed
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
     FROM p GROUP BY p.user_id
     """,
 )

@@ -62,6 +62,70 @@ def test_dump_rows_unit(tmp_path):
     assert out[1] == "(1, 2)"
 
 
+def test_normalize_type_tags_int_vs_float():
+    """r6 post-mortem: DuckDB sum(BIGINT) → HUGEINT → pandas float64 while
+    Spark returns int64. The driver's value-hash distinguishes 350 from 350.0;
+    the old harness's plain == did not (10 driver failures invisible locally).
+    normalize() must type-tag so int and float NEVER compare equal."""
+    import pandas as pd
+
+    co = _load_check_oracle()
+    _, int_rows = co.normalize(pd.DataFrame({"v": pd.array([350], dtype="int64")}))
+    _, flt_rows = co.normalize(pd.DataFrame({"v": pd.array([350.0], dtype="float64")}))
+    assert int_rows != flt_rows
+    assert int_rows[0][0] == ("i", 350)
+    assert flt_rows[0][0] == ("f", 350.0)
+    # bools are not ints here, and Decimals are their own class
+    import decimal
+
+    _, bool_rows = co.normalize(pd.DataFrame({"v": [True]}))
+    assert bool_rows[0][0] == ("b", True)
+    _, dec_rows = co.normalize(
+        pd.DataFrame({"v": [decimal.Decimal("1.50")]}, dtype="object")
+    )
+    assert dec_rows[0][0] == ("d", "1.5")
+
+
+def test_hugeint_oracle_fails_without_cast(spark, monkeypatch):
+    """End-to-end HUGEINT fixture: an oracle whose sum() emits HUGEINT (pandas
+    float64) must FAIL against a Spark int result, and the CAST(... AS BIGINT)
+    form must PASS — the exact fix applied to the 12 r6/latent queries."""
+    import duckdb
+
+    hugeint_sql = "SELECT sum(x) AS s FROM (SELECT CAST(350 AS BIGINT) AS x)"
+    assert str(duckdb.sql(hugeint_sql).types[0]) == "HUGEINT"  # precondition
+
+    co = _load_check_oracle()
+    import __spark_entry__ as e
+
+    monkeypatch.setattr(
+        e,
+        "queries",
+        lambda: {"hugeint_fixture": lambda s, sf: s.createDataFrame([(350,)], "s long")},
+    )
+
+    monkeypatch.setattr(e, "oracle_sql", lambda: {"hugeint_fixture": hugeint_sql})
+    monkeypatch.setattr(
+        sys, "argv", ["check_oracle.py", "/root/testdata/sf0.001", "hugeint_fixture"]
+    )
+    assert co.main() == 1, "type-strict harness must catch HUGEINT float64 drift"
+
+    monkeypatch.setattr(
+        e,
+        "oracle_sql",
+        lambda: {"hugeint_fixture": f"SELECT CAST(s AS BIGINT) AS s FROM ({hugeint_sql})"},
+    )
+    assert co.main() == 0
+
+
+def test_result_hash_stable_and_type_sensitive():
+    co = _load_check_oracle()
+    h1 = co.result_hash(["a"], [(("i", 1),)])
+    h2 = co.result_hash(["a"], [(("i", 1),)])
+    h3 = co.result_hash(["a"], [(("f", 1.0),)])
+    assert h1 == h2 != h3
+
+
 def test_matching_query_writes_no_dump(spark, tmp_path, monkeypatch):
     co = _load_check_oracle()
 

@@ -602,6 +602,49 @@ def test_png_decode_rejects_malformed():
         _png_decode_pixels(bytes(buf))
 
 
+def test_png_decode_typed_errors_on_truncation_and_bad_idat():
+    """ADVICE r6: a truncated chunk used to escape as raw struct.error and a
+    corrupt-but-CRC-valid IDAT as zlib.error — the contract says DecodeError
+    for ANYTHING malformed."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from sparkfusion.errors import DecodeError
+    from sparkfusion.llm.multimodal import _PNG_SIG, _png_chunk, _png_decode_pixels, make_png
+
+    # truncated mid-chunk: drop IEND (12 bytes) plus one byte of IDAT's CRC,
+    # so the IDAT chunk claims more bytes than remain in the buffer
+    with _pytest.raises(DecodeError, match="truncated"):
+        _png_decode_pixels(bytes(make_png(3))[:-13])
+
+    # IDAT whose chunk CRC is valid but whose zlib stream is garbage
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"\x00not-a-zlib-stream")
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(DecodeError, match="IDAT"):
+        _png_decode_pixels(bad)
+
+    # IHDR chunk with a wrong declared length (valid CRC, short body)
+    bad2 = _PNG_SIG + _png_chunk(b"IHDR", ihdr[:8]) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(DecodeError, match="IHDR"):
+        _png_decode_pixels(bad2)
+
+    # declared-length overrun (points past end of buffer)
+    over = _PNG_SIG + struct.pack(">I", 10_000) + b"IHDR" + b"\x00" * 20
+    with _pytest.raises(DecodeError, match="truncated"):
+        _png_decode_pixels(over)
+
+    # sanity: zlib error really is what a raw decompress would raise
+    with _pytest.raises(zlib.error):
+        zlib.decompress(b"\x00not-a-zlib-stream")
+
+
 def test_triangle_count_known_graph(spark):
     """K4 (4 triangles) + a pendant edge + a duplicate + a self-loop: the
     normalizer must drop the loop and dupe, the pendant adds an edge and a

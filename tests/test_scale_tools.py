@@ -58,3 +58,38 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         for t in ("orders_b", "li_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ensure_bucketed_table_skips_rewrite(spark, sf_dir):
+    """ADVICE r6: repeated invocations must reuse the existing table (so bench
+    REPEATS time the join, not the ingest) — but spec drift forces a rewrite."""
+    import os
+
+    from sparkfusion.sources.writers import ensure_bucketed_table
+
+    name = "bkt_ensure_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    try:
+        t1 = ensure_bucketed_table(cust, name, 4, ["c_custkey"], ["c_custkey"])
+        loc = next(
+            r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+            if r.col_name == "Location"
+        ).removeprefix("file:")
+        mtimes = {f: os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)}
+
+        # same spec + same rows → no rewrite: files untouched
+        t2 = ensure_bucketed_table(cust, name, 4, ["c_custkey"], ["c_custkey"])
+        assert {f: os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)} == mtimes
+        assert t2.count() == t1.count() == cust.count()
+
+        # different bucket count → rewritten with the new spec
+        ensure_bucketed_table(cust, name, 2, ["c_custkey"], ["c_custkey"])
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        }
+        assert desc["Num Buckets"] == "2"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -27,15 +27,34 @@ sys.path.insert(0, "/root/repo")
 
 
 def normalize(df) -> tuple[list[str], list[tuple]]:
-    """Sort columns by name, normalize cell values, sort rows."""
+    """Sort columns by name, normalize cell values, sort rows.
+
+    Values are TYPE-TAGGED by numeric class so ``350 != 350.0`` — the r6
+    driver failed 10 queries on exactly that (DuckDB ``sum(BIGINT)`` →
+    HUGEINT → pandas float64 vs Spark int64) while this harness's plain
+    ``==`` reported green. An int, a float, a Decimal and a bool never
+    compare equal here even when their values do, mirroring the driver's
+    value-hash which distinguishes ``358385`` from ``358385.0``.
+    """
+    import decimal
+
     cols = sorted(df.columns)
     df = df[cols]
 
     def norm(v):
+        # numpy scalars unwrap to Python first so the class tags are stable
+        if hasattr(v, "item") and type(v).__module__ == "numpy":
+            v = v.item()
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return None
+        if isinstance(v, bool):
+            return ("b", v)
+        if isinstance(v, int):
+            return ("i", v)
         if isinstance(v, float):
-            return float(repr(v))
+            return ("f", float(repr(v)))
+        if isinstance(v, decimal.Decimal):
+            return ("d", str(v.normalize()))
         if hasattr(v, "isoformat"):
             return str(v)
         if isinstance(v, (list, tuple)):
@@ -49,6 +68,19 @@ def normalize(df) -> tuple[list[str], list[tuple]]:
         key=repr,
     )
     return cols, rows
+
+
+def result_hash(cols: list[str], rows: list[tuple]) -> str:
+    """md5 fingerprint of a normalized result (driver-replica style: columns
+    sorted by name, rows sorted, values type-tagged). Stable across runs so
+    two artifacts can be diffed by hash without re-running either engine."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(("\x1f".join(cols) + "\x1e").encode())
+    for r in rows:
+        h.update((repr(r) + "\x1e").encode())
+    return h.hexdigest()
 
 
 def _dump_rows(dump_dir: str, name: str, engine: str, cols, rows) -> None:
