@@ -189,7 +189,11 @@ def main() -> int:
             print(f"FAIL {name}: values differ, first at sorted-row {diff[0]}:")
             print(f"  spark:  {diff[1]}")
             print(f"  duckdb: {diff[2]}")
-            results[name] = {"status": "value_mismatch"}
+            results[name] = {
+                "status": "value_mismatch",
+                "spark_hash": result_hash(scols, srows),
+                "oracle_hash": result_hash(ocols, orows),
+            }
             n_fail += 1
             if dump_dir:
                 _dump_rows(dump_dir, name, "spark", scols, srows)
@@ -200,6 +204,10 @@ def main() -> int:
                 "status": "pass",
                 "rows": len(srows),
                 "sec": round(elapsed, 2),
+                # both engines' normalized results reduce to this one hash —
+                # lets two artifacts (runs, SFs, rounds) be diffed by value
+                # without re-running either engine
+                "hash": result_hash(scols, srows),
             }
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
