@@ -6,8 +6,9 @@ workers from ``src/utils/constants.rs:1-3``). Spark's production answer is
 the S3A connector, but this container ships no hadoop-aws jar — so instead of
 leaving the path env-gated, this module implements the same surface as a
 **Spark 4 Python DataSource** over boto3 + pyarrow, which runs END-TO-END
-against any S3 wire-protocol endpoint (tested against a local moto server;
-``tests/test_s3_native.py``).
+against any S3 wire-protocol endpoint (exercised against an in-process moto
+server in ``tests/test_s3_native.py``, including multi-part writes and the
+overwrite sweep).
 
 Scale design:
 
@@ -18,19 +19,26 @@ Scale design:
   ranged GETs via a seekable file adapter, with pyarrow's ``pre_buffer``
   coalescing the small footer reads — the same access pattern as the
   reference's ranged reader (``aws.rs:239-329``).
-- **Write**: each task serializes its partition as parquet into a streaming
-  multipart upload — a full ``part_size`` (default 10 MiB, the reference's
-  chunk constant) is shipped as soon as it fills, so task memory is bounded
-  by the part size, not the partition size. Parts are invisible until
-  ``complete_multipart_upload`` (S3's own two-phase protocol); the job-level
-  ``commit`` then writes a ``_SUCCESS`` marker, and ``abort`` deletes any
-  completed task objects.
+- **Pushdown**: Spark 4.1's ``pushFilters`` hands the reader the conjunctive
+  filter list; comparison/null/IN filters on top-level columns are used to
+  SKIP whole row groups via parquet min/max/null statistics (ranged GETs
+  never fetch skipped groups) and to pre-filter batches with
+  ``pyarrow.compute`` before they cross into the JVM. All filters are also
+  returned to Spark, so Spark re-applies them — pushdown here is purely an
+  I/O reduction, never a correctness dependency. Column pruning: a
+  user-supplied ``.schema(...)`` reads only those columns' chunks.
+- **Write**: an Arrow-batch writer (``DataSourceArrowWriter`` — batches
+  arrive from the JVM with no Python row loop) buffers ``rows_per_group``
+  rows per parquet row group and serializes into a streaming multipart
+  upload — a full ``part_size`` (default 10 MiB, the reference's chunk
+  constant) is shipped as soon as it fills, so task memory is bounded by
+  ``part_size`` + one row group, not the partition size. Parts are invisible
+  until ``complete_multipart_upload`` (S3's own two-phase protocol); the
+  job-level ``commit`` then writes a ``_SUCCESS`` marker, and ``abort``
+  deletes any completed task objects.
 
-Honest limitations (documented, not hidden): Spark's Python DataSource API
-does not push column pruning/predicates into ``read`` (a production
-deployment at 100 TB would use S3A + the native parquet scan, where both
-push down); and S3 has no rename, so overwrite sweeps old objects at commit
-time rather than atomically.
+Honest limitation (documented, not hidden): S3 has no rename, so overwrite
+sweeps old objects at commit time rather than atomically.
 """
 
 from __future__ import annotations
@@ -41,9 +49,18 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 
@@ -53,8 +70,8 @@ FORMAT_NAME = "s3parquet"
 
 #: the reference's transfer constants (src/utils/constants.rs:1-3)
 DEFAULT_PART_SIZE = 10 * 1024 * 1024
-#: real S3 rejects non-final parts below 5 MiB; tests may shrink part_size
-#: below this against moto to exercise multi-part flushing with small data
+#: S3 (and moto, which enforces it) rejects non-final parts below 5 MiB —
+#: the writer clamps any smaller requested part_size up to this floor
 S3_MIN_PART_SIZE = 5 * 1024 * 1024
 
 
@@ -82,11 +99,18 @@ def s3_client(options: dict):
 class _S3SeekableFile:
     """Minimal seekable file-like over ranged GETs, for pyarrow's parquet
     reader (footer probe + row-group reads). Every ``read`` is one ranged
-    request; pyarrow's ``pre_buffer`` keeps the count low."""
+    request; pyarrow's ``pre_buffer`` keeps the count low.
+
+    ``closed`` is a plain attribute — pyarrow's PythonFile adapter reads it
+    as one, and a bound method would be truthy (= permanently closed).
+    ``tests/test_s3_native.py::test_file_adapters_satisfy_pyarrow_protocol``
+    pins the whole protocol.
+    """
 
     def __init__(self, client, bucket: str, key: str, size: int):
         self._c, self._b, self._k, self._size = client, bucket, key, size
         self._pos = 0
+        self.closed = False
 
     def size(self) -> int:
         return self._size
@@ -125,11 +149,8 @@ class _S3SeekableFile:
     def writable(self) -> bool:
         return False
 
-    def closed(self) -> bool:  # pragma: no cover - pyarrow probes this
-        return False
-
     def close(self) -> None:
-        pass
+        self.closed = True
 
     def flush(self) -> None:  # pragma: no cover
         pass
@@ -147,13 +168,130 @@ def _list_parquet_objects(client, bucket: str, prefix: str) -> list[tuple[str, i
     return sorted(out)
 
 
+# ---------------------------------------------------------------------------
+# filter pushdown: (column, op, value) triples the reader can act on
+# ---------------------------------------------------------------------------
+
+_COMPARISONS = {
+    EqualTo: "eq",
+    GreaterThan: "gt",
+    GreaterThanOrEqual: "ge",
+    LessThan: "lt",
+    LessThanOrEqual: "le",
+}
+
+
+def _translate_filters(filters: list[Filter]) -> list[tuple[str, str, object]]:
+    """Spark Filter objects → picklable (col, op, value) triples. Only
+    top-level columns; anything unrecognized is simply not translated
+    (Spark re-applies every filter regardless)."""
+    out: list[tuple[str, str, object]] = []
+    for flt in filters:
+        attr = getattr(flt, "attribute", None)
+        if attr is None or len(attr) != 1:
+            continue
+        col = attr[0]
+        op = _COMPARISONS.get(type(flt))
+        if op is not None:
+            out.append((col, op, flt.value))
+        elif isinstance(flt, In):
+            out.append((col, "in", tuple(flt.value)))
+        elif isinstance(flt, IsNull):
+            out.append((col, "isnull", None))
+        elif isinstance(flt, IsNotNull):
+            out.append((col, "notnull", None))
+    return out
+
+
+def _rg_may_match(stats, op: str, val) -> bool:
+    """Can a row group with these parquet column statistics contain a row
+    matching the predicate? Conservative: True whenever stats are absent or
+    incomparable. Mirrors the min/max pruning the native scan does."""
+    if stats is None:
+        return True
+    try:
+        if op == "isnull":
+            return stats.null_count is None or stats.null_count > 0
+        if op == "notnull":
+            nrows = getattr(stats, "num_values", None)
+            return True if nrows is None else nrows > 0
+        if not stats.has_min_max:
+            return True
+        lo, hi = stats.min, stats.max
+        if op == "eq":
+            return lo <= val <= hi
+        if op == "gt":
+            return hi > val
+        if op == "ge":
+            return hi >= val
+        if op == "lt":
+            return lo < val
+        if op == "le":
+            return lo <= val
+        if op == "in":
+            return any(lo <= v <= hi for v in val)
+    except TypeError:
+        return True
+    return True
+
+
+def _batch_mask(batch, triples):
+    """pyarrow.compute boolean mask for the translated filters, or None if
+    any of them can't be evaluated on this batch (Spark re-filters anyway)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = None
+    for col, op, val in triples:
+        if col not in batch.schema.names:
+            return None
+        arr = batch.column(col)
+        try:
+            if op == "isnull":
+                m = pc.is_null(arr)
+            elif op == "notnull":
+                m = pc.is_valid(arr)
+            elif op == "in":
+                m = pc.is_in(arr, value_set=pa.array(list(val), type=arr.type))
+            else:
+                scalar = pa.scalar(val, type=arr.type)
+                m = {
+                    "eq": pc.equal,
+                    "gt": pc.greater,
+                    "ge": pc.greater_equal,
+                    "lt": pc.less,
+                    "le": pc.less_equal,
+                }[op](arr, scalar)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError, OverflowError):
+            return None
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    return mask
+
+
 class S3ParquetReader(DataSourceReader):
-    def __init__(self, options: dict):
+    """One partition per S3 object; Arrow batches straight to the JVM.
+
+    Honors the RESOLVED read schema (user ``.schema(...)`` or the inferred
+    one): only those columns' chunks are fetched, every file is validated
+    against it at read time (clear error naming the object, instead of a
+    late executor batch-schema mismatch), and batches are cast to it.
+    """
+
+    def __init__(self, options: dict, schema):
         self.options = dict(options)
         self.bucket = options.get("bucket")
         self.prefix = options.get("prefix", "")
         if not self.bucket:
             raise SourceError("s3parquet: 'bucket' option is required")
+        self.schema = schema
+        self._filters: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        """Record the translatable subset for row-group skipping / batch
+        pre-filtering, but hand EVERY filter back to Spark: pushdown is an
+        I/O optimization here, never a correctness dependency."""
+        self._filters = _translate_filters(filters)
+        return filters
 
     def partitions(self) -> list[InputPartition]:
         objs = _list_parquet_objects(s3_client(self.options), self.bucket, self.prefix)
@@ -166,13 +304,61 @@ class S3ParquetReader(DataSourceReader):
 
     def read(self, partition: InputPartition):
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         key, size = partition.value
+        target = to_arrow_schema(self.schema)
+        names = target.names
         f = _S3SeekableFile(s3_client(self.options), self.bucket, key, size)
         pf = pq.ParquetFile(f, pre_buffer=True)
-        # Arrow-batch fast path: batches cross into the JVM without a Python
-        # row loop (pyspark.sql.datasource read() supports RecordBatch yield)
-        yield from pf.iter_batches(batch_size=65536)
+        file_cols = set(pf.schema_arrow.names)
+        missing = [c for c in names if c not in file_cols]
+        if missing:
+            raise SourceError(
+                f"s3parquet: object s3://{self.bucket}/{key} lacks column(s) "
+                f"{missing} required by the resolved read schema "
+                f"(schema is inferred from the first object under the prefix; "
+                f"pass an explicit .schema(...) covering only shared columns)"
+            )
+        row_groups = self._select_row_groups(pf)
+        for batch in pf.iter_batches(
+            batch_size=65536, row_groups=row_groups, columns=names
+        ):
+            if self._filters:
+                mask = _batch_mask(batch, self._filters)
+                if mask is not None:
+                    batch = batch.filter(mask)
+                    if batch.num_rows == 0:
+                        continue
+            # Arrow-batch fast path: batches cross into the JVM without a
+            # Python row loop; cast aligns field order/nullability with the
+            # resolved schema
+            yield batch.select(names).cast(target)
+
+    def _select_row_groups(self, pf) -> list[int]:
+        """Row groups that might satisfy the pushed filters, by parquet
+        min/max/null-count statistics — skipped groups are never fetched."""
+        n = pf.metadata.num_row_groups
+        if not self._filters:
+            return list(range(n))
+        idx_by_name = {
+            pf.metadata.schema.column(i).name: i
+            for i in range(pf.metadata.num_columns)
+        }
+        kept = []
+        for rg in range(n):
+            meta = pf.metadata.row_group(rg)
+            ok = True
+            for col, op, val in self._filters:
+                ci = idx_by_name.get(col)
+                if ci is None:
+                    continue
+                if not _rg_may_match(meta.column(ci).statistics, op, val):
+                    ok = False
+                    break
+            if ok:
+                kept.append(rg)
+        return kept
 
 
 class _S3Commit(WriterCommitMessage):
@@ -185,26 +371,42 @@ class _MultipartBuffer:
     """File-like that streams writes into an S3 multipart upload: a part is
     shipped the moment ``part_size`` bytes accumulate, so memory stays at
     O(part_size) however large the partition (``aws.rs:331-468`` parity —
-    the reference chunks at the same 10 MiB)."""
+    the reference chunks at the same 10 MiB).
+
+    ``closed`` is a plain attribute (pyarrow protocol — see
+    ``_S3SeekableFile``); a read offset into the accumulation buffer avoids
+    re-materializing the remainder on every part flush (a single large
+    ``write`` is O(n), not O(n²)).
+    """
 
     def __init__(self, client, bucket: str, key: str, part_size: int):
         self._c, self._b, self._k = client, bucket, key
         self._part_size = part_size
         self._buf = io.BytesIO()
+        self._off = 0  # bytes of _buf already shipped
         self._parts: list[dict] = []
         self._upload_id = client.create_multipart_upload(Bucket=bucket, Key=key)[
             "UploadId"
         ]
         self.bytes_written = 0
+        self.closed = False
+
+    def _pending(self) -> int:
+        return self._buf.tell() - self._off
 
     def write(self, data: bytes) -> int:
         self._buf.write(data)
         self.bytes_written += len(data)
-        while self._buf.tell() >= self._part_size:
-            raw = self._buf.getvalue()
-            self._ship(raw[: self._part_size])
+        if self._pending() >= self._part_size:
+            view = self._buf.getbuffer()
+            while self._buf.tell() - self._off >= self._part_size:
+                self._ship(bytes(view[self._off : self._off + self._part_size]))
+                self._off += self._part_size
+            del view  # release the memoryview so BytesIO can be resized
+            remainder = self._buf.getvalue()[self._off :]
             self._buf = io.BytesIO()
-            self._buf.write(raw[self._part_size :])
+            self._buf.write(remainder)
+            self._off = 0
         return len(data)
 
     def _ship(self, body: bytes) -> None:
@@ -216,18 +418,27 @@ class _MultipartBuffer:
         self._parts.append({"ETag": resp["ETag"], "PartNumber": num})
 
     def close(self) -> None:
-        if self._buf.tell() or not self._parts:
-            self._ship(self._buf.getvalue())
-            self._buf = io.BytesIO()
+        if self.closed:
+            return
+        if self._pending() or not self._parts:
+            self._ship(self._buf.getvalue()[self._off :])
+            self._buf, self._off = io.BytesIO(), 0
         self._c.complete_multipart_upload(
             Bucket=self._b, Key=self._k, UploadId=self._upload_id,
             MultipartUpload={"Parts": self._parts},
         )
+        self.closed = True
 
     def abort(self) -> None:
-        self._c.abort_multipart_upload(
-            Bucket=self._b, Key=self._k, UploadId=self._upload_id
-        )
+        """Best-effort: never raises, so it can run in an except path without
+        masking the original failure (complete may have actually landed
+        server-side, in which case the upload id is already gone)."""
+        try:
+            self._c.abort_multipart_upload(
+                Bucket=self._b, Key=self._k, UploadId=self._upload_id
+            )
+        except Exception:  # noqa: BLE001 - NoSuchUpload etc.
+            pass
 
     # pyarrow probes these on its sink
     def tell(self) -> int:
@@ -246,14 +457,20 @@ class _MultipartBuffer:
         pass
 
 
-class S3ParquetWriter(DataSourceWriter):
+class S3ParquetWriter(DataSourceArrowWriter):
     """Per-task streaming multipart parquet upload + job-level commit.
 
-    Task level: parts are invisible until ``complete_multipart_upload``, so a
-    failed/speculated task leaves at most an aborted upload, never a partial
-    object. Job level: ``commit`` writes the ``_SUCCESS`` marker (and, for
-    overwrite mode, sweeps previous-generation objects first); ``abort``
-    deletes any objects completed by finished tasks.
+    Arrow end to end: ``DataSourceArrowWriter`` hands this task RecordBatches
+    from the JVM (no Python row loop); batches accumulate to
+    ``rows_per_group`` rows, each flush is one parquet row group serialized
+    into the multipart buffer. Task level: parts are invisible until
+    ``complete_multipart_upload``, so a failed/speculated task leaves at most
+    an aborted upload, never a partial object; a task with zero rows writes
+    no object at all. Job level: ``commit`` writes the ``_SUCCESS`` marker
+    (and, for overwrite mode, sweeps previous-generation objects first —
+    writing an empty schema-only object if every task was empty, so the
+    prefix stays readable); ``abort`` deletes any objects completed by
+    finished tasks.
     """
 
     def __init__(self, options: dict, schema, overwrite: bool):
@@ -262,51 +479,74 @@ class S3ParquetWriter(DataSourceWriter):
         self.prefix = (options.get("prefix") or "").rstrip("/")
         if not self.bucket:
             raise SourceError("s3parquet: 'bucket' option is required")
-        self.part_size = int(options.get("part_size", DEFAULT_PART_SIZE))
+        # S3 rejects CompleteMultipartUpload when any non-final part is under
+        # 5 MiB (EntityTooSmall) — clamp so every shipped part is legal
+        self.part_size = max(
+            int(options.get("part_size", DEFAULT_PART_SIZE)), S3_MIN_PART_SIZE
+        )
         self.rows_per_group = int(options.get("rows_per_group", 65536))
         self.schema = schema
         self.overwrite = overwrite
 
+    def _arrow_schema(self):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(self.schema)
+
     def write(self, iterator):
         import pyarrow as pa
         import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        arrow_schema = to_arrow_schema(self.schema)
-        names = [f.name for f in self.schema.fields]
+        arrow_schema = self._arrow_schema()
+        first = next(iterator, None)
+        if first is None:
+            return _S3Commit(None, 0)  # empty task → no object
         key = f"{self.prefix}/part-{uuid.uuid4().hex}.parquet"
         sink = _MultipartBuffer(
             s3_client(self.options), self.bucket, key, self.part_size
         )
         rows = 0
+        pending: list = []
+        pending_rows = 0
+
+        def _flush(writer):
+            nonlocal pending, pending_rows, rows
+            writer.write_table(pa.Table.from_batches(pending, schema=arrow_schema))
+            rows += pending_rows
+            pending, pending_rows = [], 0
+
         try:
             with pq.ParquetWriter(sink, arrow_schema) as writer:
-                chunk: list[tuple] = []
-                for row in iterator:
-                    chunk.append(tuple(row))
-                    if len(chunk) >= self.rows_per_group:
-                        writer.write_batch(
-                            pa.record_batch(
-                                list(zip(*chunk)) or [[] for _ in names],
-                                schema=arrow_schema,
-                            )
-                        )
-                        rows += len(chunk)
-                        chunk = []
-                if chunk:
-                    writer.write_batch(
-                        pa.record_batch(list(zip(*chunk)), schema=arrow_schema)
-                    )
-                    rows += len(chunk)
+                for batch in _chain_one(first, iterator):
+                    if batch.schema != arrow_schema:
+                        batch = batch.select(arrow_schema.names).cast(arrow_schema)
+                    pending.append(batch)
+                    pending_rows += batch.num_rows
+                    if pending_rows >= self.rows_per_group:
+                        _flush(writer)
+                if pending:
+                    _flush(writer)
             sink.close()
         except Exception:
-            sink.abort()
+            sink.abort()  # best-effort, never masks the original exception
             raise
         return _S3Commit(key, rows)
 
     def commit(self, messages):
         client = s3_client(self.options)
-        committed = {m.key for m in messages if m is not None}
+        committed = {m.key for m in messages if m is not None and m.key}
+        if not committed:
+            # all tasks empty: keep the prefix readable with a schema-only file
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            buf = io.BytesIO()
+            pq.write_table(
+                pa.Table.from_batches([], schema=self._arrow_schema()), buf
+            )
+            key = f"{self.prefix}/part-{uuid.uuid4().hex}.parquet"
+            client.put_object(Bucket=self.bucket, Key=key, Body=buf.getvalue())
+            committed = {key}
         if self.overwrite:
             stale = [
                 k
@@ -326,11 +566,16 @@ class S3ParquetWriter(DataSourceWriter):
 
     def abort(self, messages):
         client = s3_client(self.options)
-        keys = [m.key for m in messages if m is not None]
+        keys = [m.key for m in messages if m is not None and m.key]
         if keys:
             client.delete_objects(
                 Bucket=self.bucket, Delete={"Objects": [{"Key": k} for k in keys]}
             )
+
+
+def _chain_one(first, rest):
+    yield first
+    yield from rest
 
 
 class S3ParquetDataSource(DataSource):
@@ -343,7 +588,9 @@ class S3ParquetDataSource(DataSource):
 
     def schema(self):
         """Infer from the FIRST object's parquet footer via ranged GETs —
-        a driver-side metadata read, never a data download."""
+        a driver-side metadata read, never a data download. (Each file is
+        re-validated against the resolved schema at read time; heterogeneous
+        prefixes fail with a planning-quality error naming the object.)"""
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -362,14 +609,21 @@ class S3ParquetDataSource(DataSource):
         return from_arrow_schema(pf.schema_arrow)
 
     def reader(self, schema) -> S3ParquetReader:
-        return S3ParquetReader(self.options)
+        return S3ParquetReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool) -> S3ParquetWriter:
         return S3ParquetWriter(self.options, schema, overwrite)
 
 
 def register_s3_datasource(spark: SparkSession) -> None:
-    """Idempotent session registration of the s3parquet format."""
+    """Idempotent session registration of the s3parquet format.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (a runtime SQL
+    conf, default false): Spark refuses to plan a Python DataSource that
+    implements ``pushFilters`` while the flag is off, and the driver runs
+    suite queries with its own plain session (CLAUDE.md contract), so this
+    must be set here rather than at session build time."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(S3ParquetDataSource)
 
 

@@ -224,6 +224,44 @@ def s19_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s24_s3_native_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey % 11 = 0
+    """,
+)
+def s24_s3_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boto3-native S3 parquet sink + scan roundtrip (SURVEY §2.1 S14-S17;
+    reference ``src/utils/aws.rs:168-196,198-236,239-468``): an orders slice
+    goes out through streaming multipart uploads and comes back via ranged
+    GETs through the ``s3parquet`` Python DataSource, against an in-process
+    S3 wire-protocol endpoint. (At this SF each object is a single final
+    part — S3's 5 MiB non-final-part floor is real and moto enforces it;
+    genuine ≥2-part shipping is exercised with ~14 MiB of data in
+    ``tests/test_s3_native.py::test_spark_write_multipart_roundtrip``.)
+    The oracle reads the ORIGINAL parquet rows, so a pass proves
+    bit-faithful write→read fidelity through the whole boto3 path —
+    credentials → multipart → _SUCCESS → list → footer probe → Arrow
+    batches."""
+    from ..sources.s3local import CREDS, ensure_bucket
+    from ..sources.s3py import read_from_s3_native, write_to_s3_native
+
+    _, endpoint = ensure_bucket("sparkfusion-suite")
+    opts = {"endpoint_url": endpoint, **CREDS}
+    slice_df = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    write_to_s3_native(slice_df, "sparkfusion-suite", "roundtrip/orders", **opts)
+    return read_from_s3_native(
+        spark, "sparkfusion-suite", "roundtrip/orders",
+        name="s24_orders_back", **opts,
+    )
+
+
+@register(
     "cal1_calendar_dim",
     oracle="""
     SELECT strftime(d, '%Y-%m-%d') AS iso,
