@@ -116,23 +116,45 @@ def ensure_bucketed_table(
 ) -> DataFrame:
     """Idempotent form of :func:`write_bucketed_table`: skip the (expensive)
     ingest when ``name`` already exists in this session's catalog with the
-    same bucket count, bucket columns and row count — so repeated invocations
-    (bench REPEATS, correctness sweeps) time the shuffle-free JOIN, not the
-    table rewrite (ADVICE r6). Any spec or cardinality drift falls through to
-    a full overwrite."""
+    same bucket count, bucket columns, sort columns, schema, AND content —
+    so repeated invocations (bench REPEATS, correctness sweeps) time the
+    shuffle-free JOIN, not the table rewrite (ADVICE r6). "Same content" is
+    an order-independent full-row fingerprint (``bit_xor(xxhash64(*))`` +
+    count), not just cardinality: testdata is regenerated between rounds
+    (CLAUDE.md), and an equal-rowcount regeneration must NOT silently reuse
+    stale bucketed bytes (ADVICE r7). Any drift falls through to a full
+    overwrite; a fingerprint that can't be computed (exotic types) is
+    treated as drift — correctness over the skip."""
     spark = df.sparkSession
     if spark.catalog.tableExists(name):
         desc = {
             r.col_name: r.data_type
             for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
         }
-        want_cols = "[" + ", ".join(f"`{c}`" for c in bucket_cols) + "]"
-        if (
-            desc.get("Num Buckets") == str(n_buckets)
-            and desc.get("Bucket Columns") == want_cols
-            and spark.table(name).count() == df.count()
-        ):
-            return spark.table(name)
+
+        def _want(cols):
+            return "[" + ", ".join(f"`{c}`" for c in cols) + "]"
+
+        existing = spark.table(name)
+
+        def _fingerprint(frame: DataFrame):
+            row = frame.selectExpr(
+                "bit_xor(xxhash64(*)) AS fp", "count(*) AS n"
+            ).collect()[0]
+            return (row.fp, row.n)
+
+        try:
+            same = (
+                desc.get("Num Buckets") == str(n_buckets)
+                and desc.get("Bucket Columns") == _want(bucket_cols)
+                and desc.get("Sort Columns", "[]") == _want(sort_cols or [])
+                and existing.schema == df.schema
+                and _fingerprint(existing) == _fingerprint(df)
+            )
+        except Exception:  # noqa: BLE001 - unhashable type etc. → rewrite
+            same = False
+        if same:
+            return existing
     return write_bucketed_table(df, name, n_buckets, bucket_cols, sort_cols)
 
 

@@ -93,3 +93,34 @@ def test_ensure_bucketed_table_skips_rewrite(spark, sf_dir):
         assert desc["Num Buckets"] == "2"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ensure_bucketed_table_rewrites_on_content_or_sort_drift(spark, sf_dir):
+    """ADVICE r7: equal-cardinality content drift (regenerated testdata) and
+    sort-column drift must each force a rewrite — reusing stale bucketed
+    bytes would silently corrupt b1's join results."""
+    from pyspark.sql import functions as F
+
+    from sparkfusion.sources.writers import ensure_bucketed_table
+
+    name = "bkt_drift_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    try:
+        ensure_bucketed_table(cust, name, 4, ["c_custkey"], ["c_custkey"])
+
+        # same rowcount, same schema, different VALUES → must rewrite
+        mutated = cust.withColumn("c_mktsegment", F.upper("c_mktsegment"))
+        got = ensure_bucketed_table(mutated, name, 4, ["c_custkey"], ["c_custkey"])
+        segs = {r.c_mktsegment for r in got.select("c_mktsegment").distinct().collect()}
+        assert all(s == s.upper() for s in segs)
+
+        # sort-column drift alone → must rewrite the spec
+        ensure_bucketed_table(mutated, name, 4, ["c_custkey"], None)
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        }
+        assert desc.get("Sort Columns", "[]") == "[]"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
