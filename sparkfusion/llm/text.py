@@ -130,6 +130,19 @@ def pii_counts(col: Column | str) -> list[Column]:
     ]
 
 
+def redact_pii(col: Column | str) -> Column:
+    """PII redaction — the rewrite step after :func:`pii_counts` flags.
+    URL → ``<URL>`` first (absorbing any digit runs inside URLs), then
+    email → ``<EMAIL>``, then long digit runs → ``<NUM>``. Pure nested
+    ``regexp_replace`` column expressions: map-only, whole-stage codegen,
+    identical semantics in the oracle's RE2 dialect (leftmost
+    non-overlapping replace-all)."""
+    c = F.col(col) if isinstance(col, str) else col
+    red = F.regexp_replace(c, PII_URL_RE, "<URL>")
+    red = F.regexp_replace(red, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(red, PII_DIGIT_RUN_RE, "<NUM>")
+
+
 def repetition_stats(df, id_col: str, text_col: str):
     """Gopher-style repetition quality signals per document:
 

@@ -1,0 +1,77 @@
+"""Distinct-count sketches (SURVEY §2 "beyond the reference": the cardinality
+estimation a 100 TB pipeline runs where exact COUNT(DISTINCT) is too
+expensive — vocabulary sizes, per-shard user counts, join-key cardinality for
+plan decisions).
+
+KMV (k-minimum-values) rather than HyperLogLog, deliberately: KMV over a
+deterministic hash is REPRODUCIBLE BIT-FOR-BIT in ANSI SQL — the k smallest
+md5-derived values per group are the same set no matter which engine or
+partitioning computed them — so the suite's DuckDB oracle can verify the
+sketch exactly, not just approximately. (Spark's own approx_count_distinct
+is HLL++ whose register layout is engine-internal; it has no cross-engine
+oracle.) Estimator: with U_(k) the k-th smallest of n distinct uniform
+hashes, E[U_(k)] = k/(n+1), so n̂ = (k-1)/U_(k) (the classic unbiased KMV
+estimate); with fewer than k distinct hashes the sketch holds ALL of them
+and the count is exact.
+
+Scale shape: one distinct-shuffle on (group, hash), then TWO bounded
+row_number windows — first over (group, salt-bucket) keeping ≤k per bucket
+(each bucket sorts only ~distinct/B elements), then over (group) on at most
+B·k survivors. No collect_set of unbounded groups, no single-reducer sort of
+a group's full distinct set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: hash domain: first 8 hex chars of md5 → uniform on [0, 2^32)
+HASH_SPACE = 1 << 32
+
+
+def _h32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count sketch over ``key_col``.
+
+    Returns one row per group: ``n_kept`` (sketch size, = min(k, distinct
+    hashes)), ``kth_hash`` (the threshold value the sketch would merge on),
+    and ``est_distinct`` — exact when the group has < k distinct hashes,
+    else the integer KMV estimate ``(k-1)·2³² div kth_hash``. All integer
+    arithmetic → engine-exact.
+    """
+    h = (
+        df.select(*group_cols, _h32(F.col(key_col)).alias("__h"))
+        .distinct()  # sketch cardinality is of HASHES (collisions merge keys)
+    )
+    # level 1: ≤ k survivors per (group, salt) bucket — bounds every sort
+    salted = h.withColumn("__salt", F.pmod(F.col("__h"), F.lit(salt_buckets)))
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy("__h")
+    partial = (
+        salted.withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk", "__salt")
+    )
+    # level 2: global k-mins per group over ≤ salt_buckets·k rows
+    w2 = Window.partitionBy(*group_cols).orderBy("__h")
+    mins = partial.withColumn("__rk", F.row_number().over(w2)).filter(
+        F.col("__rk") <= k
+    )
+    return mins.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("__h").alias("kth_hash"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)))
+        .otherwise(F.expr(f"CAST({k - 1} * {HASH_SPACE} div max(__h) AS BIGINT)"))
+        .cast("long")
+        .alias("est_distinct"),
+    )

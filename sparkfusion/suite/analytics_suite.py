@@ -1330,3 +1330,43 @@ def fi1_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "brand_a", "brand_b")
         .limit(25)
     )
+
+
+@register(
+    "sk1_kmv_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, h,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+      FROM h
+    ),
+    m AS (SELECT l_returnflag, h FROM r WHERE rk <= 64)
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(max(h) AS BIGINT) AS kth_hash,
+           CAST(CASE WHEN count(*) < 64 THEN count(*)
+                     ELSE (63 * 4294967296) // max(h) END AS BIGINT)
+             AS est_distinct
+    FROM m GROUP BY l_returnflag
+    """,
+)
+def sk1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch: estimated distinct
+    part keys per ship mode from only the k=64 smallest md5-derived hashes
+    per group — the cardinality-estimation pass a 100 TB pipeline runs
+    where exact COUNT(DISTINCT) is too expensive. Chosen over HLL precisely
+    because KMV over a deterministic hash is bit-reproducible in ANSI SQL,
+    so the ORACLE verifies the sketch exactly (Spark's own
+    approx_count_distinct has engine-internal registers and no such
+    oracle). Scale shape: distinct-shuffle, then two BOUNDED row_number
+    windows (per salt bucket, then per group over ≤ buckets·k rows) — no
+    unbounded collect_set, no single-reducer sort of a group's full
+    distinct set. See :func:`sparkfusion.operators.sketches.kmv_distinct`."""
+    from ..operators.sketches import kmv_distinct
+
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    return kmv_distinct(li, "l_partkey", ["l_returnflag"], k=64)

@@ -456,6 +456,30 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{text.PII_URL_RE}', '<URL>', 'g'),
+             '{text.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{text.PII_DIGIT_RUN_RE}', '<NUM>', 'g') AS redacted
+    FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in _PII_FIXTURE)}) AS t(id, text)
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION (the rewrite, not just the scan): URL → <URL>, then
+    email → <EMAIL>, then long digit runs → <NUM>, over the fixture corpus
+    shared literally with the oracle — the output column is the redacted
+    TEXT itself, so a pass proves byte-identical replacement semantics
+    across engines, including the ordering interaction (digit runs inside
+    URLs must be absorbed by the URL pass, never double-redacted). Same
+    map-only column expression on a real corpus. See
+    :func:`sparkfusion.llm.text.redact_pii`."""
+    df = spark.createDataFrame(_PII_FIXTURE, "id int, text string")
+    return df.select("id", text.redact_pii("text").alias("redacted"))
+
+
+@register(
     "text_corpus_stats",
     oracle=f"""
     WITH wc AS (
@@ -1591,6 +1615,62 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media = multimodal.jpeg_media_table(docs, "doc_id")
     return multimodal.decode_jpeg(media)
+
+
+@register(
+    "mm_wav_decode",
+    oracle="""
+    WITH s AS (SELECT unnest(generate_series(0, 255)) AS i)
+    SELECT doc_id AS media_id, CAST(256 AS INT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(sum((i * 37 + doc_id * 101) % 65536 - 32768) AS BIGINT) AS sum_pcm
+    FROM documents, s
+    GROUP BY doc_id
+    """,
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, stdlib + numpy only: every document id gets a
+    genuine RIFF/WAVE payload (PCM16 mono, validated chunk walk — fmt
+    sanity, sizes, 2-byte alignment) whose samples are a pure function of
+    (media_id, i), decoded back to exact integer sample sums via
+    ``mapInPandas``. Extends the multimodal surface from images to audio
+    with the same analytic-oracle strategy. See
+    :func:`sparkfusion.llm.multimodal.decode_wav`."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.wav_media_table(docs, "doc_id")
+    return multimodal.decode_wav(media)
+
+
+@register(
+    "mm_mjpeg_frames",
+    oracle="""
+    WITH f AS (SELECT unnest([0, 2]) AS frame_idx),
+    g AS (
+      SELECT a.x, b.y
+      FROM (SELECT unnest(generate_series(0, 2)) AS x) a,
+           (SELECT unnest(generate_series(0, 1)) AS y) b
+    )
+    SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(sum(((x * 7 + y * 13 + doc_id + frame_idx * 17) % 256) * 64)
+                AS BIGINT) AS sum_lum
+    FROM documents, f, g
+    GROUP BY doc_id, frame_idx
+    """,
+)
+def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: every document id gets an MJPEG stream
+    (literally concatenated baseline JPEGs — the actual motion-JPEG wire
+    format), split on SOI/EOI markers (byte stuffing guarantees no false
+    EOI inside entropy data), with only every 2nd frame entropy-decoded —
+    keyframe-extraction economics. Per-frame luminance sums stay analytic
+    because each frame is the flat-block exact regime shifted by
+    ``frame_idx * 17``. Upgrades video from the hash stub
+    (``mm_frame_sample``) to a decode-proven path. See
+    :func:`sparkfusion.llm.multimodal.sample_mjpeg_frames`."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.mjpeg_media_table(docs, "doc_id")
+    return multimodal.sample_mjpeg_frames(media, every_n=2)
 
 
 @register(

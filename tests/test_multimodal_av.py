@@ -1,0 +1,183 @@
+"""Audio (WAV) and video (MJPEG frame sampling) multimodal ops, plus the KMV
+sketch and PII redaction added alongside them in round 8."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from sparkfusion.errors import DecodeError
+from sparkfusion.llm.multimodal import (
+    _wav_decode_samples,
+    _wav_sample,
+    decode_wav,
+    make_jpeg,
+    make_mjpeg,
+    make_wav,
+    mjpeg_media_table,
+    sample_mjpeg_frames,
+    split_mjpeg_frames,
+    wav_media_table,
+)
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_exact_samples():
+    wav = make_wav(42)
+    samples, rate = _wav_decode_samples(wav)
+    assert rate == 8000 and len(samples) == 256
+    assert list(samples) == [_wav_sample(42, i) for i in range(256)]
+
+
+def test_wav_odd_data_chunk_padding():
+    """RIFF chunks are 2-byte aligned; a chunk walker that ignores the pad
+    byte desyncs on every odd-sized chunk."""
+    samples = np.array([100, -200, 300], dtype="<i2")
+    body = samples.tobytes() + b"x"  # 7 bytes: odd
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"junk" + struct.pack("<I", 3) + b"abc\x00"  # odd chunk + pad
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 6) + samples.tobytes()
+    )
+    wav = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    out, rate = _wav_decode_samples(wav)
+    assert list(out) == [100, -200, 300] and rate == 8000
+
+
+def test_wav_rejects_malformed():
+    with pytest.raises(DecodeError, match="RIFF"):
+        _wav_decode_samples(b"not audio at all")
+    wav = bytearray(make_wav(1))
+    wav[4:8] = struct.pack("<I", 999999)  # lying RIFF size
+    with pytest.raises(DecodeError, match="RIFF size"):
+        _wav_decode_samples(bytes(wav))
+    # stereo rejected
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    stereo = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    with pytest.raises(DecodeError, match="channels=2"):
+        _wav_decode_samples(stereo)
+
+
+def test_spark_wav_decode_matches_analytic(spark):
+    ids = spark.range(7, 12).selectExpr("id AS doc_id")
+    got = {
+        r.media_id: (r.n_samples, r.sample_rate, r.sum_pcm)
+        for r in decode_wav(wav_media_table(ids, "doc_id")).collect()
+    }
+    for mid in range(7, 12):
+        expect = sum(_wav_sample(mid, i) for i in range(256))
+        assert got[mid] == (256, 8000, expect)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_split_recovers_exact_frames():
+    frames = [make_jpeg(5), make_jpeg(5 + 17), make_jpeg(5 + 34)]
+    got = split_mjpeg_frames(b"".join(frames))
+    assert got == frames
+
+
+def test_mjpeg_split_rejects_missing_eoi_and_empty():
+    with pytest.raises(DecodeError, match="EOI"):
+        split_mjpeg_frames(make_jpeg(1)[:-2])
+    with pytest.raises(DecodeError, match="SOI"):
+        split_mjpeg_frames(b"\x00\x01\x02")
+
+
+def test_mjpeg_entropy_ff_bytes_do_not_split_frames():
+    """Frames whose entropy stream contains stuffed 0xFF bytes must not be
+    split early — use dense gradient frames (long entropy streams) and sweep
+    parameters until one contains a stuffed 0xFF 0x00."""
+    from sparkfusion.llm.jpeg import encode_baseline_jpeg
+
+    def frame(seed: int) -> bytes:
+        y, x = np.mgrid[0:24, 0:32]
+        px = ((x * (3 + seed) + y * (5 + 2 * seed) + seed * 41) % 256).astype(np.uint8)
+        return encode_baseline_jpeg(px)
+
+    stuffed = next((s for s in range(64) if b"\xff\x00" in frame(s)), None)
+    assert stuffed is not None, "no stuffed byte found in sweep"
+    frames = [frame(stuffed), frame(stuffed + 1), make_jpeg(9)]
+    assert split_mjpeg_frames(b"".join(frames)) == frames
+
+
+def test_spark_mjpeg_samples_every_other_frame(spark):
+    from sparkfusion.llm.multimodal import _ppm_pixel
+
+    ids = spark.range(3, 6).selectExpr("id AS doc_id")
+    rows = sample_mjpeg_frames(mjpeg_media_table(ids, "doc_id"), every_n=2).collect()
+    got = {(r.media_id, r.frame_idx): r.sum_lum for r in rows}
+    assert set(got) == {(m, f) for m in range(3, 6) for f in (0, 2)}
+    for (mid, f), sl in got.items():
+        expect = 64 * sum(
+            _ppm_pixel(mid + f * 17, bx, by, 0) for bx in range(3) for by in range(2)
+        )
+        assert sl == expect
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from sparkfusion.operators.sketches import kmv_distinct
+
+    # group 'small' has 10 distinct keys (< k) → exact; 'big' has 5000 → estimate
+    df = spark.sql(
+        """
+        SELECT CASE WHEN id < 10 THEN 'small' ELSE 'big' END AS g,
+               CASE WHEN id < 10 THEN id ELSE id END AS key
+        FROM range(5010)
+        """
+    )
+    out = {r.g: r for r in kmv_distinct(df, "key", ["g"], k=64).collect()}
+    assert out["small"].n_kept == 10 and out["small"].est_distinct == 10
+    assert out["big"].n_kept == 64
+    # KMV with k=64 has ~12.5% relative std error; 3σ band
+    assert abs(out["big"].est_distinct - 5000) / 5000 < 0.4
+
+
+def test_kmv_is_partitioning_invariant(spark):
+    """The k-mins (and thus the estimate) must be identical however the
+    input is partitioned — the merge property sketches exist for."""
+    from sparkfusion.operators.sketches import kmv_distinct
+
+    df = spark.range(2000).selectExpr("'g' AS g", "id AS key")
+    a = kmv_distinct(df.repartition(1), "key", ["g"], k=32).collect()[0]
+    b = kmv_distinct(df.repartition(17), "key", ["g"], k=32, salt_buckets=5).collect()[0]
+    assert (a.n_kept, a.kth_hash, a.est_distinct) == (b.n_kept, b.kth_hash, b.est_distinct)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_ordering_absorbs_url_digits(spark):
+    from sparkfusion.llm.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice@example.com ref 123456789 at https://x.io/9999999123"),
+            (2, "nothing to redact"),
+        ],
+        "id int, text string",
+    )
+    got = {r.id: r.red for r in df.select("id", redact_pii("text").alias("red")).collect()}
+    # the digit run INSIDE the URL is absorbed by <URL>, not double-redacted
+    assert got[1] == "mail <EMAIL> ref <NUM> at <URL>"
+    assert got[2] == "nothing to redact"
