@@ -91,6 +91,11 @@ HEADLINE = {
     "g2_triangle_count": "g2_triangle_count",
     "fi1_item_affinity": "fi1_item_affinity",
     "qf1_quality_threshold_sweep": "qf1_quality_threshold_sweep",
+    "mm_jpeg_decode": "mm_jpeg_decode",
+    "mm_wav_decode": "mm_wav_decode",
+    "mm_mjpeg_frames": "mm_mjpeg_frames",
+    "sk1_kmv_distinct": "sk1_kmv_distinct",
+    "s24_s3_native_roundtrip": "s24_s3_native_roundtrip",
 }
 
 REPEATS = 3
