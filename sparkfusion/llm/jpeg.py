@@ -139,6 +139,15 @@ class _BitWriter:
         return bytes(self.out)
 
 
+class _HuffTable:
+    """Decoder-side canonical table: (code, length) → symbol, plus the
+    sorted distinct code lengths for length-stepped probing."""
+
+    def __init__(self, codes: dict[int, tuple[int, int]]):
+        self.codes = {(code, length): sym for sym, (code, length) in codes.items()}
+        self.lengths = sorted({length for _, length in codes.values()})
+
+
 class _BitReader:
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -173,12 +182,15 @@ class _BitReader:
         self._acc &= (1 << self._n) - 1
         return val
 
-    def huffman(self, lookup: dict[tuple[int, int], int]) -> int:
+    def huffman(self, table: "_HuffTable") -> int:
+        # length-stepped probe: read bits only at code lengths that exist in
+        # the table (one probe for the fixed-length tables this encoder
+        # emits; ≤16 worst-case for arbitrary DHT tables)
         code, length = 0, 0
-        while length <= 16:
-            code = (code << 1) | self.bits(1)
-            length += 1
-            sym = lookup.get((code, length))
+        for nxt in table.lengths:
+            code = (code << (nxt - length)) | self.bits(nxt - length)
+            length = nxt
+            sym = table.codes.get((code, length))
             if sym is not None:
                 return sym
         raise DecodeError("jpeg: invalid Huffman code in scan")
@@ -249,7 +261,7 @@ def _blockify(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
 def _fdct_quant(blocks: np.ndarray, quant_zz: np.ndarray) -> np.ndarray:
     """(n, 8, 8) pixel blocks → (n, 64) quantized coefficients in ZIGZAG order."""
     shifted = blocks - 128.0
-    coef = np.einsum("ux,nxy,vy->nuv", _A, shifted, _A)
+    coef = _A @ shifted @ _A.T  # batched matmul over (n, 8, 8)
     q = quant_zz[UNZIGZAG].reshape(8, 8).astype(np.float64)
     quantized = np.round(coef / q).astype(np.int64)
     return quantized.reshape(-1, 64)[:, ZIGZAG]
@@ -262,24 +274,25 @@ def _encode_block(writer: _BitWriter, zz: np.ndarray, pred: int) -> int:
     writer.write(code, length)
     if size:
         writer.write(bits, size)
-    run = 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    # O(nnz) AC pass: jump between nonzero coefficients instead of scanning
+    # all 63 slots — flat/sparse blocks (the common training-data payload)
+    # cost one numpy call + EOB
+    nz = np.nonzero(zz[1:])[0]
+    prev_k = 0
+    for k in nz + 1:
+        run = k - prev_k - 1
         while run >= 16:
             zc, zl = _ENC_AC[0xF0]  # ZRL
             writer.write(zc, zl)
             run -= 16
-        size, bits = _magnitude(v)
+        size, bits = _magnitude(int(zz[k]))
         if size > 10:
-            raise DecodeError(f"jpeg: AC coefficient {v} out of baseline range")
+            raise DecodeError(f"jpeg: AC coefficient {int(zz[k])} out of baseline range")
         code, length = _ENC_AC[(run << 4) | size]
         writer.write(code, length)
         writer.write(bits, size)
-        run = 0
-    if run:
+        prev_k = k
+    if prev_k != 63:
         ec, el = _ENC_AC[0x00]  # EOB
         writer.write(ec, el)
     return dc
@@ -399,10 +412,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[off + 17 : off + 17 + nvals])
                 if len(bits) != 16 or len(vals) != nvals:
                     raise DecodeError("jpeg: truncated DHT segment")
-                codes = _canonical_codes(bits, vals)
-                huff[(cls, tid)] = {
-                    (code, length): sym for sym, (code, length) in codes.items()
-                }
+                huff[(cls, tid)] = _HuffTable(_canonical_codes(bits, vals))
                 off += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
@@ -478,7 +488,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
         full = np.zeros((nblocks, 64))
         full[:, ZIGZAG] = deq
         full = full.reshape(nblocks, 8, 8)
-        px = np.einsum("xu,nuv,yv->nxy", _A.T, full, _A.T) + 128.0
+        px = _A.T @ full @ _A + 128.0  # batched IDCT over (n, 8, 8)
         px = np.clip(_round_half_up(px), 0, 255).astype(np.uint8)
         plane = (
             px.reshape(n_by, n_bx, 8, 8)
