@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -457,6 +458,50 @@ class _MultipartBuffer:
         pass
 
 
+def _write_task(
+    options: dict, bucket: str, prefix: str, arrow_schema,
+    part_size: int, rows_per_group: int, iterator,
+) -> _S3Commit:
+    """One task's Arrow batches → one parquet object via streaming multipart
+    upload (shared by the batch and streaming writers). Empty task → no
+    object. Batches accumulate to ``rows_per_group`` rows per parquet row
+    group, so task memory is bounded by part_size + one row group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    first = next(iterator, None)
+    if first is None:
+        return _S3Commit(None, 0)
+    key = f"{prefix}/part-{uuid.uuid4().hex}.parquet"
+    sink = _MultipartBuffer(s3_client(options), bucket, key, part_size)
+    rows = 0
+    pending: list = []
+    pending_rows = 0
+
+    def _flush(writer):
+        nonlocal pending, pending_rows, rows
+        writer.write_table(pa.Table.from_batches(pending, schema=arrow_schema))
+        rows += pending_rows
+        pending, pending_rows = [], 0
+
+    try:
+        with pq.ParquetWriter(sink, arrow_schema) as writer:
+            for batch in _chain_one(first, iterator):
+                if batch.schema != arrow_schema:
+                    batch = batch.select(arrow_schema.names).cast(arrow_schema)
+                pending.append(batch)
+                pending_rows += batch.num_rows
+                if pending_rows >= rows_per_group:
+                    _flush(writer)
+            if pending:
+                _flush(writer)
+        sink.close()
+    except Exception:
+        sink.abort()  # best-effort, never masks the original exception
+        raise
+    return _S3Commit(key, rows)
+
+
 class S3ParquetWriter(DataSourceArrowWriter):
     """Per-task streaming multipart parquet upload + job-level commit.
 
@@ -494,43 +539,10 @@ class S3ParquetWriter(DataSourceArrowWriter):
         return to_arrow_schema(self.schema)
 
     def write(self, iterator):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        arrow_schema = self._arrow_schema()
-        first = next(iterator, None)
-        if first is None:
-            return _S3Commit(None, 0)  # empty task → no object
-        key = f"{self.prefix}/part-{uuid.uuid4().hex}.parquet"
-        sink = _MultipartBuffer(
-            s3_client(self.options), self.bucket, key, self.part_size
+        return _write_task(
+            self.options, self.bucket, self.prefix, self._arrow_schema(),
+            self.part_size, self.rows_per_group, iterator,
         )
-        rows = 0
-        pending: list = []
-        pending_rows = 0
-
-        def _flush(writer):
-            nonlocal pending, pending_rows, rows
-            writer.write_table(pa.Table.from_batches(pending, schema=arrow_schema))
-            rows += pending_rows
-            pending, pending_rows = [], 0
-
-        try:
-            with pq.ParquetWriter(sink, arrow_schema) as writer:
-                for batch in _chain_one(first, iterator):
-                    if batch.schema != arrow_schema:
-                        batch = batch.select(arrow_schema.names).cast(arrow_schema)
-                    pending.append(batch)
-                    pending_rows += batch.num_rows
-                    if pending_rows >= self.rows_per_group:
-                        _flush(writer)
-                if pending:
-                    _flush(writer)
-            sink.close()
-        except Exception:
-            sink.abort()  # best-effort, never masks the original exception
-            raise
-        return _S3Commit(key, rows)
 
     def commit(self, messages):
         client = s3_client(self.options)
@@ -578,6 +590,76 @@ def _chain_one(first, rest):
     yield from rest
 
 
+class S3ParquetStreamWriter(DataSourceStreamArrowWriter):
+    """Structured-Streaming S3 parquet sink over the same streaming-multipart
+    task writer as the batch path.
+
+    Exactly-once contract: task objects are invisible until their multipart
+    completes; per microbatch, ``commit`` writes a ``_batch-<id>.manifest``
+    object listing exactly the objects of that batch. On a REPLAYED batch
+    (failure between task completion and checkpoint advance — Spark re-runs
+    the batch with the same batchId), the existing manifest wins: the
+    replay's fresh objects are deleted and the original manifest kept, so a
+    manifest-trusting reader sees each batch exactly once. ``abort``
+    deletes the failed batch's completed objects."""
+
+    def __init__(self, options: dict, schema):
+        self.options = dict(options)
+        self.bucket = options.get("bucket")
+        self.prefix = (options.get("prefix") or "").rstrip("/")
+        if not self.bucket:
+            raise SourceError("s3parquet: 'bucket' option is required")
+        self.part_size = max(
+            int(options.get("part_size", DEFAULT_PART_SIZE)), S3_MIN_PART_SIZE
+        )
+        self.rows_per_group = int(options.get("rows_per_group", 65536))
+        self.schema = schema
+
+    def _arrow_schema(self):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(self.schema)
+
+    def write(self, iterator):
+        return _write_task(
+            self.options, self.bucket, self.prefix, self._arrow_schema(),
+            self.part_size, self.rows_per_group, iterator,
+        )
+
+    def _manifest_key(self, batchId: int) -> str:
+        return f"{self.prefix}/_batch-{batchId}.manifest"
+
+    def commit(self, messages, batchId: int) -> None:
+        client = s3_client(self.options)
+        keys = sorted(m.key for m in messages if m is not None and m.key)
+        manifest = self._manifest_key(batchId)
+        try:
+            client.head_object(Bucket=self.bucket, Key=manifest)
+            exists = True
+        except Exception:  # noqa: BLE001 - 404
+            exists = False
+        if exists:
+            # replayed batch: the original manifest is authoritative — drop
+            # this replay's objects so the prefix holds each batch once
+            if keys:
+                client.delete_objects(
+                    Bucket=self.bucket,
+                    Delete={"Objects": [{"Key": k} for k in keys]},
+                )
+            return
+        client.put_object(
+            Bucket=self.bucket, Key=manifest, Body="\n".join(keys).encode()
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        client = s3_client(self.options)
+        keys = [m.key for m in messages if m is not None and m.key]
+        if keys:
+            client.delete_objects(
+                Bucket=self.bucket, Delete={"Objects": [{"Key": k} for k in keys]}
+            )
+
+
 class S3ParquetDataSource(DataSource):
     """``spark.read.format("s3parquet").option("bucket", ...)`` and
     ``df.write.format("s3parquet")`` — the boto3-native S3 connector."""
@@ -613,6 +695,9 @@ class S3ParquetDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> S3ParquetWriter:
         return S3ParquetWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> S3ParquetStreamWriter:
+        return S3ParquetStreamWriter(self.options, schema)
 
 
 def register_s3_datasource(spark: SparkSession) -> None:

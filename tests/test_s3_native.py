@@ -344,3 +344,93 @@ def test_spark_write_decimal_and_timestamp_fidelity(spark, s3):
     back = read_from_s3_native(spark, BUCKET, prefix, name="t_types", **_opts(endpoint))
     assert back.schema == df.schema
     assert {(str(r.money), r.ts, r.i) for r in back.collect()} == expected
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming sink
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_sink_writes_batches_with_manifests(spark, s3, tmp_path):
+    """File stream → s3parquet streaming sink with availableNow trigger:
+    data objects + per-batch manifest land; manifest lists exactly the
+    batch's objects; read-back matches the source rows."""
+    import pyarrow as pa
+
+    from sparkfusion.sources.s3py import FORMAT_NAME, register_s3_datasource
+
+    client, endpoint = s3
+    prefix = f"stream/{uuid.uuid4().hex}"
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.range(0, 50).selectExpr("id", "id * 3 AS v").coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    register_s3_datasource(spark)
+    stream = spark.readStream.schema("id bigint, v bigint").parquet(str(src / "*"))
+    q = (
+        stream.writeStream.format(FORMAT_NAME)
+        .option("bucket", BUCKET)
+        .option("prefix", prefix)
+        .options(**_opts(endpoint))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    keys = _list(client, prefix)
+    data_keys = [k for k in keys if k.endswith(".parquet")]
+    manifests = [k for k in keys if ".manifest" in k]
+    assert data_keys and manifests
+    listed = []
+    for m in manifests:
+        body = client.get_object(Bucket=BUCKET, Key=m)["Body"].read().decode()
+        listed.extend(body.splitlines())
+    assert sorted(listed) == data_keys  # manifests cover exactly the data
+    back = read_from_s3_native(spark, BUCKET, prefix, name="t_stream", **_opts(endpoint))
+    assert sorted((r.id, r.v) for r in back.collect()) == [(i, i * 3) for i in range(50)]
+
+
+def test_streaming_commit_replay_is_idempotent(s3):
+    """A replayed batchId must not duplicate data: the original manifest
+    wins and the replay's objects are deleted."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from sparkfusion.sources.s3py import _S3Commit, S3ParquetStreamWriter
+
+    client, endpoint = s3
+    prefix = f"replay/{uuid.uuid4().hex}"
+    schema = StructType([StructField("id", LongType())])
+    w = S3ParquetStreamWriter(
+        {"bucket": BUCKET, "prefix": prefix, **_opts(endpoint)}, schema
+    )
+    k1 = f"{prefix}/part-original.parquet"
+    client.put_object(Bucket=BUCKET, Key=k1, Body=b"orig")
+    w.commit([_S3Commit(k1, 1)], batchId=7)
+    # replay of batch 7 produced a different object
+    k2 = f"{prefix}/part-replayed.parquet"
+    client.put_object(Bucket=BUCKET, Key=k2, Body=b"replay")
+    w.commit([_S3Commit(k2, 1)], batchId=7)
+    keys = _list(client, prefix)
+    assert k1 in keys and k2 not in keys  # replay object swept
+    body = client.get_object(
+        Bucket=BUCKET, Key=f"{prefix}/_batch-7.manifest"
+    )["Body"].read().decode()
+    assert body.splitlines() == [k1]
+
+
+def test_streaming_abort_deletes_completed_task_objects(s3):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from sparkfusion.sources.s3py import _S3Commit, S3ParquetStreamWriter
+
+    client, endpoint = s3
+    prefix = f"abort/{uuid.uuid4().hex}"
+    schema = StructType([StructField("id", LongType())])
+    w = S3ParquetStreamWriter(
+        {"bucket": BUCKET, "prefix": prefix, **_opts(endpoint)}, schema
+    )
+    k = f"{prefix}/part-x.parquet"
+    client.put_object(Bucket=BUCKET, Key=k, Body=b"x")
+    w.abort([_S3Commit(k, 1), None], batchId=3)
+    assert k not in _list(client, prefix)
