@@ -415,6 +415,64 @@ def bpe_pair_counts(df, id_col: str = "doc_id", text_col: str = "text", k: int =
     )
 
 
+def bpe_train_merges(df, id_col: str, text_col: str, iters: int = 2):
+    """Iterative BPE merge TRAINING (the loop :func:`bpe_pair_counts` is one
+    step of): repeatedly pick the most frequent adjacent pair (count DESC,
+    pair ASC tiebreak), rewrite the corpus with that merge, recount. This
+    char-level formulation keeps every merged token a single placeholder
+    character (``A``, ``B``, …, disjoint from the lowercase corpus
+    alphabet), so "token pair" stays "character pair" and the rewrite is a
+    plain ``replace`` with identical leftmost-non-overlapping semantics in
+    Spark and the oracle.
+
+    Scale shape — the 100 TB BPE recipe: the raw corpus collapses ONCE into
+    the (word, count) frequency table; every iteration then runs over that
+    aggregate (pair counts weighted by word frequency), never the raw text.
+    Each round is one map-side-combinable groupBy + a 1-row
+    TakeOrderedAndProject collect (bounded driver scalar, the sanctioned
+    iterative-convergence pattern), and the rewritten frequency table is
+    ``localCheckpoint``-ed so lineage cannot accrete across rounds
+    (CLAUDE.md iterative-algorithm rule). Returns (merge_rank, pair, n).
+    """
+    spark = df.sparkSession
+    word_freq = (
+        df.repartition(id_col)
+        .select(F.explode(words(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, int]] = []
+    for i in range(iters):
+        top = (
+            word_freq.filter(F.length("word") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(word) - 1),"
+                        " i -> substring(word, i, 2))"
+                    )
+                ).alias("pair"),
+                "wn",
+            )
+            .groupBy("pair")
+            .agg(F.sum("wn").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((i + 1, top["pair"], int(top["n"])))
+        word_freq = (
+            word_freq.withColumn(
+                "word", F.replace(F.col("word"), F.lit(top["pair"]), F.lit(chr(ord("A") + i)))
+            )
+            .groupBy("word")
+            .agg(F.sum("wn").alias("wn"))
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(merges, "merge_rank int, pair string, n bigint")
+
+
 def url_canonicalize(col: Column | str) -> Column:
     """Canonical URL key for web-corpus dedup/aggregation: lowercase scheme
     and host, strip a ``www.`` prefix and default ``:80``/``:443`` ports,

@@ -1527,6 +1527,42 @@ def bpe1_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe2_train_merges",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest({_W}) AS word FROM documents
+    ),
+    p1 AS (
+      SELECT substr(word, CAST(t.i AS INT), 2) AS pair, count(*) AS n
+      FROM w, UNNEST(generate_series(1, length(word) - 1)) AS t(i)
+      GROUP BY pair
+    ),
+    m1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1),
+    w2 AS (SELECT replace(word, (SELECT pair FROM m1), 'A') AS word FROM w),
+    p2 AS (
+      SELECT substr(word, CAST(t.i AS INT), 2) AS pair, count(*) AS n
+      FROM w2, UNNEST(generate_series(1, length(word) - 1)) AS t(i)
+      GROUP BY pair
+    ),
+    m2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1)
+    SELECT CAST(1 AS INT) AS merge_rank, pair, CAST(n AS BIGINT) AS n FROM m1
+    UNION ALL
+    SELECT CAST(2 AS INT), pair, CAST(n AS BIGINT) FROM m2
+    """,
+)
+def bpe2_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (two merge rounds): top pair →
+    corpus rewrite with a placeholder char → recount → next merge. The
+    genuinely iterative cousin of ``bpe1_pair_counts``, run over the
+    (word, count) frequency table with per-round localCheckpoint — the
+    distributed loop a real tokenizer build runs. The oracle replays both
+    rounds as chained CTEs (identical replace + tiebreak semantics). See
+    :func:`sparkfusion.llm.text.bpe_train_merges`."""
+    docs = table(spark, sf_dir, "documents")
+    return text.bpe_train_merges(docs, "doc_id", "text", iters=2)
+
+
+@register(
     "mm_ppm_decode",
     oracle="""
     WITH g AS (

@@ -181,3 +181,29 @@ def test_redact_pii_ordering_absorbs_url_digits(spark):
     # the digit run INSIDE the URL is absorbed by <URL>, not double-redacted
     assert got[1] == "mail <EMAIL> ref <NUM> at <URL>"
     assert got[2] == "nothing to redact"
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    """Two merge rounds on a corpus small enough to verify by hand, pinning
+    the leftmost-non-overlapping replace semantics: 'aaab' under merge 'aa'
+    rewrites to 'Aab' (one merge), never 'AAb'."""
+    from sparkfusion.llm.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab")], "doc_id int, text string"
+    )
+    got = [
+        (r.merge_rank, r.pair, r.n)
+        for r in bpe_train_merges(df, "doc_id", "text", iters=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # round 1: aa=4 (two per 'aaab'), ab=3 -> merge 'aa'
+    # rewrite: 'aaab'->'Aab' (leftmost, non-overlapping), 'ab' unchanged
+    # round 2: Aa=2, ab=3 -> merge 'ab'
+    assert got == [(1, "aa", 4), (2, "ab", 3)]
