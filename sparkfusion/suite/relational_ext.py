@@ -765,3 +765,76 @@ def f16_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cal_months_to_ref"
         ),
     )
+
+
+@register(
+    "a28_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS "F",
+           CAST(sum(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS "O",
+           CAST(sum(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order-status columns out of rows (priority × status revenue
+    matrix). The value list is EXPLICIT — without it Spark runs an extra
+    collect-distinct job over the pivot column before planning, a hidden
+    second scan a 100 TB table cannot afford (and nondeterministic column
+    order besides). One shuffle (the groupBy); DECIMAL inside the sums, so
+    the conditional aggregation matches the oracle bit-for-bit."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(_dec("o_totalprice")).cast("double"))
+    )
+
+
+@register(
+    "a29_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           CAST(l_quantity AS DOUBLE) AS val
+    FROM lineitem WHERE l_orderkey % 13 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           CAST(l_extendedprice AS DOUBLE)
+    FROM lineitem WHERE l_orderkey % 13 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE)
+    FROM lineitem WHERE l_orderkey % 13 = 0
+    """,
+)
+def a29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: three lineitem measures into (measure, val) long form —
+    the feature-table normalization every ML pipeline runs before
+    per-feature statistics. Spark's native `unpivot` is a zero-shuffle
+    map-side expansion (each row emits k rows in place); the oracle is the
+    equivalent UNION ALL. Measures pre-cast to a common DOUBLE: unpivot
+    requires homogeneous value types, and the cast is explicit rather than
+    letting the engines coerce differently."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 13 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+            F.col("l_discount").cast("double").alias("l_discount"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
