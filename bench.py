@@ -96,6 +96,8 @@ HEADLINE = {
     "mm_mjpeg_frames": "mm_mjpeg_frames",
     "sk1_kmv_distinct": "sk1_kmv_distinct",
     "s24_s3_native_roundtrip": "s24_s3_native_roundtrip",
+    "bpe2_train_merges": "bpe2_train_merges",
+    "a29_unpivot": "a29_unpivot",
 }
 
 REPEATS = 3

@@ -23,6 +23,7 @@ COLLECT_ALLOWED = {
     "operators/quality.py": "constraint-report scalarization (bounded rows)",
     "operators/graph.py": "convergence-count scalar per iteration",
     "llm/dedup.py": "CC convergence scalar per round",
+    "llm/text.py": "BPE trainer: 1-row TakeOrderedAndProject merge pick per round",
     "llm/ivf.py": "k centroid rows broadcast back (k ≤ 256 by contract)",
     "suite/analytics_suite.py": "mv/merge demos read back tiny committed outputs",
     "suite/llm_suite.py": "decontam benchmark shingle set broadcast (bounded)",
