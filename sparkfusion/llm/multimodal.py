@@ -652,21 +652,64 @@ def mjpeg_media_table(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _jpeg_frame_end(buf: bytes, start: int) -> int:
+    """Index one past a JPEG frame's EOI, found by WALKING THE MARKER
+    GRAMMAR from its SOI — not by searching for the EOI byte pair, which can
+    legally appear RAW inside marker segment payloads (EXIF/COM text, quant
+    tables with values 255,217). Entropy data after SOS is scanned with
+    byte-stuffing awareness (0xFF 0x00) and RSTn tolerance."""
+    import struct as _struct
+
+    pos = start + 2  # past SOI
+    n = len(buf)
+    in_scan = False
+    while pos < n:
+        if not in_scan:
+            if buf[pos] != 0xFF:
+                raise DecodeError(f"MJPEG: expected marker at offset {pos}")
+            while pos < n and buf[pos] == 0xFF:  # fill bytes are legal
+                pos += 1
+            if pos >= n:
+                break
+            marker = buf[pos]
+            pos += 1
+            if marker == 0xD9:  # EOI
+                return pos
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+                continue
+            if pos + 2 > n:
+                break
+            (seglen,) = _struct.unpack_from(">H", buf, pos)
+            pos += seglen
+            if marker == 0xDA:  # SOS: entropy-coded data follows
+                in_scan = True
+        else:
+            nxt = buf.find(b"\xff", pos)
+            if nxt < 0 or nxt + 1 >= n:
+                break
+            tail = buf[nxt + 1]
+            if tail == 0x00 or 0xD0 <= tail <= 0xD7:  # stuffed byte / RSTn
+                pos = nxt + 2
+                continue
+            pos = nxt  # real marker terminates the scan
+            in_scan = False
+    raise DecodeError("MJPEG: frame without EOI marker")
+
+
 def split_mjpeg_frames(buf: bytes) -> list[bytes]:
-    """Split an MJPEG stream into its JPEG frames on SOI/EOI markers. Safe
-    because JPEG entropy data byte-stuffs every 0xFF (0xFF 0x00), so a real
-    0xFF 0xD9 can only be the end-of-image marker."""
+    """Split an MJPEG stream into its JPEG frames by walking each frame's
+    marker structure from SOI to its true EOI (see :func:`_jpeg_frame_end` —
+    a byte search for 0xFF 0xD9 would mis-split on marker payloads that
+    contain those bytes raw)."""
     frames = []
     pos = 0
     while True:
         start = buf.find(b"\xff\xd8", pos)
         if start < 0:
             break
-        end = buf.find(b"\xff\xd9", start + 2)
-        if end < 0:
-            raise DecodeError("MJPEG: frame without EOI marker")
-        frames.append(buf[start : end + 2])
-        pos = end + 2
+        end = _jpeg_frame_end(buf, start)
+        frames.append(buf[start:end])
+        pos = end
     if not frames:
         raise DecodeError("MJPEG: no SOI marker found")
     return frames

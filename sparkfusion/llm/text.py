@@ -440,11 +440,11 @@ def bpe_train_merges(df, id_col: str, text_col: str, iters: int = 2):
         .select(F.explode(words(F.lower(F.col(text_col)))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wn"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, int]] = []
     for i in range(iters):
-        top = (
+        rows = (
             word_freq.filter(F.length("word") >= 2)
             .select(
                 F.explode(
@@ -459,16 +459,21 @@ def bpe_train_merges(df, id_col: str, text_col: str, iters: int = 2):
             .agg(F.sum("wn").alias("n"))
             .orderBy(F.col("n").desc(), "pair")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # corpus fully merged to 1-char words (or empty): done
+            break
+        top = rows[0]
         merges.append((i + 1, top["pair"], int(top["n"])))
+        # eager=False (CLAUDE.md iterative rule): the next round's top-pair
+        # collect is the materializing action — no extra checkpoint job
         word_freq = (
             word_freq.withColumn(
                 "word", F.replace(F.col("word"), F.lit(top["pair"]), F.lit(chr(ord("A") + i)))
             )
             .groupBy("word")
             .agg(F.sum("wn").alias("wn"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return spark.createDataFrame(merges, "merge_rank int, pair string, n bigint")
 

@@ -52,6 +52,11 @@ def kmv_distinct(
     """
     h = (
         df.select(*group_cols, _h32(F.col(key_col)).alias("__h"))
+        # NULL keys hash to NULL and would occupy a k-min slot (Spark windows
+        # sort NULLS FIRST) while max() ignored them — drop them up front;
+        # SQL's COUNT(DISTINCT key) excludes NULLs too, so this matches the
+        # quantity being estimated
+        .filter(F.col("__h").isNotNull())
         .distinct()  # sketch cardinality is of HASHES (collisions merge keys)
     )
     # level 1: ≤ k survivors per (group, salt) bucket — bounds every sort

@@ -238,15 +238,23 @@ def _rg_may_match(stats, op: str, val) -> bool:
 
 def _batch_mask(batch, triples):
     """pyarrow.compute boolean mask for the translated filters, or None if
-    any of them can't be evaluated on this batch (Spark re-filters anyway)."""
+    any of them can't be evaluated on this batch (Spark re-filters anyway).
+
+    Floating-point columns are never comparison-filtered here: Spark's NaN
+    total order (NaN = NaN, NaN greater than everything) disagrees with
+    Arrow's IEEE semantics (every NaN comparison false), so pre-filtering
+    would DROP NaN rows Spark cannot re-add. Null checks stay safe."""
     import pyarrow as pa
     import pyarrow.compute as pc
+    import pyarrow.types as pat
 
     mask = None
     for col, op, val in triples:
         if col not in batch.schema.names:
             return None
         arr = batch.column(col)
+        if pat.is_floating(arr.type) and op not in ("isnull", "notnull"):
+            continue
         try:
             if op == "isnull":
                 m = pc.is_null(arr)
@@ -338,7 +346,14 @@ class S3ParquetReader(DataSourceReader):
 
     def _select_row_groups(self, pf) -> list[int]:
         """Row groups that might satisfy the pushed filters, by parquet
-        min/max/null-count statistics — skipped groups are never fetched."""
+        min/max/null-count statistics — skipped groups are never fetched.
+
+        Floating-point columns are exempt from comparison pruning: parquet
+        stats exclude NaN, and Spark's NaN total order (NaN greater than
+        everything, NaN = NaN) would make stats-based pruning drop groups
+        whose only matching rows are NaN."""
+        import pyarrow.types as pat
+
         n = pf.metadata.num_row_groups
         if not self._filters:
             return list(range(n))
@@ -346,6 +361,7 @@ class S3ParquetReader(DataSourceReader):
             pf.metadata.schema.column(i).name: i
             for i in range(pf.metadata.num_columns)
         }
+        arrow_schema = pf.schema_arrow
         kept = []
         for rg in range(n):
             meta = pf.metadata.row_group(rg)
@@ -353,6 +369,12 @@ class S3ParquetReader(DataSourceReader):
             for col, op, val in self._filters:
                 ci = idx_by_name.get(col)
                 if ci is None:
+                    continue
+                if (
+                    col in arrow_schema.names
+                    and pat.is_floating(arrow_schema.field(col).type)
+                    and op not in ("isnull", "notnull")
+                ):
                     continue
                 if not _rg_may_match(meta.column(ci).statistics, op, val):
                     ok = False
@@ -502,7 +524,47 @@ def _write_task(
     return _S3Commit(key, rows)
 
 
-class S3ParquetWriter(DataSourceArrowWriter):
+def _delete_keys(client, bucket: str, keys: list[str]) -> None:
+    """Batched best-effort object delete (delete_objects caps at 1000)."""
+    for i in range(0, len(keys), 1000):
+        client.delete_objects(
+            Bucket=bucket,
+            Delete={"Objects": [{"Key": k} for k in keys[i : i + 1000]]},
+        )
+
+
+class _S3WriterBase:
+    """Shared option parsing for the batch and streaming S3 parquet writers —
+    one place for the bucket check, the 5 MiB part-size clamp, and the
+    row-group size."""
+
+    def __init__(self, options: dict, schema):
+        self.options = dict(options)
+        self.bucket = options.get("bucket")
+        self.prefix = (options.get("prefix") or "").rstrip("/")
+        if not self.bucket:
+            raise SourceError("s3parquet: 'bucket' option is required")
+        # S3 rejects CompleteMultipartUpload when any non-final part is under
+        # 5 MiB (EntityTooSmall) — clamp so every shipped part is legal
+        self.part_size = max(
+            int(options.get("part_size", DEFAULT_PART_SIZE)), S3_MIN_PART_SIZE
+        )
+        self.rows_per_group = int(options.get("rows_per_group", 65536))
+        self.schema = schema
+
+    def _arrow_schema(self):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(self.schema)
+
+    def _run_task(self, iterator) -> _S3Commit:
+        return _write_task(
+            self.options, self.bucket, self.prefix, self._arrow_schema(),
+            self.part_size, self.rows_per_group, iterator,
+        )
+
+
+class S3ParquetWriter(_S3WriterBase, DataSourceArrowWriter):
     """Per-task streaming multipart parquet upload + job-level commit.
 
     Arrow end to end: ``DataSourceArrowWriter`` hands this task RecordBatches
@@ -519,30 +581,11 @@ class S3ParquetWriter(DataSourceArrowWriter):
     """
 
     def __init__(self, options: dict, schema, overwrite: bool):
-        self.options = dict(options)
-        self.bucket = options.get("bucket")
-        self.prefix = (options.get("prefix") or "").rstrip("/")
-        if not self.bucket:
-            raise SourceError("s3parquet: 'bucket' option is required")
-        # S3 rejects CompleteMultipartUpload when any non-final part is under
-        # 5 MiB (EntityTooSmall) — clamp so every shipped part is legal
-        self.part_size = max(
-            int(options.get("part_size", DEFAULT_PART_SIZE)), S3_MIN_PART_SIZE
-        )
-        self.rows_per_group = int(options.get("rows_per_group", 65536))
-        self.schema = schema
+        super().__init__(options, schema)
         self.overwrite = overwrite
 
-    def _arrow_schema(self):
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        return to_arrow_schema(self.schema)
-
     def write(self, iterator):
-        return _write_task(
-            self.options, self.bucket, self.prefix, self._arrow_schema(),
-            self.part_size, self.rows_per_group, iterator,
-        )
+        return self._run_task(iterator)
 
     def commit(self, messages):
         client = s3_client(self.options)
@@ -560,16 +603,15 @@ class S3ParquetWriter(DataSourceArrowWriter):
             client.put_object(Bucket=self.bucket, Key=key, Body=buf.getvalue())
             committed = {key}
         if self.overwrite:
-            stale = [
-                k
-                for k, _ in _list_parquet_objects(client, self.bucket, self.prefix)
-                if k not in committed
-            ]
-            for i in range(0, len(stale), 1000):  # delete_objects caps at 1000
-                client.delete_objects(
-                    Bucket=self.bucket,
-                    Delete={"Objects": [{"Key": k} for k in stale[i : i + 1000]]},
-                )
+            _delete_keys(
+                client,
+                self.bucket,
+                [
+                    k
+                    for k, _ in _list_parquet_objects(client, self.bucket, self.prefix)
+                    if k not in committed
+                ],
+            )
         client.put_object(
             Bucket=self.bucket,
             Key=f"{self.prefix}/_SUCCESS",
@@ -578,11 +620,9 @@ class S3ParquetWriter(DataSourceArrowWriter):
 
     def abort(self, messages):
         client = s3_client(self.options)
-        keys = [m.key for m in messages if m is not None and m.key]
-        if keys:
-            client.delete_objects(
-                Bucket=self.bucket, Delete={"Objects": [{"Key": k} for k in keys]}
-            )
+        _delete_keys(
+            client, self.bucket, [m.key for m in messages if m is not None and m.key]
+        )
 
 
 def _chain_one(first, rest):
@@ -590,7 +630,7 @@ def _chain_one(first, rest):
     yield from rest
 
 
-class S3ParquetStreamWriter(DataSourceStreamArrowWriter):
+class S3ParquetStreamWriter(_S3WriterBase, DataSourceStreamArrowWriter):
     """Structured-Streaming S3 parquet sink over the same streaming-multipart
     task writer as the batch path.
 
@@ -601,30 +641,19 @@ class S3ParquetStreamWriter(DataSourceStreamArrowWriter):
     the batch with the same batchId), the existing manifest wins: the
     replay's fresh objects are deleted and the original manifest kept, so a
     manifest-trusting reader sees each batch exactly once. ``abort``
-    deletes the failed batch's completed objects."""
+    deletes the failed batch's completed objects.
 
-    def __init__(self, options: dict, schema):
-        self.options = dict(options)
-        self.bucket = options.get("bucket")
-        self.prefix = (options.get("prefix") or "").rstrip("/")
-        if not self.bucket:
-            raise SourceError("s3parquet: 'bucket' option is required")
-        self.part_size = max(
-            int(options.get("part_size", DEFAULT_PART_SIZE)), S3_MIN_PART_SIZE
-        )
-        self.rows_per_group = int(options.get("rows_per_group", 65536))
-        self.schema = schema
+    ``truncate`` (Spark passes overwrite=True for complete/truncating output
+    modes): after writing the batch's manifest, every OTHER data object and
+    manifest under the prefix is swept, so the prefix always holds exactly
+    the latest batch's snapshot instead of an append history."""
 
-    def _arrow_schema(self):
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        return to_arrow_schema(self.schema)
+    def __init__(self, options: dict, schema, truncate: bool = False):
+        super().__init__(options, schema)
+        self.truncate = truncate
 
     def write(self, iterator):
-        return _write_task(
-            self.options, self.bucket, self.prefix, self._arrow_schema(),
-            self.part_size, self.rows_per_group, iterator,
-        )
+        return self._run_task(iterator)
 
     def _manifest_key(self, batchId: int) -> str:
         return f"{self.prefix}/_batch-{batchId}.manifest"
@@ -641,23 +670,33 @@ class S3ParquetStreamWriter(DataSourceStreamArrowWriter):
         if exists:
             # replayed batch: the original manifest is authoritative — drop
             # this replay's objects so the prefix holds each batch once
-            if keys:
-                client.delete_objects(
-                    Bucket=self.bucket,
-                    Delete={"Objects": [{"Key": k} for k in keys]},
-                )
+            _delete_keys(client, self.bucket, keys)
             return
         client.put_object(
             Bucket=self.bucket, Key=manifest, Body="\n".join(keys).encode()
         )
+        if self.truncate:
+            keep = set(keys) | {manifest}
+            stale = [
+                k
+                for k, _ in _list_parquet_objects(client, self.bucket, self.prefix)
+                if k not in keep
+            ]
+            stale += [
+                obj["Key"]
+                for page in client.get_paginator("list_objects_v2").paginate(
+                    Bucket=self.bucket, Prefix=f"{self.prefix}/_batch-"
+                )
+                for obj in page.get("Contents", [])
+                if obj["Key"] not in keep
+            ]
+            _delete_keys(client, self.bucket, stale)
 
     def abort(self, messages, batchId: int) -> None:
         client = s3_client(self.options)
-        keys = [m.key for m in messages if m is not None and m.key]
-        if keys:
-            client.delete_objects(
-                Bucket=self.bucket, Delete={"Objects": [{"Key": k} for k in keys]}
-            )
+        _delete_keys(
+            client, self.bucket, [m.key for m in messages if m is not None and m.key]
+        )
 
 
 class S3ParquetDataSource(DataSource):
@@ -697,7 +736,9 @@ class S3ParquetDataSource(DataSource):
         return S3ParquetWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> S3ParquetStreamWriter:
-        return S3ParquetStreamWriter(self.options, schema)
+        # overwrite=True = complete/truncating output mode: each batch must
+        # REPLACE the prefix contents, not append to them
+        return S3ParquetStreamWriter(self.options, schema, truncate=overwrite)
 
 
 def register_s3_datasource(spark: SparkSession) -> None:

@@ -138,10 +138,14 @@ def ensure_bucketed_table(
         existing = spark.table(name)
 
         def _fingerprint(frame: DataFrame):
+            # xor alone cancels on even multiplicities ({A,A} == {B,B} == 0);
+            # the overflow-free DECIMAL sum breaks that symmetry
             row = frame.selectExpr(
-                "bit_xor(xxhash64(*)) AS fp", "count(*) AS n"
+                "bit_xor(xxhash64(*)) AS fp",
+                "sum(CAST(xxhash64(*) AS DECIMAL(38,0))) AS fps",
+                "count(*) AS n",
             ).collect()[0]
-            return (row.fp, row.n)
+            return (row.fp, row.fps, row.n)
 
         try:
             same = (

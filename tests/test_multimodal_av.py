@@ -207,3 +207,43 @@ def test_bpe_train_merges_hand_computed(spark):
     # rewrite: 'aaab'->'Aab' (leftmost, non-overlapping), 'ab' unchanged
     # round 2: Aa=2, ab=3 -> merge 'ab'
     assert got == [(1, "aa", 4), (2, "ab", 3)]
+
+
+def test_mjpeg_split_survives_raw_eoi_bytes_in_marker_segments():
+    """A COM segment whose payload contains raw 0xFF 0xD9 must not end the
+    frame early — the splitter walks the marker grammar, not a byte search."""
+    frame = make_jpeg(3)
+    assert frame[:2] == b"\xff\xd8"
+    com = b"\xff\xfe" + struct.pack(">H", 2 + 4) + b"\xff\xd9\xff\xd8"
+    poisoned = frame[:2] + com + frame[2:]
+    frames = split_mjpeg_frames(poisoned + make_jpeg(20))
+    assert frames == [poisoned, make_jpeg(20)]
+    from sparkfusion.llm.jpeg import decode_baseline_jpeg
+
+    assert decode_baseline_jpeg(frames[0]).shape == (16, 24)  # COM skipped
+
+
+def test_bpe_train_merges_stops_when_corpus_fully_merged(spark):
+    """All words collapse to one char after round 1 — round 2 has no pairs
+    and the trainer must stop cleanly with the merges found, not crash."""
+    from sparkfusion.llm.text import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "ab ab ab")], "doc_id int, text string")
+    got = [
+        (r.merge_rank, r.pair, r.n)
+        for r in bpe_train_merges(df, "doc_id", "text", iters=3).collect()
+    ]
+    assert got == [(1, "ab", 3)]
+
+
+def test_kmv_ignores_null_keys(spark):
+    """NULL keys are excluded (matching COUNT(DISTINCT)), never occupy a
+    k-min slot."""
+    from sparkfusion.operators.sketches import kmv_distinct
+
+    df = spark.sql(
+        "SELECT 'g' AS g, CASE WHEN id < 5 THEN NULL ELSE id END AS key"
+        " FROM range(15)"
+    )
+    out = kmv_distinct(df, "key", ["g"], k=64).collect()[0]
+    assert out.n_kept == 10 and out.est_distinct == 10

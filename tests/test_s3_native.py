@@ -293,7 +293,7 @@ def test_spark_write_multipart_roundtrip(spark, s3):
     # multipart objects report a part-count suffix in their ETag on real S3
     # and moto; ≥2 proves parts actually shipped before close
     assert head["ContentLength"] > 10 * 2**20
-    assert head["ETag"].rstrip('"').split("-")[-1] >= "2"
+    assert int(head["ETag"].rstrip('"').split("-")[-1]) >= 2
     back = read_from_s3_native(spark, BUCKET, prefix, name="t_back", **_opts(endpoint))
     agg = back.selectExpr(
         "count(*) AS n", "sum(id) AS s", "count(DISTINCT h) AS d"
@@ -434,3 +434,45 @@ def test_streaming_abort_deletes_completed_task_objects(s3):
     client.put_object(Bucket=BUCKET, Key=k, Body=b"x")
     w.abort([_S3Commit(k, 1), None], batchId=3)
     assert k not in _list(client, prefix)
+
+
+def test_nan_rows_survive_float_filter_pushdown(spark, s3):
+    """Spark's NaN total order (NaN > everything, NaN = NaN) disagrees with
+    Arrow/parquet-stats IEEE semantics — the reader must NOT pre-filter or
+    stats-prune floating columns, or NaN rows silently vanish."""
+    client, endpoint = s3
+    prefix = f"nan/{uuid.uuid4().hex}"
+    tbl = pa.table({"d": [float("nan"), -3.0, 1.5, float("nan")],
+                    "k": [1, 2, 3, 4]})
+    _put_parquet(client, f"{prefix}/a.parquet", tbl, row_group_size=2)
+    df = read_from_s3_native(spark, BUCKET, prefix, name="t_nan", **_opts(endpoint))
+    # Spark: NaN > 0 is TRUE → rows 1, 3, 4
+    assert sorted(r.k for r in df.filter("d > 0").collect()) == [1, 3, 4]
+    assert sorted(r.k for r in df.filter("d = double('nan')").collect()) == [1, 4]
+    # integer pushdown on the same file still exact
+    assert sorted(r.k for r in df.filter("k >= 3").collect()) == [3, 4]
+
+
+def test_streaming_truncate_mode_keeps_only_latest_batch(s3):
+    """overwrite=True (complete/truncating output mode) must sweep previous
+    batches' objects and manifests at each commit."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from sparkfusion.sources.s3py import _S3Commit, S3ParquetStreamWriter
+
+    client, endpoint = s3
+    prefix = f"trunc/{uuid.uuid4().hex}"
+    schema = StructType([StructField("id", LongType())])
+    w = S3ParquetStreamWriter(
+        {"bucket": BUCKET, "prefix": prefix, **_opts(endpoint)}, schema, truncate=True
+    )
+    k0 = f"{prefix}/part-b0.parquet"
+    client.put_object(Bucket=BUCKET, Key=k0, Body=b"b0")
+    w.commit([_S3Commit(k0, 1)], batchId=0)
+    k1 = f"{prefix}/part-b1.parquet"
+    client.put_object(Bucket=BUCKET, Key=k1, Body=b"b1")
+    w.commit([_S3Commit(k1, 1)], batchId=1)
+    keys = _list(client, prefix)
+    assert k1 in keys and k0 not in keys  # batch-0 data swept
+    assert f"{prefix}/_batch-1.manifest" in keys
+    assert f"{prefix}/_batch-0.manifest" not in keys  # old manifest swept
