@@ -525,23 +525,68 @@ def _wav_sample(media_id: int, i: int) -> int:
     return (i * 37 + media_id * 101) % 65536 - 32768
 
 
-def make_wav(media_id: int, n_samples: int = WAV_N_SAMPLES) -> bytes:
-    """Build a real RIFF/WAVE file (PCM, mono, 16-bit little-endian) whose
-    samples are a pure function of (media_id, i)."""
+def _build_riff(samples) -> bytes:
+    """Frame an int16 sample array as a real RIFF/WAVE file (PCM, mono,
+    16-bit little-endian) — shared by the arithmetic and sine generators."""
     import struct
 
-    import numpy as np
-
-    samples = np.array(
-        [_wav_sample(media_id, i) for i in range(n_samples)], dtype="<i2"
-    )
-    body = samples.tobytes()
+    body = samples.astype("<i2").tobytes()
     fmt = struct.pack(
         "<HHIIHH", 1, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE * 2, 2, 16
     )  # PCM, mono, rate, byte_rate, block_align, bits
     chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(body)) + body
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def make_wav(media_id: int, n_samples: int = WAV_N_SAMPLES) -> bytes:
+    """Build a real RIFF/WAVE file whose samples are a pure function of
+    (media_id, i)."""
+    import numpy as np
+
+    samples = np.array(
+        [_wav_sample(media_id, i) for i in range(n_samples)], dtype="<i2"
+    )
+    return _build_riff(samples)
+
+
+def _sine_peak_bin(media_id: int) -> int:
+    """The DFT bin a given media id's pure tone lands in — analytic, so the
+    oracle computes it as ``doc_id % 60 + 4`` without touching audio."""
+    return media_id % 60 + 4
+
+
+def make_sine_wav(
+    media_id: int, n_samples: int = WAV_N_SAMPLES, amplitude: int = 12000
+) -> bytes:
+    """Build a RIFF/WAVE pure tone at an EXACT integer number of periods per
+    window: bin ``k = media_id % 60 + 4`` of an ``n_samples``-point DFT, so
+    all tone energy lands in one bin (no spectral leakage) and the dominant
+    frequency is an analytic function of the id. Samples are rounded
+    HALF-UP (sign-stable floor(|x|+0.5), see the numpy banker's-rounding
+    gotcha in tests) — the ±0.5 LSB rounding noise is broadband and ~4
+    orders of magnitude below the tone's ``amplitude * n/2`` spectral peak.
+    """
+    import numpy as np
+
+    k = _sine_peak_bin(media_id)
+    i = np.arange(n_samples, dtype="float64")
+    x = amplitude * np.sin(2.0 * np.pi * k * i / n_samples)
+    samples = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("<i2")
+    return _build_riff(samples)
+
+
+def sine_wav_media_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach a pure-tone WAV payload per row (Arrow-batched pandas UDF)."""
+    import pandas as pd  # noqa: F811
+
+    @F.pandas_udf(BinaryType())
+    def build(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: make_sine_wav(int(i)))
+
+    return df.select(F.col(id_col).alias("media_id")).withColumn(
+        "content", build(F.col("media_id"))
+    )
 
 
 def wav_media_table(df: DataFrame, id_col: str) -> DataFrame:
@@ -623,6 +668,40 @@ def decode_wav(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode_partition, WAV_DECODED_SCHEMA)
+
+
+AUDIO_FREQ_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("peak_bin", IntegerType(), False),
+    ]
+)
+
+
+def audio_dominant_freq(df: DataFrame) -> DataFrame:
+    """REAL signal processing on decoded audio: per clip, parse the RIFF
+    container (:func:`_wav_decode_samples`), run an ``rfft`` over the PCM
+    samples, and report the dominant non-DC frequency bin — the first step
+    of every audio featurizer (pitch tracking, voice-activity detection,
+    spectral fingerprinting). numpy FFT inside ``mapInPandas`` over the
+    opaque binary column, same batch shape as the image decoders; argmax
+    over ``|X[1:]|`` is deterministic because the generator puts all tone
+    energy in one bin (integer periods per window, no leakage)."""
+
+    def freq_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                samples, _rate = _wav_decode_samples(bytes(blob))
+                spec = np.abs(np.fft.rfft(samples.astype("float64")))
+                peak = int(np.argmax(spec[1:])) + 1  # skip the DC bin
+                out.append((int(mid), len(samples), peak))
+            yield pd.DataFrame(out, columns=["media_id", "n_samples", "peak_bin"])
+
+    return df.mapInPandas(freq_partition, AUDIO_FREQ_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -146,3 +146,60 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     return n_edges.crossJoin(F.broadcast(n_wedges)).crossJoin(F.broadcast(n_tri))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source breadth-first hop distances over a directed edge list,
+    bounded at ``max_hops`` — the third canonical iterative graph algorithm
+    next to :func:`pagerank` and the min-label connected components in
+    ``llm/dedup.py`` (the reference repo exercises iterative algos only via
+    its examples/algo suite; see examples/algo/src/main.rs in the reference
+    for the family this extends).
+
+    Frontier discipline (the 100 TB part): each round expands ONLY the nodes
+    first reached in the previous round — never the whole visited set — so
+    round ``i``'s join cost is proportional to the frontier boundary, not to
+    everything seen so far. Unit edge weights make frontier-BFS equal to
+    full min-distance propagation, which is what the unrolled SQL oracle
+    computes. Per-round ``localCheckpoint(eager=False)`` truncates lineage
+    (CLAUDE.md iterative-algorithm rule); the edge list is cached once and
+    reused every round. Fixed ``max_hops`` keeps the plan depth bounded and
+    the result deterministic — no convergence race, no count() actions in
+    the loop.
+
+    Returns ``(node, dist)`` with ``dist`` INT in ``[0, max_hops]``; seed
+    nodes absent from the edge list still appear at dist 0 (isolated
+    sources), unreached nodes are absent.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    visited = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        neighbors = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            neighbors.join(visited, "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(fresh).localCheckpoint(eager=False)
+        frontier = fresh.select("node")
+    return visited

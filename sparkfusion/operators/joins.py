@@ -45,6 +45,7 @@ def salted_join(
     key: str,
     salt: int = 8,
     how: str = "inner",
+    salt_from: "list[str] | None" = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: hot left-side keys are spread over ``salt``
     sub-partitions; the (smaller) right side is replicated ``salt`` times.
@@ -52,9 +53,13 @@ def salted_join(
     The manual form of what AQE's skew-join splitting does at runtime —
     useful when the skew is known up front (a handful of mega-keys in a
     100 TB fact table) or AQE is unavailable. Left salt is derived
-    deterministically from the partition id, so results are a pure join
-    equivalence. Replication factor × right size is the cost — use only when
-    the right side is modest.
+    deterministically from the partition id — or, when ``salt_from`` names
+    left-side columns (ideally the row's primary key), from
+    ``pmod(xxhash64(*salt_from), salt)``, which spreads a hot key uniformly
+    even when it is concentrated in few input partitions AND keeps the salt
+    a pure function of the data (reproducible across retries/layouts).
+    Either way results are a pure join equivalence. Replication factor ×
+    right size is the cost — use only when the right side is modest.
 
     Only inner/left/semi/anti joins are equivalence-preserving under right-side
     replication: a right or full outer join would emit each unmatched right row
@@ -71,7 +76,11 @@ def salted_join(
             f"use one of {sorted(allowed)}"
         )
 
-    salted_left = left.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
+    if salt_from:
+        left_salt = F.pmod(F.xxhash64(*salt_from), F.lit(salt)).cast("int")
+    else:
+        left_salt = F.pmod(F.spark_partition_id(), F.lit(salt))
+    salted_left = left.withColumn("__salt", left_salt)
     salts = left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
     salted_right = right.crossJoin(broadcast(salts))
     out = salted_left.join(salted_right, on=[key, "__salt"], how=how)

@@ -705,6 +705,62 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", "rank_fp")
 
 
+def _bfs_oracle(hops: int = 4) -> str:
+    sql = """
+    WITH base AS (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM base UNION SELECT b, a FROM base
+    ), d0 AS (
+      SELECT DISTINCT 'c' || c_custkey AS node, 0 AS dist
+      FROM customer WHERE c_nationkey = 0
+    )"""
+    for i in range(hops):
+        sql += f""", d{i + 1} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM d{i} d JOIN edges e ON e.src = d.node
+      ) GROUP BY node
+    )"""
+    return sql + f" SELECT node, CAST(dist AS INT) AS dist FROM d{hops}"
+
+
+@register("g3_bfs_distances", oracle=_bfs_oracle(4))
+def g3_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (≤ 4 hops) from nation-0 customers
+    over the same symmetrized customer<->supplier trade graph as
+    ``g1_pagerank``. Frontier-only expansion — each round joins just the
+    newly-reached boundary against the cached edge list, never the full
+    visited set — with per-round ``localCheckpoint`` lineage truncation;
+    the oracle unrolls the equivalent min-distance propagation (unit
+    weights make the two identical). See
+    :func:`sparkfusion.operators.graph.bfs_distances`."""
+    from ..operators.graph import bfs_distances
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+    )
+    return bfs_distances(edges, seeds, max_hops=4)
+
+
 _OLD_SQL = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 <> 1"
 _NEW_SQL = """
   SELECT o_orderkey, o_orderstatus,

@@ -2115,3 +2115,94 @@ def qf1_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").over(w).alias("docs_kept"),
         F.sum("bucket_chars").over(w).alias("chars_kept"),
     ).orderBy("threshold")
+
+
+@register(
+    "lm2_bigram_lm_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, w FROM t WHERE len(w) >= 2),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM tt
+    ),
+    v AS (SELECT bg, count(*) AS c FROM b GROUP BY bg),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM v)
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           CAST(sum((1000000 * v.c) // t.total) AS BIGINT) AS lm_score,
+           CAST(sum(CASE WHEN v.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons
+    FROM b JOIN v USING (bg) CROSS JOIN tot t
+    GROUP BY b.doc_id
+    """,
+)
+def lm2_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality proxy — the 2-gram sibling of
+    ``lm1_unigram_freq_score`` and the integer-exact stand-in for the
+    classic KenLM-perplexity training-data filter: per document, the sum of
+    corpus-frequency (integer ppm, floored) over its adjacent word pairs,
+    plus the count of bigrams unique to this document (``n_singletons`` —
+    high values flag gibberish/boilerplate the unigram model can't see).
+    Bigrams are built JVM-side with ``transform(sequence(...))`` over the
+    split-word array (guarded ``size >= 2`` — Spark's ``sequence(1, 0)``
+    DESCENDS), exploded AFTER a repartition on doc_id so one hot document
+    can't pin a partition. Two corpus passes: groupBy(bg) vocabulary
+    (map-side combinable), words->vocab equi-join with the 1-row total
+    broadcast — no collect, no cross joins beyond the scalar."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .repartition("doc_id")
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    vocab = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    return (
+        bg.join(vocab, "bg")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr("(1000000 * c) div total")).alias("lm_score"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_singletons"),
+        )
+    )
+
+
+@register(
+    "mm_audio_dft_peak",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(256 AS INT) AS n_samples,
+           CAST(doc_id % 60 + 4 AS INT) AS peak_bin
+    FROM documents
+    """,
+)
+def mm_audio_dft_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction: every document id gets a pure-tone
+    RIFF/WAVE payload whose frequency sits at DFT bin ``doc_id % 60 + 4``
+    (an exact integer number of periods per 256-sample window, so zero
+    spectral leakage), and the pipeline recovers that bin by decoding the
+    PCM and taking the rfft-magnitude argmax inside ``mapInPandas`` —
+    pitch-detection economics over an opaque binary column, the audio twin
+    of the image decoders' analytic-oracle strategy. See
+    :func:`sparkfusion.llm.multimodal.audio_dominant_freq`."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.sine_wav_media_table(docs, "doc_id")
+    return multimodal.audio_dominant_freq(media)

@@ -838,3 +838,53 @@ def a29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+
+
+@register(
+    "j13_salted_skew_join",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def j13_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-to-dim join via DETERMINISTIC salting: the small
+    dimension (supplier) is exploded into SALT=8 replicas keyed
+    (s_suppkey, salt) while each fact row picks its replica from
+    ``pmod(xxhash64(pk), 8)`` — so one hot supplier key fans out over 8
+    reducers instead of melting one. rand()-based salting (the textbook
+    form) would break oracle determinism; hashing the fact PK gives the
+    identical uniform spread reproducibly. This is the manual, portable
+    twin of AQE's skewJoin (spark.sql.adaptive.skewJoin.enabled, already on
+    in this repo) for engines/paths AQE can't reach — the join result is
+    provably identical to the unsalted join, which is exactly what the
+    oracle checks. Salt factor 8 multiplies only the SMALL side (8×|dim|
+    broadcastable rows); the fact side gains one narrow int column, no
+    extra shuffle vs the plain join. Delegates to
+    :func:`sparkfusion.operators.joins.salted_join` (``salt_from`` mode)."""
+    from ..operators.joins import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+        ).alias("rev"),
+    )
+    sup = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(
+        li, sup, "l_suppkey", salt=8, salt_from=["l_orderkey", "l_linenumber"]
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.sum("rev").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -37,3 +37,42 @@ def test_rank_independent_of_partitioning(spark):
     r1 = {r["node"]: r["rank_fp"] for r in pagerank(edges.repartition(1), iterations=3).collect()}
     r8 = {r["node"]: r["rank_fp"] for r in pagerank(edges.repartition(8), iterations=3).collect()}
     assert r1 == r8  # bit-identical across partitionings
+
+
+def test_bfs_hand_graph(spark):
+    """Line graph a-b-c-d plus isolated seed z: exact hop distances,
+    unreached node absent, isolated seed kept at dist 0."""
+    from sparkfusion.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "c"),
+         ("x", "y"), ("y", "x")],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("a",), ("z",)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, seeds, max_hops=4).collect()}
+    assert got == {"a": 0, "z": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_max_hops_bounds_expansion(spark):
+    from sparkfusion.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    out = bfs_distances(edges, seeds, max_hops=3).collect()
+    assert {r["node"]: r["dist"] for r in out} == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_min_dist_on_diamond(spark):
+    """Two paths of different length to the same node: BFS keeps the min."""
+    from sparkfusion.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "t"), ("s", "b"), ("b", "c"), ("c", "t")],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("s",)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, seeds, max_hops=4).collect()}
+    assert got["t"] == 2

@@ -696,3 +696,33 @@ def test_fi1_affinity_invariants(spark):
         assert r["lift"] > 0
         assert r["support"] >= 20
     assert len(rows) <= 25
+
+
+def test_bigram_lm_score_edges(spark):
+    """Docs with <2 surviving words are excluded; empty tokens from runs of
+    spaces never form bigrams; singleton counting is per-occurrence."""
+    import sparkfusion.suite.llm_suite as mod
+
+    docs = spark.createDataFrame(
+        [(1, "a  b a b"), (2, "a b"), (3, "solo"), (4, "")],
+        ["doc_id", "text"],
+    )
+    orig = mod.table
+    mod.table = lambda sp, d, name: docs
+    try:
+        rows = {
+            r["doc_id"]: r
+            for r in mod.lm2_bigram_lm_score(spark, "unused").collect()
+        }
+    finally:
+        mod.table = orig
+    # doc 3 (one word) and doc 4 (no words) excluded
+    assert set(rows) == {1, 2}
+    # doc 1 words: a b a b -> bigrams: "a b", "b a", "a b"; doc 2 -> "a b"
+    # corpus: "a b" x3, "b a" x1, total 4
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[1]["n_singletons"] == 1 and rows[2]["n_singletons"] == 0
+    # lm_score: floor(1e6*3/4)=750000 per "a b", floor(1e6*1/4)=250000
+    assert rows[1]["lm_score"] == 750000 * 2 + 250000
+    assert rows[2]["lm_score"] == 750000

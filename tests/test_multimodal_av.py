@@ -247,3 +247,48 @@ def test_kmv_ignores_null_keys(spark):
     )
     out = kmv_distinct(df, "key", ["g"], k=64).collect()[0]
     assert out.n_kept == 10 and out.est_distinct == 10
+
+
+def test_sine_wav_dft_peak_pure_python():
+    """The generated pure tone's rfft argmax is exactly the analytic bin for
+    a spread of ids, including the wrap at % 60."""
+    import numpy as np
+
+    from sparkfusion.llm.multimodal import (
+        _sine_peak_bin,
+        _wav_decode_samples,
+        make_sine_wav,
+    )
+
+    for mid in (0, 1, 7, 59, 60, 123, 9999):
+        samples, rate = _wav_decode_samples(make_sine_wav(mid))
+        assert rate == 8000 and len(samples) == 256
+        spec = np.abs(np.fft.rfft(samples.astype("float64")))
+        assert int(np.argmax(spec[1:])) + 1 == _sine_peak_bin(mid)
+
+
+def test_sine_wav_peak_towers_over_noise():
+    """Rounding noise must sit far below the tone peak — the argmax margin
+    that makes the oracle deterministic."""
+    import numpy as np
+
+    from sparkfusion.llm.multimodal import _sine_peak_bin, _wav_decode_samples, make_sine_wav
+
+    samples, _ = _wav_decode_samples(make_sine_wav(42))
+    spec = np.abs(np.fft.rfft(samples.astype("float64")))
+    k = _sine_peak_bin(42)
+    others = np.delete(spec[1:], k - 1)
+    assert spec[k] > 100 * others.max()
+
+
+def test_spark_audio_dominant_freq(spark):
+    from pyspark.sql import functions as F
+
+    from sparkfusion.llm.multimodal import audio_dominant_freq, sine_wav_media_table
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    out = audio_dominant_freq(sine_wav_media_table(ids, "doc_id")).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r["peak_bin"] == r["media_id"] % 60 + 4
+        assert r["n_samples"] == 256

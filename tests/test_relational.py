@@ -71,3 +71,32 @@ def test_all_registered_queries_run(spark, sf_dir):
     for name, fn in queries().items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """The deterministic-salt join must be row-for-row identical to the
+    unsalted join it protects — salting redistributes work, never results."""
+    from pyspark.sql import functions as F
+
+    from sparkfusion.session import table
+    from sparkfusion.suite.relational_ext import j13_salted_skew_join
+
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    plain = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    got = {r["s_nationkey"]: (r["revenue"], r["n_items"])
+           for r in j13_salted_skew_join(spark, sf_dir).collect()}
+    want = {r["s_nationkey"]: (r["revenue"], r["n_items"]) for r in plain.collect()}
+    assert got == want
