@@ -196,6 +196,27 @@ PPM_DECODED_SCHEMA = StructType(
 )
 
 
+def _ppm_parse(buf: bytes, mid) -> "tuple[int, int, object]":
+    """Parse one P6 PPM payload to (width, height, HxWx3 uint8 array).
+    Header = magic + dims + maxval, terminated by EXACTLY ONE whitespace
+    byte before the raw body (str.split would eat leading body bytes that
+    happen to be whitespace values)."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", buf)
+    if m is None:
+        raise DecodeError(f"not a P6 PPM payload for media_id={mid}")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise DecodeError(f"unsupported maxval {maxval}")
+    px = np.frombuffer(buf[m.end() : m.end() + w * h * 3], dtype=np.uint8).reshape(
+        h, w, 3
+    )
+    return w, h, px
+
+
 def decode_ppm(df: DataFrame) -> DataFrame:
     """REAL image decode with no codec dependency: parse the PPM (P6) binary
     container — ASCII header (magic, dimensions, maxval) + packed RGB24
@@ -206,34 +227,52 @@ def decode_ppm(df: DataFrame) -> DataFrame:
     This upgrades the multimodal surface from plumbing-proven to
     decode-proven for a real on-disk image format; JPEG/PNG still route
     through :func:`decode_media`'s documented codec stub."""
-    import re
-
-    import numpy as np
 
     def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                buf = bytes(blob)
-                # header = magic + dims + maxval, terminated by EXACTLY ONE
-                # whitespace byte before the raw body (str.split would eat
-                # leading body bytes that happen to be whitespace values)
-                m = re.match(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", buf)
-                if m is None:
-                    raise DecodeError(f"not a P6 PPM payload for media_id={mid}")
-                w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
-                if maxval != 255:
-                    raise DecodeError(f"unsupported maxval {maxval}")
-                px = np.frombuffer(
-                    buf[m.end() : m.end() + w * h * 3], dtype=np.uint8
-                ).reshape(h, w, 3)
-                sums = px.sum(axis=(0, 1), dtype=np.int64)
+                w, h, px = _ppm_parse(bytes(blob), mid)
+                sums = px.sum(axis=(0, 1), dtype="int64")
                 out.append((int(mid), w, h, int(sums[0]), int(sums[1]), int(sums[2])))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
             )
 
     return df.mapInPandas(decode_partition, PPM_DECODED_SCHEMA)
+
+
+def resize_ppm(df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image resize over the opaque binary column: decode each P6 PPM,
+    nearest-neighbor-downsample by an integer ``factor`` (keep the pixel at
+    ``(factor·x, factor·y)`` — the resize every thumbnailing/vision-preproc
+    pipeline starts with), RE-ENCODE the small image through the same PPM
+    writer (proving the full decode→transform→encode cycle), then report
+    the resized dimensions and exact per-channel pixel sums of the
+    re-decoded output. Nearest-neighbor keeps every output byte an input
+    byte, so the sums stay an analytic function of (media_id, factor·x,
+    factor·y) that the oracle computes without touching an image."""
+
+    def resize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, px = _ppm_parse(bytes(blob), mid)
+                small = px[::factor, ::factor, :]
+                oh, ow = small.shape[0], small.shape[1]
+                reenc = (
+                    f"P6\n{ow} {oh}\n255\n".encode() + small.tobytes()
+                )
+                w2, h2, px2 = _ppm_parse(reenc, mid)
+                sums = px2.sum(axis=(0, 1), dtype="int64")
+                out.append(
+                    (int(mid), w2, h2, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return df.mapInPandas(resize_partition, PPM_DECODED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -1426,3 +1426,60 @@ def sk1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
     return kmv_distinct(li, "l_partkey", ["l_returnflag"], k=64)
+
+
+@register(
+    "fn4_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    conv AS (
+      SELECT event_type, value,
+             coalesce(last_value(
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS
+             ) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), '(none)') AS touch
+      FROM e
+    )
+    SELECT touch, count(*) AS n_conversions,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+    FROM conv WHERE event_type = 'purchase'
+    GROUP BY touch
+    """,
+)
+def fn4_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to the
+    user's most recent preceding non-purchase event ('(none)' when the
+    purchase opens the history), then conversions and DECIMAL-exact
+    attributed value roll up per touch type. One window over
+    (user_id, ts_us, event_id) — the same per-entity ordered pass as the
+    funnel/retention family, no self-join (the naive formulation joins
+    every purchase against all earlier events). Completes the funnel
+    toolkit: fn1 measures the path, fn4 assigns the credit."""
+    from pyspark.sql import Window
+
+    ev = _events_us(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.coalesce(
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+        F.lit("(none)"),
+    )
+    conv = ev.withColumn("touch", touch).filter(F.col("event_type") == "purchase")
+    return conv.groupBy("touch").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )

@@ -2206,3 +2206,34 @@ def mm_audio_dft_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media = multimodal.sine_wav_media_table(docs, "doc_id")
     return multimodal.audio_dominant_freq(media)
+
+
+@register(
+    "mm_image_resize",
+    oracle="""
+    WITH g AS (
+      SELECT a.x, b.y
+      FROM (SELECT unnest(generate_series(0, 3)) AS x) a,
+           (SELECT unnest(generate_series(0, 2)) AS y) b
+    )
+    SELECT doc_id AS media_id, CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+           CAST(sum((2*x * 7 + 2*y * 13 + doc_id) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((2*x * 7 + 2*y * 13 + doc_id + 37) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((2*x * 7 + 2*y * 13 + doc_id + 74) % 256) AS BIGINT) AS sum_b
+    FROM documents, g
+    GROUP BY doc_id
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: decode each 8×6 PPM, nearest-neighbor-downsample
+    2× to 4×3, RE-ENCODE through the PPM writer, and re-decode the result —
+    the full decode→transform→encode cycle of a thumbnailing / vision
+    pre-processing stage over the opaque binary column. Nearest-neighbor
+    keeps every output byte an input byte, so the resized sums are the
+    analytic pixel function sampled at even coordinates — DuckDB verifies
+    the whole cycle without seeing an image. Fills the resize slot of the
+    decode / feature-extract / resize / frame-sample multimodal quartet.
+    See :func:`sparkfusion.llm.multimodal.resize_ppm`."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.ppm_media_table(docs, "doc_id")
+    return multimodal.resize_ppm(media, factor=2)

@@ -346,3 +346,57 @@ def dq6_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(12,2)"))
     )
     return schema_diff(old, new)
+
+
+@register(
+    "dq7_table_fingerprint",
+    oracle="""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+               CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' ||
+               o_orderpriority), 1, 15))::BIGINT AS fp
+      FROM orders
+    )
+    SELECT count(*) AS n_rows,
+           bit_xor(fp) AS xor_fp,
+           CAST(sum(fp) AS DOUBLE) AS sum_fp,
+           min(fp) AS min_fp, max(fp) AS max_fp
+    FROM h
+    """,
+)
+def dq7_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent whole-table content fingerprint — the migration /
+    replication validator: serialize every row through an EXPLICIT canonical
+    form (decimal-cast money, integer epoch-µs timestamps, '|' field
+    separator — never engine-default formatting), md5 it, fold the top 60
+    bits into xor/sum/min/max accumulators. Any engine computing the same
+    canonicalization gets bit-identical accumulators, so source and target
+    of a 100 TB copy can each run one map-side-combinable aggregation pass
+    and compare five scalars instead of shipping rows. Same canon-hash
+    discipline as ``sources.writers.ensure_bucketed_table``'s content
+    fingerprint; 60-bit slices keep every value positive in signed BIGINT
+    on both engines."""
+    o = table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = o.select(
+        F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long").alias("fp")
+    )
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(fp)").alias("xor_fp"),
+        F.sum(F.col("fp").cast("decimal(38,0)")).cast("double").alias("sum_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )

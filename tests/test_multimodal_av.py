@@ -292,3 +292,38 @@ def test_spark_audio_dominant_freq(spark):
     for r in out:
         assert r["peak_bin"] == r["media_id"] % 60 + 4
         assert r["n_samples"] == 256
+
+
+def test_resize_ppm_even_coordinate_sums(spark):
+    """2x nearest-neighbor downsample of the analytic 8x6 PPM keeps exactly
+    the even-coordinate pixels."""
+    from pyspark.sql import functions as F
+
+    from sparkfusion.llm.multimodal import _ppm_pixel, ppm_media_table, resize_ppm
+
+    ids = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    out = resize_ppm(ppm_media_table(ids, "doc_id"), factor=2).collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r["width"], r["height"]) == (4, 3)
+        for ci, col in enumerate(["sum_r", "sum_g", "sum_b"]):
+            want = sum(
+                _ppm_pixel(r["media_id"], 2 * x, 2 * y, ci)
+                for x in range(4)
+                for y in range(3)
+            )
+            assert r[col] == want, (r["media_id"], col)
+
+
+def test_resize_ppm_factor_one_is_identity(spark):
+    from pyspark.sql import functions as F
+
+    from sparkfusion.llm.multimodal import decode_ppm, ppm_media_table, resize_ppm
+
+    ids = spark.range(0, 5).select(F.col("id").alias("doc_id"))
+    media = ppm_media_table(ids, "doc_id")
+    plain = {r["media_id"]: r for r in decode_ppm(media).collect()}
+    resized = {r["media_id"]: r for r in resize_ppm(media, factor=1).collect()}
+    assert plain.keys() == resized.keys()
+    for k in plain:
+        assert tuple(plain[k]) == tuple(resized[k])

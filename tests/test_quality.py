@@ -87,3 +87,43 @@ def test_schema_diff_identity_and_cases(spark, sf_dir):
     assert len(rows) == 1
     assert (rows[0]["col_name"], rows[0]["change"]) == ("o_orderkey", "retyped")
     assert rows[0]["old_type"] == "bigint" and rows[0]["new_type"] == "int"
+
+
+def test_table_fingerprint_is_order_invariant(spark, sf_dir):
+    """Same rows in any physical layout must produce identical accumulators
+    — the property that lets source and target of a copy compare scalars."""
+    import sparkfusion.suite.quality_suite as mod
+
+    base = mod.dq7_table_fingerprint(spark, sf_dir).collect()[0]
+    orig = mod.table
+    mod.table = lambda sp, d, name: orig(sp, d, name).repartition(7)
+    try:
+        shuffled = mod.dq7_table_fingerprint(spark, sf_dir).collect()[0]
+    finally:
+        mod.table = orig
+    assert tuple(base) == tuple(shuffled)
+
+
+def test_table_fingerprint_detects_single_cell_drift(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    import sparkfusion.suite.quality_suite as mod
+
+    base = mod.dq7_table_fingerprint(spark, sf_dir).collect()[0]
+    orig = mod.table
+
+    def corrupt(sp, d, name):
+        df = orig(sp, d, name)
+        return df.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == 7, F.col("o_totalprice") + 0.01)
+            .otherwise(F.col("o_totalprice")),
+        )
+
+    mod.table = corrupt
+    try:
+        drifted = mod.dq7_table_fingerprint(spark, sf_dir).collect()[0]
+    finally:
+        mod.table = orig
+    assert drifted["n_rows"] == base["n_rows"]
+    assert drifted["xor_fp"] != base["xor_fp"]
