@@ -98,6 +98,12 @@ HEADLINE = {
     "s24_s3_native_roundtrip": "s24_s3_native_roundtrip",
     "bpe2_train_merges": "bpe2_train_merges",
     "a29_unpivot": "a29_unpivot",
+    "fn4_attribution": "fn4_attribution",
+    "mm_image_resize": "mm_image_resize",
+    "dq7_table_fingerprint": "dq7_table_fingerprint",
+    "stream_stateful_counts_tws": "stream_stateful_counts_tws",
+    "emb_gram_matrix": "emb_gram_matrix",
+    "ab1_welch_ttest": "ab1_welch_ttest",
 }
 
 REPEATS = 3

@@ -426,3 +426,64 @@ def label_centroids(
             F.col("sum_q").cast("double") / F.col("n").cast("double") / F.lit(float(scale)),
         )
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Distributed Gram matrix Qᵀ·Q over quantized embeddings — the one-pass
+    building block of PCA / whitening / linear probing at corpus scale
+    (covariance = Gram of centered vectors; the d×d result is all an SVD
+    needs, so a 100 TB embedding table reduces to d(d+1)/2 scalars).
+
+    Per Arrow batch, a vectorized numpy ``int64`` matmul produces a PARTIAL
+    d×d Gram of ``round(x·scale)`` quantized components; only the
+    upper-triangle entries (i ≤ j) ship into a map-side-combinable
+    groupBy(i, j) sum. The shuffle therefore carries
+    #batches · d(d+1)/2 partial rows — independent of the corpus row count —
+    and integer partial sums are associative, so the result is bit-identical
+    across engines and partitionings (a double-sum Gram is merge-order
+    dependent).
+
+    ``scale`` bounds exactness end-to-end: |q| ≤ scale for unit-normalized
+    inputs, so each product ≤ scale² and 10⁹ rows sum below scale²·10⁹ =
+    10¹⁵ < 2⁵³ — the DOUBLE handoff at the end stays exact even at
+    full-corpus cardinality (1e-3 quantization granularity is ample for a
+    spectrum estimate; raise scale only with a row-count budget in hand).
+
+    Output: (i, j, dot_q) for i ≤ j, ``dot_q`` the exact quantized dot
+    product as double.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    partial_schema = StructType(
+        [
+            StructField("i", IntegerType(), False),
+            StructField("j", IntegerType(), False),
+            StructField("part_q", LongType(), False),
+        ]
+    )
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            Q = np.rint(X * scale).astype(np.int64)
+            G = Q.T @ Q
+            iu, ju = np.triu_indices(G.shape[0])
+            yield pd.DataFrame({"i": iu, "j": ju, "part_q": G[iu, ju]})
+
+    return (
+        df.select(emb_col)
+        .mapInPandas(partial_gram, partial_schema)
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("part_q").cast("decimal(38,0)")).cast("double").alias("dot_q")
+        )
+    )

@@ -286,26 +286,36 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
     total once per micro-batch the user appears in (update mode) — a finite
     single-batch replay therefore equals the batch GROUP BY.
 
-    NOT registered in the suite: the API's state protocol
-    (``pyspark.sql.streaming.proto.StateMessage_pb2``) requires a working
-    ``google.protobuf``, which is absent in this container and unobtainable
-    (no package index reachable; proof recorded in ARCHITECTURE.md §gates).
-    This function raises :class:`~sparkfusion.errors.EnvironmentGateError`
-    up front on such runtimes — same honest-stub status as the multimodal
-    codecs. The applyInPandasWithState form (`stream_stateful_counts`)
-    remains the oracle-checked stateful path.
+    The API's state protocol (``pyspark.sql.streaming.proto
+    .StateMessage_pb2``) requires a working ``google.protobuf``; no pip
+    install is possible here, so :mod:`sparkfusion.protoruntime` discovers
+    a vendored pure-python runtime (public SDK bundles ship one) and wires
+    it into BOTH the driver process and the Python workers Spark spawns for
+    the query — the TWS driver worker (``transform_with_state_driver_
+    worker``) imports the proto at module load, so the discovered path plus
+    protobuf's own version-check escape hatch must travel through the UDF's
+    captured ``sc.environment`` (Spark's worker factory MERGES that
+    PYTHONPATH into the spawned process env). The mutation is scoped:
+    previous entries are restored as soon as the stateful function exists,
+    because pyspark snapshots ``sc.environment`` at function-creation time.
+    Where discovery fails outright this raises
+    :class:`~sparkfusion.errors.EnvironmentGateError` up front; the
+    applyInPandasWithState form (`stream_stateful_counts`) runs without
+    protobuf everywhere.
     """
-    try:
-        import google.protobuf  # noqa: F401 — pyspark's state protocol needs it
-    except ImportError as ex:
+    from ..protoruntime import ensure_protobuf_runtime, worker_env_overrides
+
+    ok, extra_path = ensure_protobuf_runtime()
+    if not ok:
         from ..errors import EnvironmentGateError
 
         raise EnvironmentGateError(
             "transformWithStateInPandas needs google.protobuf (pyspark's "
-            "typed-state wire protocol); install protobuf on the cluster — "
-            "see stream_stateful_counts for the applyInPandasWithState "
-            "equivalent that runs without it"
-        ) from ex
+            "typed-state wire protocol) and no runtime was discoverable — "
+            "set SPARKFUSION_PROTOBUF_PATH or install protobuf on the "
+            "cluster; see stream_stateful_counts for the "
+            "applyInPandasWithState equivalent that runs without it"
+        )
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -338,6 +348,22 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
     # it here would mutate the shared session as a side effect of building a
     # DataFrame (and break sibling queries restarting from HDFS-backed
     # checkpoints), against the house no-session-conf-mutation discipline.
-    return events.groupBy("user_id").transformWithStateInPandas(
-        RunningCounts(), outputStructType=out_schema, outputMode="Update", timeMode="None"
-    )
+    sc_env = events.sparkSession.sparkContext.environment
+    overrides = worker_env_overrides(extra_path)
+    saved = {k: sc_env.get(k) for k in overrides}
+    for k, v in overrides.items():
+        prev = sc_env.get(k)
+        sc_env[k] = v if not prev or k != "PYTHONPATH" else prev + os.pathsep + v
+    try:
+        return events.groupBy("user_id").transformWithStateInPandas(
+            RunningCounts(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                sc_env.pop(k, None)
+            else:
+                sc_env[k] = old

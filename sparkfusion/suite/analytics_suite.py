@@ -1483,3 +1483,66 @@ def fn4_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+@register(
+    "ab1_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT
+        count(*) FILTER (WHERE event_type = 'purchase') AS n_a,
+        count(*) FILTER (WHERE event_type = 'view') AS n_b,
+        CAST(sum(CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS sx_a,
+        CAST(sum(CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE event_type = 'view') AS DOUBLE) AS sx_b,
+        CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS sxx_a,
+        CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE event_type = 'view') AS DOUBLE) AS sxx_b
+      FROM events
+    )
+    SELECT n_a, n_b,
+           round(sx_a / n_a - sx_b / n_b, 9) AS mean_diff,
+           round((sx_a / n_a - sx_b / n_b)
+                 / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                        + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b),
+                 9) AS t_stat
+    FROM s
+    """,
+)
+def ab1_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event cohorts (purchase
+    vs view values) — the A/B-experiment readout, computed the only way
+    that is deterministic on a cluster: ONE scan accumulates DECIMAL-exact
+    moment sums (n, Σx, Σx²) per cohort via conditional aggregation (no
+    second pass, no per-cohort shuffle), then the closed-form statistic is
+    evaluated in double with an expression tree written identically in both
+    engines (double ops are IEEE-deterministic given identical operands and
+    order; round(·, 9) guards the last bits). Same moment-sum discipline as
+    ``a17_correlation`` — a streaming float variance update would be
+    partition-merge-order dependent."""
+    ev = table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,4)")
+    is_a = F.col("event_type") == "purchase"
+    is_b = F.col("event_type") == "view"
+    s = ev.agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(is_b, 1)).alias("n_b"),
+        F.sum(F.when(is_a, x)).cast("double").alias("sx_a"),
+        F.sum(F.when(is_b, x)).cast("double").alias("sx_b"),
+        F.sum(F.when(is_a, x * x)).cast("double").alias("sxx_a"),
+        F.sum(F.when(is_b, x * x)).cast("double").alias("sxx_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    sx_a, sx_b = F.col("sx_a"), F.col("sx_b")
+    sxx_a, sxx_b = F.col("sxx_a"), F.col("sxx_b")
+    mean_diff = sx_a / n_a - sx_b / n_b
+    v_over_n_a = ((sxx_a - sx_a * sx_a / n_a) / (n_a - F.lit(1))) / n_a
+    v_over_n_b = ((sxx_b - sx_b * sx_b / n_b) / (n_b - F.lit(1))) / n_b
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(mean_diff, 9).alias("mean_diff"),
+        F.round(mean_diff / F.sqrt(v_over_n_a + v_over_n_b), 9).alias("t_stat"),
+    )

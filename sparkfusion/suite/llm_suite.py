@@ -2237,3 +2237,31 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media = multimodal.ppm_media_table(docs, "doc_id")
     return multimodal.resize_ppm(media, factor=2)
+
+
+@register(
+    "emb_gram_matrix",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, CAST(t.i - 1 AS INT) AS pos,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS qx
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT a.pos AS i, b.pos AS j,
+           CAST(sum(a.qx * b.qx) AS DOUBLE) AS dot_q
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+    GROUP BY a.pos, b.pos
+    """,
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix XᵀX of the corpus embeddings (quantized at
+    1e-3) — the one-pass PCA / whitening / covariance building block: per
+    Arrow batch a vectorized int64 matmul emits a PARTIAL d×d Gram, and the
+    shuffle carries only #batches · d(d+1)/2 partial-sum rows regardless of
+    corpus cardinality. Integer partials are associative → bit-identical
+    across engines and partitionings; DuckDB verifies via the naive
+    per-component self-join it can afford at test scale. See
+    :func:`sparkfusion.llm.similarity.gram_matrix` for the 2⁵³-exactness
+    budget of the scale choice."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.gram_matrix(emb, "embedding", scale=1000)

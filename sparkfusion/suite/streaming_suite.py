@@ -175,6 +175,41 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_counts_tws",
+    oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def stream_stateful_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals via ``transformWithStateInPandas`` — Spark
+    4's typed-state successor to the applyInPandasWithState form above
+    (same semantics, so the same batch GROUP BY oracle): explicit
+    ValueState handle, RocksDB-backed state store (the ONLY provider the
+    API supports — set for the duration of this query's run and restored,
+    so sibling streaming queries keep their default provider). The state
+    protocol needs google.protobuf; :mod:`sparkfusion.protoruntime`
+    discovers a vendored runtime and ships it to the spawned workers via
+    the captured UDF env (see stateful_user_counts_tws docstring). A finite
+    single-batch replay in update mode emits exactly one final total per
+    user."""
+    from ..streaming.windows import stateful_user_counts_tws
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        out = run_stream_to_table(stateful_user_counts_tws(stream), "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return out.select("user_id", "n_events")
+
+
+@register(
     "stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, v.event_id AS view_id

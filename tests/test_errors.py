@@ -61,18 +61,16 @@ def test_decode_error_from_ppm(spark):
     assert "not a P6 PPM" in str(exc_info.value)
 
 
-def test_environment_gate_error_for_tws(spark, sf_dir):
-    try:
-        import google.protobuf  # noqa: F401
-
-        pytest.skip("protobuf present — gate not active on this runtime")
-    except ImportError:
-        pass
+def test_environment_gate_error_for_tws(spark, sf_dir, monkeypatch):
+    """The gate must still fire on runtimes where protoruntime discovery
+    finds nothing (simulated — this container discovers a vendored copy)."""
+    import sparkfusion.protoruntime as pr
     from sparkfusion.streaming.windows import (
         read_events_stream,
         stateful_user_counts_tws,
     )
 
+    monkeypatch.setattr(pr, "ensure_protobuf_runtime", lambda: (False, None))
     events = read_events_stream(spark, sf_dir)
     with pytest.raises(EnvironmentGateError, match="protobuf"):
         stateful_user_counts_tws(events)

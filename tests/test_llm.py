@@ -726,3 +726,34 @@ def test_bigram_lm_score_edges(spark):
     # lm_score: floor(1e6*3/4)=750000 per "a b", floor(1e6*1/4)=250000
     assert rows[1]["lm_score"] == 750000 * 2 + 250000
     assert rows[2]["lm_score"] == 750000
+
+
+def test_gram_matrix_exact_vs_numpy(spark):
+    """Partial-Gram + shuffle-sum must equal the single-machine numpy Gram
+    of the quantized matrix exactly, for any partitioning."""
+    import numpy as np
+
+    from sparkfusion.llm.similarity import gram_matrix
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 5)).astype(np.float32)
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(6)
+    got = {(r["i"], r["j"]): r["dot_q"] for r in gram_matrix(df, scale=1000).collect()}
+    Q = np.rint(X.astype(np.float64) * 1000).astype(np.int64)
+    G = Q.T @ Q
+    assert len(got) == 5 * 6 // 2
+    for (i, j), v in got.items():
+        assert i <= j and v == float(G[i, j]), (i, j, v, G[i, j])
+
+
+def test_gram_matrix_shuffle_carries_partials_not_rows(spark):
+    """The exchange must sit above the mapInPandas partial aggregation —
+    the plan's only shuffle is the d(d+1)/2-row groupBy, never the input."""
+    from sparkfusion.llm.similarity import gram_matrix
+
+    df = spark.createDataFrame(
+        [(i, [0.1] * 4) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    plan = gram_matrix(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.index("Exchange") < plan.index("MapInPandas")

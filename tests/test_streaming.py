@@ -92,20 +92,30 @@ def test_watermark_is_set(spark, sf_dir):
 
 def test_transform_with_state_counts(spark, sf_dir):
     """Spark 4 transformWithStateInPandas form of the running counts —
-    requires google.protobuf for the state protocol (absent in this
-    container -> skip, keeping the operator honest rather than untested)."""
+    the state protocol needs google.protobuf, which sparkfusion.protoruntime
+    discovers from vendored public-SDK copies when not pip-installed (skip
+    only when no runtime is discoverable at all). A finite single-batch
+    replay must equal the batch GROUP BY exactly."""
     import pytest as _pytest
 
-    _pytest.importorskip("google.protobuf.descriptor")
-    from sparkfusion.streaming import (
-        read_events_stream,
-        run_stream_to_table,
-        stateful_user_counts_tws,
-    )
+    from sparkfusion.protoruntime import ensure_protobuf_runtime
 
-    stream = read_events_stream(spark, sf_dir)
-    out = run_stream_to_table(stateful_user_counts_tws(stream), "update")
-    assert out.count() > 0
+    if not ensure_protobuf_runtime()[0]:
+        _pytest.skip("no google.protobuf runtime discoverable")
+    from sparkfusion.suite.streaming_suite import stream_stateful_counts_tws
+
+    out = {
+        (r["user_id"], r["n_events"])
+        for r in stream_stateful_counts_tws(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["user_id"], r["n_events"])
+        for r in events_with_ts(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert out == batch and len(out) > 0
 
 
 def test_stateful_counts_accumulate_across_micro_batches(spark, sf_dir, tmp_path):
