@@ -104,6 +104,7 @@ HEADLINE = {
     "stream_stateful_counts_tws": "stream_stateful_counts_tws",
     "emb_gram_matrix": "emb_gram_matrix",
     "ab1_welch_ttest": "ab1_welch_ttest",
+    "stream_recent_events_tws": "stream_recent_events_tws",
 }
 
 REPEATS = 3

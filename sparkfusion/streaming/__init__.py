@@ -19,6 +19,7 @@ bound state size — without one, window state grows forever at 100 TB/day.
 
 from .windows import (
     read_events_stream,
+    recent_events_tws,
     run_stream_to_table,
     session_window_agg,
     sessionize_batch,
@@ -28,6 +29,7 @@ from .windows import (
     stream_score_alerts,
     stream_stream_interval_join,
     tumbling_window_agg,
+    user_type_counts_tws,
     window_argmax,
 )
 
@@ -40,6 +42,8 @@ __all__ = [
     "sessionize_batch",
     "stateful_user_counts",
     "stateful_user_counts_tws",
+    "recent_events_tws",
+    "user_type_counts_tws",
     "stream_score_alerts",
     "stream_stream_interval_join",
     "window_argmax",

@@ -367,3 +367,171 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
                 sc_env.pop(k, None)
             else:
                 sc_env[k] = old
+
+
+def recent_events_tws(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user k-most-recent event ids via ``transformWithStateInPandas``
+    **ListState** — the typed-state shape of a "recent activity" feature
+    store: each micro-batch merges the batch's events into the persisted
+    per-user list, truncates to the k latest by (ts, event_id), and emits
+    the refreshed ranking. State is O(k) per user forever — the property
+    a 100 TB/day clickstream needs; an unbounded event list would grow
+    without limit. Deterministic tie-break on event_id makes a finite
+    replay equal the batch ``row_number() <= k`` query exactly.
+
+    Input must carry ``user_id``, ``ts_us`` (epoch-µs BIGINT — convert
+    before calling so the state schema is engine-neutral), ``event_id``.
+    Same protobuf runtime plumbing as :func:`stateful_user_counts_tws`.
+    """
+    from ..protoruntime import ensure_protobuf_runtime, worker_env_overrides
+
+    ok, extra_path = ensure_protobuf_runtime()
+    if not ok:
+        from ..errors import EnvironmentGateError
+
+        raise EnvironmentGateError(
+            "transformWithStateInPandas needs google.protobuf and no "
+            "runtime was discoverable (set SPARKFUSION_PROTOBUF_PATH)"
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("rank", IntegerType(), True),
+            StructField("event_id", LongType(), True),
+        ]
+    )
+
+    class RecentK(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._recent = handle.getListState(
+                "recent",
+                StructType(
+                    [
+                        StructField("ts_us", LongType(), True),
+                        StructField("event_id", LongType(), True),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            merged = [tuple(t) for t in self._recent.get()]
+            for pdf in rows:
+                merged.extend(
+                    zip(pdf["ts_us"].astype("int64"), pdf["event_id"].astype("int64"))
+                )
+            merged.sort(key=lambda t: (-int(t[0]), -int(t[1])))
+            top = [(int(a), int(b)) for a, b in merged[:k]]
+            self._recent.put(top)
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(top),
+                    "rank": range(1, len(top) + 1),
+                    "event_id": [e for _, e in top],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    sc_env = events.sparkSession.sparkContext.environment
+    overrides = worker_env_overrides(extra_path)
+    saved = {kk: sc_env.get(kk) for kk in overrides}
+    for kk, v in overrides.items():
+        prev = sc_env.get(kk)
+        sc_env[kk] = v if not prev or kk != "PYTHONPATH" else prev + os.pathsep + v
+    try:
+        return events.groupBy("user_id").transformWithStateInPandas(
+            RecentK(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    finally:
+        for kk, old in saved.items():
+            if old is None:
+                sc_env.pop(kk, None)
+            else:
+                sc_env[kk] = old
+
+
+def user_type_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user running counts **per event type** via
+    ``transformWithStateInPandas`` **MapState** — the grouping key owns a
+    keyed sub-map (event_type → count) updated with point lookups instead
+    of rewriting one monolithic value: the feature-store shape for
+    per-entity categorical accumulators (state size O(#distinct types per
+    user), each micro-batch touches only the types it saw). A finite
+    single-batch replay emits exactly the batch
+    ``GROUP BY user_id, event_type`` counts.
+
+    Input must carry ``user_id`` and ``event_type``. Same protobuf runtime
+    plumbing as :func:`stateful_user_counts_tws`.
+    """
+    from ..protoruntime import ensure_protobuf_runtime, worker_env_overrides
+
+    ok, extra_path = ensure_protobuf_runtime()
+    if not ok:
+        from ..errors import EnvironmentGateError
+
+        raise EnvironmentGateError(
+            "transformWithStateInPandas needs google.protobuf and no "
+            "runtime was discoverable (set SPARKFUSION_PROTOBUF_PATH)"
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("n_events", LongType(), True),
+        ]
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._counts = handle.getMapState(
+                "counts",
+                StructType([StructField("event_type", StringType(), True)]),
+                StructType([StructField("n", LongType(), True)]),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                for t, n in pdf["event_type"].value_counts().items():
+                    batch[str(t)] = batch.get(str(t), 0) + int(n)
+            out = []
+            for t, n in batch.items():
+                prev = self._counts.getValue((t,))
+                total = (prev[0] if prev else 0) + n
+                self._counts.updateValue((t,), (total,))
+                out.append((int(key[0]), t, total))
+            out.sort(key=lambda r: r[1])
+            yield pd.DataFrame(out, columns=["user_id", "event_type", "n_events"])
+
+        def close(self) -> None:
+            pass
+
+    sc_env = events.sparkSession.sparkContext.environment
+    overrides = worker_env_overrides(extra_path)
+    saved = {kk: sc_env.get(kk) for kk in overrides}
+    for kk, v in overrides.items():
+        prev = sc_env.get(kk)
+        sc_env[kk] = v if not prev or kk != "PYTHONPATH" else prev + os.pathsep + v
+    try:
+        return events.groupBy("user_id").transformWithStateInPandas(
+            TypeCounts(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    finally:
+        for kk, old in saved.items():
+            if old is None:
+                sc_env.pop(kk, None)
+            else:
+                sc_env[kk] = old

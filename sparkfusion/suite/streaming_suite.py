@@ -210,6 +210,84 @@ def stream_stateful_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_recent_events_tws",
+    oracle="""
+    SELECT user_id, CAST(rn AS INT) AS rank, event_id FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def stream_recent_events_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-most-recent events via transformWithStateInPandas
+    **ListState** — the "recent activity" feature-store shape with O(k)
+    state per user (the persisted list is truncated every batch, so a
+    100 TB/day clickstream can run it forever). Deterministic (ts,
+    event_id) tie-break makes the finite replay equal the batch
+    ``row_number() <= 3`` exactly. Completes the typed-state family
+    coverage together with ValueState (`stream_stateful_counts_tws`) and
+    MapState (`stream_user_type_counts_tws`)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import recent_events_tws
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir).select(
+            "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+        )
+        out = run_stream_to_table(recent_events_tws(stream, k=3), "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return out
+
+
+@register(
+    "stream_user_type_counts_tws",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_user_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-event-type running counts via transformWithStateInPandas
+    **MapState** — each grouping key owns a keyed sub-map (event_type →
+    count) updated with point lookups, the per-entity categorical
+    accumulator shape (state O(#types per user); a micro-batch touches only
+    the types it saw). Finite single-batch replay equals the batch
+    ``GROUP BY user_id, event_type``."""
+    from ..streaming.windows import user_type_counts_tws
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+        out = run_stream_to_table(user_type_counts_tws(stream), "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return out
+
+
+@register(
     "stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, v.event_id AS view_id

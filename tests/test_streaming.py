@@ -206,3 +206,45 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     # is below the 02:40 watermark -> filtered, its window never emitted
     assert int(datetime(2024, 6, 1, 3, 0).timestamp()) in starts
     assert int(datetime(2024, 6, 1, 0, 0).timestamp()) not in starts
+
+
+def test_recent_events_tws_equals_batch_topk(spark, sf_dir):
+    """ListState TWS: finite replay must equal the batch row_number()<=3
+    per user with the same (ts, event_id) tie-break."""
+    from pyspark.sql import Window
+
+    from sparkfusion.suite.streaming_suite import stream_recent_events_tws
+
+    out = {
+        (r["user_id"], r["rank"], r["event_id"])
+        for r in stream_recent_events_tws(spark, sf_dir).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    batch = {
+        (r["user_id"], r["rn"], r["event_id"])
+        for r in events_with_ts(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert out == batch and len(out) > 0
+
+
+def test_user_type_counts_tws_equals_batch_groupby(spark, sf_dir):
+    """MapState TWS: finite replay must equal GROUP BY user_id, event_type."""
+    from sparkfusion.suite.streaming_suite import stream_user_type_counts_tws
+
+    out = {
+        (r["user_id"], r["event_type"], r["n_events"])
+        for r in stream_user_type_counts_tws(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["user_id"], r["event_type"], r["n_events"])
+        for r in events_with_ts(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert out == batch and len(out) > 0
