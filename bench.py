@@ -105,6 +105,11 @@ HEADLINE = {
     "emb_gram_matrix": "emb_gram_matrix",
     "ab1_welch_ttest": "ab1_welch_ttest",
     "stream_recent_events_tws": "stream_recent_events_tws",
+    "fn5_time_to_convert": "fn5_time_to_convert",
+    "dq8_benford": "dq8_benford",
+    "st1_chi2_independence": "st1_chi2_independence",
+    "cms1_heavy_hitters": "cms1_heavy_hitters",
+    "g4_weighted_sssp": "g4_weighted_sssp",
 }
 
 REPEATS = 3

@@ -203,3 +203,73 @@ def bfs_distances(
         visited = visited.unionByName(fresh).localCheckpoint(eager=False)
         frontier = fresh.select("node")
     return visited
+
+
+def sssp_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    rounds: int = 4,
+) -> DataFrame:
+    """Multi-source single-source-shortest-path (weighted Bellman-Ford),
+    bounded at ``rounds`` relaxation rounds — the weighted sibling of
+    :func:`bfs_distances`. After round ``i``, ``dist(v)`` is the exact
+    minimum weight over all paths from any seed using at most ``i`` edges,
+    which is what the unrolled min-propagation SQL oracle computes.
+
+    Frontier discipline: each round relaxes ONLY the nodes whose distance
+    improved in the previous round (classic delta-propagation Bellman-Ford)
+    — a node whose value is unchanged already shipped ``dist(u) + w`` to its
+    neighbors in an earlier round, so skipping it loses nothing. At 100 TB
+    the per-round join cost is proportional to the improving boundary, not
+    the visited set. Integer weights keep every distance an exact BIGINT:
+    no float min-plus accumulation, bit-identical on any engine or
+    partitioning. Per-round ``localCheckpoint(eager=False)`` truncates
+    lineage; the weighted edge list is cached once.
+
+    Returns ``(node, dist)`` with ``dist`` BIGINT; unreached nodes absent.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))  # parallel edges: only the lightest matters
+        .cache()
+    )
+    dist = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    improved = dist
+    for _ in range(rounds):
+        cand = (
+            improved.join(e, improved["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        merged = dist.join(cand, "node", "full_outer").select(
+            "node",
+            F.least(F.col("dist"), F.col("cand")).alias("dist"),
+            (
+                F.col("dist").isNull()
+                | (F.col("cand").isNotNull() & (F.col("cand") < F.col("dist")))
+            ).alias("is_improved"),
+        )
+        dist = merged.select("node", "dist").localCheckpoint(eager=False)
+        improved = (
+            merged.filter("is_improved")
+            .select("node", "dist")
+            .localCheckpoint(eager=False)
+        )
+    return dist

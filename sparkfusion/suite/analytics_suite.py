@@ -1546,3 +1546,309 @@ def ab1_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_diff, 9).alias("mean_diff"),
         F.round(mean_diff / F.sqrt(v_over_n_a + v_over_n_b), 9).alias("t_stat"),
     )
+
+
+@register(
+    "fn5_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS first_view,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS first_buy
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT first_buy - first_view AS delay_us
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+        AND first_buy >= first_view
+    )
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(delay_us / 1000000.0, 0.50), 6) AS median_delay_s,
+           round(quantile_cont(delay_us / 1000000.0, 0.90), 6) AS p90_delay_s
+    FROM conv
+    """,
+)
+def fn5_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, the delay between the FIRST view and the
+    FIRST purchase (users whose first purchase precedes any view are
+    excluded — they converted through another channel), summarized as
+    count + exact interpolated median/p90. One conditional-min
+    aggregation per user (no per-type self-join), then a single-row
+    percentile over the small converted-user frame — delays stay integer
+    epoch-µs through the aggregation and convert to SECONDS (one exact
+    IEEE division) before interpolating, because the two engines'
+    interpolation formulas differ in the last ulp and round(·, 6) can
+    only mask that at ~1e5 magnitude, not at raw-µs 1e11 (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). Extends the
+    funnel family: fn1 measures the path, fn4 assigns credit, fn5 times
+    the conversion."""
+    ev = _events_us(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias(
+            "first_buy"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(
+        ((F.col("first_buy") - F.col("first_view")) / F.lit(1000000.0)).alias(
+            "delay_s"
+        )
+    )
+    agg = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(delay_s, array(0.50, 0.90))").alias("ps"),
+    )
+    return agg.select(
+        "n_converted",
+        F.round(F.col("ps")[0], 6).alias("median_delay_s"),
+        F.round(F.col("ps")[1], 6).alias("p90_delay_s"),
+    )
+
+
+@register(
+    "st1_chi2_independence",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    langs AS (SELECT lang, sum(n) AS r_tot FROM c GROUP BY 1),
+    srcs AS (SELECT source, sum(n) AS c_tot FROM c GROUP BY 1),
+    tot AS (SELECT sum(n) AS n_tot FROM c),
+    grid AS (
+      SELECT l.lang, s.source, l.r_tot, s.c_tot, t.n_tot,
+             coalesce(c.n, 0) AS n_obs
+      FROM langs l CROSS JOIN srcs s CROSS JOIN tot t
+      LEFT JOIN c ON c.lang = l.lang AND c.source = s.source
+    )
+    SELECT lang, source, CAST(n_obs AS BIGINT) AS n_obs,
+           round(CAST(r_tot * c_tot AS DOUBLE) / n_tot, 9) AS expected,
+           round((n_obs - CAST(r_tot * c_tot AS DOUBLE) / n_tot)
+                 * (n_obs - CAST(r_tot * c_tot AS DOUBLE) / n_tot)
+                 / (CAST(r_tot * c_tot AS DOUBLE) / n_tot), 9) AS chi2_term
+    FROM grid
+    """,
+)
+def st1_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (document language x source) — the contingency-table readout every
+    experimentation / data-drift stack needs next to ab1's t-test. One
+    groupBy collapses the table to the r x c cell counts; the marginals and
+    the full grid (INCLUDING zero-observed cells, which naive GROUP BY
+    drops but the statistic requires) are built from that tiny aggregated
+    frame, so the cross join touches #langs x #sources rows, never the
+    table. Expected = r_tot*c_tot/n computed as one exact BIGINT product
+    and one IEEE double division — identical in both engines; per-cell
+    chi2 contributions localize WHICH (lang, source) pair drives
+    dependence. Sum chi2_term for the statistic (df = (r-1)(c-1))."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    langs = c.groupBy("lang").agg(F.sum("n").alias("r_tot"))
+    srcs = c.groupBy("source").agg(F.sum("n").alias("c_tot"))
+    tot = c.agg(F.sum("n").alias("n_tot"))
+    grid = (
+        langs.crossJoin(F.broadcast(srcs))
+        .crossJoin(F.broadcast(tot))
+        .join(c, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_obs"),
+            (
+                (F.col("r_tot") * F.col("c_tot")).cast("double") / F.col("n_tot")
+            ).alias("e"),
+        )
+    )
+    obs_m_e = F.col("n_obs") - F.col("e")
+    return grid.select(
+        "lang",
+        "source",
+        "n_obs",
+        F.round("e", 9).alias("expected"),
+        F.round(obs_m_e * obs_m_e / F.col("e"), 9).alias("chi2_term"),
+    )
+
+
+_CMS_W = 512  # counters per hash row
+_CMS_D = 3  # independent hash rows
+
+
+def _cms_bucket_sql(i: int, key: str) -> str:
+    return f"('0x' || substr(md5('{i}:' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {_CMS_W}"
+
+
+@register(
+    "cms1_heavy_hitters",
+    oracle=f"""
+    WITH sketch AS (
+      SELECT i, bucket, count(*) AS cnt FROM (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS i, {_cms_bucket_sql(i, 'l_partkey')} AS bucket FROM lineitem"
+            for i in range(_CMS_D)
+        )}
+      ) GROUP BY i, bucket
+    ),
+    exact AS (
+      SELECT l_partkey, count(*) AS n_exact FROM lineitem GROUP BY 1
+    ),
+    top10 AS (
+      SELECT l_partkey, n_exact FROM exact
+      ORDER BY n_exact DESC, l_partkey LIMIT 10
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT l_partkey, n_exact, {i} AS i,"
+          f" {_cms_bucket_sql(i, 'l_partkey')} AS bucket FROM top10"
+          for i in range(_CMS_D)
+      )}
+    )
+    SELECT p.l_partkey, CAST(max(p.n_exact) AS BIGINT) AS n_exact,
+           CAST(min(s.cnt) AS BIGINT) AS n_est
+    FROM probes p JOIN sketch s ON s.i = p.i AND s.bucket = p.bucket
+    GROUP BY p.l_partkey
+    """,
+)
+def cms1_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, verified against exact counts
+    for the 10 heaviest part keys. Completes the sketch family (sk1 KMV for
+    cardinality, mv2 HLL for distinct rollup, bf1 Bloom for membership) with
+    the frequency sketch: d=3 md5-derived hash rows x w=512 counters,
+    estimate = min over rows of the key's counter — a one-sided
+    overestimate (n_est >= n_exact always; error bounded by 2n/w per row).
+    Scale shape: the sketch build explodes each row into d (row, bucket)
+    pairs and groupBy-counts them — map-side combine collapses every
+    partition to <= d*w partial counters, so the shuffle carries O(d*w) rows
+    per partition regardless of table size, and the finished sketch
+    (<= 1536 rows) broadcasts to the probe join. Deterministic
+    md5 bucketing makes the sketch itself bit-reproducible, so the oracle
+    verifies the ESTIMATES exactly, not just the exact counts."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def bucket(i: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(i), F.col("l_partkey"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket"))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.i", "p.bucket")
+    sketch = pairs.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_exact"))
+    top10 = exact.orderBy(F.desc("n_exact"), "l_partkey").limit(10)
+    probes = top10.select(
+        "l_partkey",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket"))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("l_partkey", "n_exact", "p.i", "p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("l_partkey")
+        .agg(
+            F.max("n_exact").alias("n_exact"),
+            F.min("cnt").alias("n_est"),
+        )
+    )
+
+
+def _sssp_oracle(rounds: int = 4) -> str:
+    sql = """
+    WITH base AS (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), pairs AS (
+      SELECT a AS src, b AS dst FROM base UNION SELECT b, a FROM base
+    ), edges AS (
+      SELECT src, dst,
+             1 + (CAST(substr(src, 2) AS BIGINT)
+                  + CAST(substr(dst, 2) AS BIGINT)) % 5 AS w
+      FROM pairs
+    ), d0 AS (
+      SELECT DISTINCT 'c' || c_custkey AS node, CAST(0 AS BIGINT) AS dist
+      FROM customer WHERE c_nationkey = 0
+    )"""
+    for i in range(rounds):
+        sql += f""", d{i + 1} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{i} d JOIN edges e ON e.src = d.node
+      ) GROUP BY node
+    )"""
+    return sql + f" SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"
+
+
+@register("g4_weighted_sssp", oracle=_sssp_oracle(4))
+def g4_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths (4-round Bellman-Ford) over the
+    same symmetrized customer<->supplier trade graph as g1/g3, with
+    deterministic integer edge weights 1 + (custkey + suppkey) % 5 derived
+    from the endpoint ids (so both engines compute identical weights with
+    no RNG). After round i the distance is the exact minimum over paths
+    using <= i edges — the unrolled min-propagation oracle computes the
+    same quantity. The operator relaxes only the improving frontier per
+    round (delta-propagation; see
+    :func:`sparkfusion.operators.graph.sssp_distances`), distances stay
+    exact BIGINTs, and lineage is localCheckpoint-truncated per round.
+    Completes the iterative-graph family: g1 ranks, g2 counts triangles,
+    g3 measures hops, g4 measures weighted distance."""
+    from ..operators.graph import sssp_distances
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    pairs = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    edges = pairs.select(
+        "src",
+        "dst",
+        (
+            F.lit(1)
+            + (
+                F.expr("CAST(substring(src, 2) AS BIGINT)")
+                + F.expr("CAST(substring(dst, 2) AS BIGINT)")
+            )
+            % 5
+        ).alias("w"),
+    )
+    seeds = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+    )
+    return sssp_distances(edges, seeds, rounds=4)

@@ -400,3 +400,80 @@ def dq7_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), as 12-decimal LITERALS:
+# both engines parse the same decimal text to the same double, so the chi²
+# arithmetic is bit-identical — computing log10 in each engine would pick up
+# libm last-ulp differences instead.
+_BENFORD_P = {
+    "1": "0.301029995664",
+    "2": "0.176091259056",
+    "3": "0.124938736608",
+    "4": "0.096910013008",
+    "5": "0.079181246048",
+    "6": "0.066946789631",
+    "7": "0.057991946978",
+    "8": "0.051152522447",
+    "9": "0.045757490561",
+}
+
+
+@register(
+    "dq8_benford",
+    oracle=f"""
+    WITH d AS (
+      SELECT regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]', 0) AS digit
+      FROM orders
+    ),
+    c AS (
+      SELECT digit, count(*) AS n_obs, sum(count(*)) OVER () AS n_total
+      FROM d GROUP BY digit
+    )
+    SELECT digit, n_obs,
+           round(CAST(CASE digit
+             {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _BENFORD_P.items())}
+           END AS DOUBLE), 9) AS exp_freq,
+           round((n_obs - n_total * CAST(CASE digit
+             {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _BENFORD_P.items())}
+           END AS DOUBLE)) * (n_obs - n_total * CAST(CASE digit
+             {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _BENFORD_P.items())}
+           END AS DOUBLE)) / (n_total * CAST(CASE digit
+             {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _BENFORD_P.items())}
+           END AS DOUBLE)), 9) AS chi2_term
+    FROM c
+    """,
+)
+def dq8_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance — the classic
+    fabricated-data / fraud screen for financial columns: observed count
+    per leading digit of o_totalprice against the Benford expectation
+    log10(1+1/d), with the per-digit χ² contribution (sum them for the
+    test statistic; large terms localize WHICH digit deviates). One
+    groupBy to 9 rows, then a window total over the aggregated frame —
+    the global-count window costs nothing because it runs on 9 rows, not
+    the table. Expected frequencies are 12-decimal literals in BOTH
+    engines (an engine-computed log10 would differ in the last ulp);
+    first digit extracted from the canonical decimal string so values
+    below 1 resolve to their first non-zero digit identically."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    digit = F.regexp_extract(F.col("o_totalprice").cast("string"), "[1-9]", 0)
+    c = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .withColumn("n_total", F.sum("n_obs").over(Window.partitionBy()))
+    )
+    p = None
+    for k, v in _BENFORD_P.items():
+        expr = F.when(F.col("digit") == k, F.lit(float(v)))
+        p = expr if p is None else p.when(F.col("digit") == k, F.lit(float(v)))
+    n, t = F.col("n_obs"), F.col("n_total")
+    return c.select(
+        "digit",
+        "n_obs",
+        F.round(p, 9).alias("exp_freq"),
+        F.round((n - t * p) * (n - t * p) / (t * p), 9).alias("chi2_term"),
+    )

@@ -199,3 +199,27 @@ def test_weighted_median_brute_force(spark, sf_dir):
             if 2 * cum >= tot - 1e-9:
                 assert got[g] == price, g
                 break
+
+
+def test_cms_estimate_is_one_sided_overestimate(spark, sf_dir):
+    """Count-Min's defining guarantee: every estimate >= the exact count."""
+    from sparkfusion.suite.analytics_suite import cms1_heavy_hitters
+
+    rows = cms1_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["n_est"] >= r["n_exact"] for r in rows)
+
+
+def test_chi2_grid_is_complete_and_marginals_add_up(spark, sf_dir):
+    """The grid must contain every lang x source cell (zeros included) and
+    observed totals must equal expected totals (chi2 marginal identity)."""
+    from sparkfusion.suite.analytics_suite import st1_chi2_independence
+    from sparkfusion.session import table
+
+    rows = st1_chi2_independence(spark, sf_dir).collect()
+    langs = {r["lang"] for r in rows}
+    srcs = {r["source"] for r in rows}
+    assert len(rows) == len(langs) * len(srcs)
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_obs"] for r in rows) == n_docs
+    assert abs(sum(r["expected"] for r in rows) - n_docs) < 1e-3

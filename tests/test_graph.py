@@ -76,3 +76,51 @@ def test_bfs_min_dist_on_diamond(spark):
     seeds = spark.createDataFrame([("s",)], ["node"])
     got = {r["node"]: r["dist"] for r in bfs_distances(edges, seeds, max_hops=4).collect()}
     assert got["t"] == 2
+
+
+def test_sssp_prefers_longer_but_lighter_path(spark):
+    """The defining weighted case BFS gets wrong: a 3-edge path of weight 3
+    beats the direct edge of weight 10."""
+    from sparkfusion.operators.graph import sssp_distances
+
+    edges = spark.createDataFrame(
+        [("s", "t", 10), ("s", "a", 1), ("a", "b", 1), ("b", "t", 1)],
+        ["src", "dst", "w"],
+    )
+    seeds = spark.createDataFrame([("s",)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_distances(edges, seeds, rounds=4).collect()
+    }
+    assert got == {"s": 0, "a": 1, "b": 2, "t": 3}
+
+
+def test_sssp_rounds_bound_path_length(spark):
+    """After i rounds the distance is min over paths of <= i edges: with
+    rounds=1 only the heavy direct edge is reachable."""
+    from sparkfusion.operators.graph import sssp_distances
+
+    edges = spark.createDataFrame(
+        [("s", "t", 10), ("s", "a", 1), ("a", "t", 1)],
+        ["src", "dst", "w"],
+    )
+    seeds = spark.createDataFrame([("s",)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_distances(edges, seeds, rounds=1).collect()
+    }
+    assert got == {"s": 0, "a": 1, "t": 10}
+
+
+def test_sssp_parallel_edges_keep_lightest(spark):
+    from sparkfusion.operators.graph import sssp_distances
+
+    edges = spark.createDataFrame(
+        [("s", "t", 7), ("s", "t", 3)], ["src", "dst", "w"]
+    )
+    seeds = spark.createDataFrame([("s",)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_distances(edges, seeds, rounds=2).collect()
+    }
+    assert got["t"] == 3

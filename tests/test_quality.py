@@ -127,3 +127,22 @@ def test_table_fingerprint_detects_single_cell_drift(spark, sf_dir):
         mod.table = orig
     assert drifted["n_rows"] == base["n_rows"]
     assert drifted["xor_fp"] != base["xor_fp"]
+
+
+def test_benford_first_digit_notation_invariant(spark):
+    """First-significant-digit extraction must survive double formatting
+    (plain vs scientific notation) — the property the dq8 oracle relies on."""
+    from pyspark.sql import functions as F
+
+    vals = [0.00095, 0.75, 1.0, 9.999, 123.45, 4950000.12, 1.2345e9, 7e-8]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["d"]
+        for r in df.select(
+            F.regexp_extract(F.col("x").cast("string"), "[1-9]", 0).alias("d")
+        ).collect()
+    ]
+    import re
+
+    want = [re.search("[1-9]", repr(v)).group(0) for v in vals]
+    assert got == want

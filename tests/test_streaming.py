@@ -248,3 +248,71 @@ def test_user_type_counts_tws_equals_batch_groupby(spark, sf_dir):
         .collect()
     }
     assert out == batch and len(out) > 0
+
+
+def test_recent_events_tws_state_survives_micro_batches(spark, sf_dir, tmp_path):
+    """TRUE incremental ListState: batch 0 delivers everything EXCEPT each
+    user's oldest event; batch 1 delivers only the oldest events. A stateful
+    operator re-emits the carried top-3 unchanged (the oldest event can
+    never displace it for users with >= 4 events); a stateless one would
+    emit the oldest event as rank 1. The distinct emitted (user, rank,
+    event_id) set over BOTH batches therefore equals the batch ground truth
+    iff state was carried — no reliance on memory-sink row order."""
+    import os
+
+    from pyspark.sql import Window
+
+    from sparkfusion.streaming import recent_events_tws, run_stream_to_table
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_with_ts(spark, sf_dir).select(
+            "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+        )
+        w_asc = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        tagged = ev.withColumn("rn_old", F.row_number().over(w_asc)).withColumn(
+            "n_user", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+        # only users with enough history for the invariant to hold
+        tagged = tagged.filter(F.col("n_user") >= 4).select(
+            "user_id", "ts_us", "event_id", "rn_old"
+        )
+        src = str(tmp_path / "batches")
+        tagged.filter(F.col("rn_old") > 1).drop("rn_old").coalesce(1).write.parquet(
+            os.path.join(src, "b0")
+        )
+        tagged.filter(F.col("rn_old") == 1).drop("rn_old").coalesce(1).write.parquet(
+            os.path.join(src, "b1")
+        )
+        schema = "user_id long, ts_us long, event_id long"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        out = run_stream_to_table(recent_events_tws(stream, k=3), "update")
+        got = {
+            (r["user_id"], r["rank"], r["event_id"])
+            for r in out.collect()
+        }
+        w_desc = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        truth = {
+            (r["user_id"], r["rn"], r["event_id"])
+            for r in tagged.withColumn("rn", F.row_number().over(w_desc))
+            .filter(F.col("rn") <= 3)
+            .collect()
+        }
+        assert got == truth and len(got) > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
