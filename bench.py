@@ -110,6 +110,7 @@ HEADLINE = {
     "st1_chi2_independence": "st1_chi2_independence",
     "cms1_heavy_hitters": "cms1_heavy_hitters",
     "g4_weighted_sssp": "g4_weighted_sssp",
+    "km1_kmeans_quantized": "km1_kmeans_quantized",
 }
 
 REPEATS = 3

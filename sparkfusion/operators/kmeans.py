@@ -1,0 +1,136 @@
+"""Distributed quantized k-means (Lloyd's algorithm) with EXACT integer
+arithmetic — the fourth iterative algorithm next to PageRank / BFS / SSSP in
+:mod:`.graph` and the label-propagation CC in ``llm/dedup.py``.
+
+Why a hand-rolled Lloyd's when ``llm/ivf.py`` already wraps MLlib KMeans:
+MLlib's float centroids are not reproducible across engines (or even across
+partitionings — per-cluster component sums change addition order), so the IVF
+suite query had to fall back to a degenerate 0-iteration quantizer for its
+oracle. This module makes REAL Lloyd's iterations engine-exact by working in
+quantized integer space end-to-end:
+
+- points are quantized once: ``xq_i = CAST(round(x_i * 10^scale) AS BIGINT)``
+  (both engines round half away from zero; float32→double is exact);
+- distances are exact BIGINT sums of squared integer differences;
+- argmin assignment tie-breaks on the lower cluster id;
+- updated centroids are component-wise integer means with truncating
+  division (sign-split ``-((-s) // n)`` so both engines and Python agree on
+  negatives) — a "quantized Lloyd's" whose fixed-iteration trajectory is
+  bit-identical on any engine, partitioning, or cluster size, and therefore
+  verifiable by an unrolled SQL oracle.
+
+Scale shape (the 100 TB part): assignment is a MAP-ONLY expression — the k
+centroids (k·d integers, bounded by contract) are collected to the driver
+each round and embedded as literals, so no join and no shuffle touches the
+assignment pass; the update is ONE map-side-combinable groupBy producing
+k×(d+1) aggregate cells (d per-component sums via ``F.sum(xq[i])`` — no
+explode, the shuffle carries one partial row per cluster per partition).
+Driver-side state is k·d ints per round — the same bounded-scalar pattern as
+the BPE trainer's per-round merge pick (llm/text.py).
+
+Reference exercises iterative algos via examples/algo (see
+examples/algo/src/main.rs); k-means itself is an extension operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncating integer division matching Spark ``div`` / DuckDB ``//`` on
+    positives for either sign of ``s`` (Python ``//`` alone floors)."""
+    return -((-s) // n) if s < 0 else s // n
+
+
+def _argmin_struct(centroids: list[list[int]]) -> F.Column:
+    """Map-only argmin over literal centroids: array_min of (dist, cid)
+    structs — lexicographic struct ordering gives the lower-cid tie-break."""
+
+    def dist(c: list[int]) -> F.Column:
+        arr = F.array(*[F.lit(int(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(F.col("xq"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(dist(c).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    scale: int = 6,
+) -> DataFrame:
+    """Run ``iterations`` rounds of quantized Lloyd's over ``df[emb_col]``
+    (array<float/double>), initialized from the ``k`` vectors with the
+    smallest ids (deterministic, SQL-nameable init). Returns one row per
+    cluster: ``(cid, n_points, inertia, centroid_l1, centroid_sq)`` where
+    inertia is the exact integer sum of squared quantized distances under
+    the FINAL centroids (DECIMAL(38,0) — BIGINT would overflow at 1e9 rows)
+    and centroid_l1/centroid_sq fingerprint the final centroid components.
+    Empty clusters keep their previous centroid."""
+    q = 10**scale
+    # localCheckpoint, not cache(): the frame feeds 1 init + per-round + final
+    # actions, and cache() would leak a CacheManager entry across repeated
+    # invocations (the fi1_item_affinity lesson); eager=False lets the init
+    # collect be the materializing action.
+    pts = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(emb_col), lambda x: F.round(x.cast("double") * q).cast("long")
+        ).alias("xq"),
+    ).localCheckpoint(eager=False)
+
+    # bounded init: the k lexicographically-first vectors (TakeOrderedAndProject)
+    init_rows = pts.orderBy("vec_id").limit(k).collect()
+    cents: list[list[int]] = [list(r["xq"]) for r in init_rows]
+    d = len(cents[0])
+
+    for _ in range(iterations):
+        assigned = pts.withColumn("m", _argmin_struct(cents))
+        aggs = (
+            assigned.groupBy(F.col("m.cid").alias("cid"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("xq")[i]).alias(f"s{i}") for i in range(d)],
+            )
+            .collect()  # ≤ k rows of d+1 cells — bounded by contract
+        )
+        new_cents = list(cents)  # empty clusters carry the old centroid
+        for r in aggs:
+            new_cents[r["cid"]] = [
+                _trunc_div(r[f"s{i}"], r["n"]) for i in range(d)
+            ]
+        cents = new_cents
+
+    final = pts.withColumn("m", _argmin_struct(cents))
+    stats = final.groupBy(F.col("m.cid").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        # exact DECIMAL(38,0) accumulation (no 64-bit overflow at 1e9 rows),
+        # emitted as BIGINT — test-scale inertia is far below 2^63
+        F.sum(F.col("m.d").cast("decimal(38,0)")).cast("long").alias("inertia"),
+    )
+    spark = df.sparkSession
+    fingerprints = spark.createDataFrame(
+        [
+            (i, sum(c), sum(v * v for v in c))
+            for i, c in enumerate(cents)
+        ],
+        "cid int, centroid_l1 long, centroid_sq long",
+    )
+    return stats.join(F.broadcast(fingerprints), "cid").select(
+        "cid", "n_points", "inertia", "centroid_l1", "centroid_sq"
+    )

@@ -2265,3 +2265,83 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget of the scale choice."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.gram_matrix(emb, "embedding", scale=1000)
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 3, scale_pow: int = 6) -> str:
+    q = 10**scale_pow
+    sql = f"""
+    WITH pts AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x * {q}) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             xq AS c
+      FROM (SELECT vec_id, xq FROM pts ORDER BY vec_id LIMIT {k})
+    )"""
+
+    def assign(name: str, cents: str) -> str:
+        return f""", {name} AS (
+      SELECT vec_id, xq, cid, dist FROM (
+        SELECT vec_id, xq, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM (
+          SELECT p.vec_id, p.xq, c.cid,
+                 CAST(list_sum(list_transform(generate_series(1, len(p.xq)),
+                   j -> (p.xq[j] - c.c[j]) * (p.xq[j] - c.c[j]))) AS BIGINT)
+                   AS dist
+          FROM pts p CROSS JOIN {cents} c
+        )
+      ) WHERE rk = 1
+    )"""
+
+    for i in range(iterations):
+        sql += assign(f"a{i}", f"c{i}")
+        sql += f""", u{i} AS (
+      SELECT a.cid, t.pos, sum(a.xq[t.pos]) AS s, count(*) AS n
+      FROM a{i} a, unnest(generate_series(1, len(a.xq))) AS t(pos)
+      GROUP BY a.cid, t.pos
+    ), c{i + 1} AS (
+      SELECT cid, list(CAST(CASE WHEN s < 0 THEN -((-s) // n)
+                                 ELSE s // n END AS BIGINT) ORDER BY pos) AS c
+      FROM u{i} GROUP BY cid
+      UNION ALL
+      SELECT cid, c FROM c{i} WHERE cid NOT IN (SELECT cid FROM u{i})
+    )"""
+    sql += assign("af", f"c{iterations}")
+    return sql + f"""
+    SELECT s.cid, s.n_points, s.inertia, f.centroid_l1, f.centroid_sq
+    FROM (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(dist) AS BIGINT) AS inertia
+      FROM af GROUP BY cid
+    ) s JOIN (
+      SELECT cid, CAST(list_sum(c) AS BIGINT) AS centroid_l1,
+             CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT)
+               AS centroid_sq
+      FROM c{iterations}
+    ) f USING (cid)
+    """
+
+
+@register("km1_kmeans_quantized", oracle=_kmeans_oracle(8, 3, 6))
+def km1_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 3 iterations) over the corpus
+    embeddings in QUANTIZED INTEGER space — real iterative clustering whose
+    full trajectory the oracle verifies bit-for-bit (ivf.py's MLlib wrapper
+    had to settle for a rows-only check because float centroids aren't
+    engine-reproducible; integer quantization removes the nondeterminism
+    rather than papering over it). Per round: map-only argmin assignment
+    against k·d literal centroids (no join, no shuffle), then ONE
+    map-side-combinable groupBy producing k×(d+1) aggregate cells (component
+    sums via xq[i], never an explode), collected to the driver as bounded
+    k·d state — the BPE-trainer pattern. Returns per-cluster size, exact
+    integer inertia under the final centroids (DECIMAL(38,0): BIGINT would
+    overflow at 1e9 rows), and centroid fingerprints. See
+    :func:`sparkfusion.operators.kmeans.kmeans_quantized`."""
+    from ..operators.kmeans import kmeans_quantized
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_quantized(emb, k=8, iterations=3, scale=6)

@@ -1,0 +1,69 @@
+"""Quantized Lloyd's k-means: the algorithmic invariants the oracle can't
+express (monotone inertia across iteration counts, determinism, partition
+invariance)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfusion.operators.kmeans import kmeans_quantized, _trunc_div
+from sparkfusion.session import table
+
+
+def _inertia(spark, sf_dir, iterations):
+    emb = table(spark, sf_dir, "embeddings")
+    rows = kmeans_quantized(emb, k=8, iterations=iterations, scale=6).collect()
+    return sum(r["inertia"] for r in rows), rows
+
+
+def test_lloyds_inertia_monotone_nonincreasing(spark, sf_dir):
+    """Each Lloyd's round can only lower (or keep) total inertia — the
+    textbook convergence guarantee, which survives integer quantization up
+    to the +-k*d rounding slack of the truncated centroid mean. We assert
+    plain non-increase, which holds comfortably on this data."""
+    i0, _ = _inertia(spark, sf_dir, 0)
+    i1, _ = _inertia(spark, sf_dir, 1)
+    i3, rows3 = _inertia(spark, sf_dir, 3)
+    assert i0 >= i1 >= i3
+    assert i0 > i3  # and it actually improved
+    assert sum(r["n_points"] for r in rows3) == table(
+        spark, sf_dir, "embeddings"
+    ).count()
+
+
+def test_kmeans_partitioning_invariant(spark, sf_dir):
+    """Integer arithmetic makes the trajectory identical under any input
+    partitioning — the property float k-means (MLlib) lacks."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = {
+        r["cid"]: (r["n_points"], r["inertia"], r["centroid_l1"])
+        for r in kmeans_quantized(emb, k=4, iterations=2).collect()
+    }
+    b = {
+        r["cid"]: (r["n_points"], r["inertia"], r["centroid_l1"])
+        for r in kmeans_quantized(emb.repartition(17), k=4, iterations=2).collect()
+    }
+    assert a == b and len(a) == 4
+
+
+@pytest.mark.parametrize(
+    "s,n,want",
+    [(7, 2, 3), (-7, 2, -3), (6, 3, 2), (-6, 3, -2), (0, 5, 0), (1, 7, 0), (-1, 7, 0)],
+)
+def test_trunc_div_matches_sql_semantics(s, n, want):
+    """Truncation toward zero for either sign — what Spark `div` and
+    DuckDB `//`-on-positives compute (Python // alone would floor)."""
+    assert _trunc_div(s, n) == want
+
+
+def test_empty_cluster_carries_previous_centroid(spark):
+    """k=3 over 2 distinct points: one cluster never receives members and
+    must keep its initial centroid instead of crashing or going NULL."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = kmeans_quantized(df, k=3, iterations=2, scale=6).collect()
+    got = {r["cid"]: r["n_points"] for r in rows}
+    # clusters 1 and 2 start at the same point; the lower cid wins both
+    # members, cluster 2 is empty and is simply absent from the report
+    assert got[0] == 1 and got[1] == 2 and 2 not in got
