@@ -463,3 +463,80 @@ def b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "s25_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey % 13 = 0
+    """,
+)
+def s25_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan roundtrip (Spark 4 ships the former spark-xml as a
+    built-in format). The read supplies an EXPLICIT schema — XML carries no
+    types, so schema inference would hand back strings and the driver's
+    type-strict compare would (rightly) fail; doubles survive the text
+    roundtrip because the writer emits Java shortest-round-trip decimal
+    strings. The oracle reads the ORIGINAL parquet rows, so a pass proves
+    write->read fidelity through the XML codec, completing the
+    text-format family next to CSV (s1/s2/s13), JSON (s18), and
+    JSONL (s23)."""
+    import os
+
+    path = os.path.join(IO_DIR, "orders_xml")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).option("rootTag", "orders").option("rowTag", "order").format("xml").save(path)
+    return (
+        spark.read.schema("o_orderkey bigint, o_orderstatus string, o_totalprice double")
+        .option("rowTag", "order")
+        .format("xml")
+        .load(path)
+    )
+
+
+@register(
+    "s26_binary_file_scan",
+    oracle="""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           md5(decode(content)) AS content_md5
+    FROM read_blob('/tmp/sparkfusion_io/doc_blobs/*.bin')
+    """,
+)
+def s26_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion via Spark's ``binaryFile`` source — the
+    front door of every multimodal pipeline (images/audio arrive as opaque
+    files, not rows; the mm_* decoders downstream consume exactly this
+    shape). Setup materializes a deterministic blob per sampled document
+    (UTF-8 text bytes, doc_id % 97 == 0) and the query scans the DIRECTORY,
+    reporting per-file name, size, and content md5 — verified against
+    DuckDB's ``read_blob`` over the same files, so the oracle proves the
+    bytes Spark hands the pipeline are the bytes on disk. At 100 TB
+    binaryFile parallelizes per-file with ``pathGlobFilter``/partition
+    pruning; files >2 GiB need chunked readers (mm_mjpeg_frames shows the
+    frame-sampled variant)."""
+    import os
+    import shutil
+
+    path = os.path.join(IO_DIR, "doc_blobs")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id", "text")
+    )
+    # bounded setup: one tiny blob per sampled doc, written once by the
+    # driver (deterministic names/bytes; ~1% of documents)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    for r in docs.collect():
+        with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(path)
+    return bf.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

@@ -97,3 +97,53 @@ def test_input_file_name_lineage(spark, sf_dir, tmp_path):
     assert len(per_file) == 4
     for f in glob.glob(path + "/*.parquet"):
         assert per_file[f] == pq.ParquetFile(f).metadata.num_rows
+
+
+def test_xml_roundtrip_preserves_types_and_values(spark, sf_dir):
+    """XML is typeless on the wire: the explicit read schema must hand back
+    the original types, and double values must survive the text roundtrip
+    bit-for-bit (Java shortest-round-trip formatting)."""
+    from pyspark.sql import functions as F
+
+    from sparkfusion.session import table
+    from sparkfusion.suite.sources_suite import s25_xml_roundtrip
+
+    back = s25_xml_roundtrip(spark, sf_dir)
+    assert dict(back.dtypes) == {
+        "o_orderkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+    }
+    orig = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+        for r in table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    }
+    got = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+        for r in back.collect()
+    }
+    assert got == orig and len(got) > 0
+
+
+def test_binary_file_scan_matches_disk_bytes(spark, sf_dir):
+    """binaryFile must surface exactly the bytes on disk: re-hash each blob
+    file with hashlib and compare to the query's md5 column."""
+    import glob
+    import hashlib
+    import os
+
+    from sparkfusion.suite.sources_suite import IO_DIR, s26_binary_file_scan
+
+    rows = {r["fname"]: (r["n_bytes"], r["content_md5"])
+            for r in s26_binary_file_scan(spark, sf_dir).collect()}
+    files = glob.glob(os.path.join(IO_DIR, "doc_blobs", "*.bin"))
+    assert len(files) == len(rows) > 0
+    for f in files:
+        data = open(f, "rb").read()
+        assert rows[os.path.basename(f)] == (
+            len(data),
+            hashlib.md5(data).hexdigest(),
+        )
