@@ -111,6 +111,7 @@ HEADLINE = {
     "cms1_heavy_hitters": "cms1_heavy_hitters",
     "g4_weighted_sssp": "g4_weighted_sssp",
     "km1_kmeans_quantized": "km1_kmeans_quantized",
+    "stream_session_timeout_tws": "stream_session_timeout_tws",
 }
 
 REPEATS = 3

@@ -535,3 +535,138 @@ def user_type_counts_tws(events: DataFrame) -> DataFrame:
                 sc_env.pop(kk, None)
             else:
                 sc_env[kk] = old
+
+
+def session_timeout_tws(
+    events: DataFrame, gap_minutes: int = 30, out_schema=None
+) -> DataFrame:
+    """Session-timeout detection via transformWithStateInPandas **event-time
+    TIMERS** — the fourth and last piece of the typed-state API surface
+    (ValueState/ListState/MapState are covered by the sibling operators).
+
+    Each user's open session lives in a ValueState (start_us, last_us, n);
+    every batch re-arms ONE timer at ``last + gap`` (the previous timer is
+    deleted — O(1) timers per key). Rows inside a batch are walked in ts
+    order, so multi-session batches close intermediate sessions inline;
+    when the watermark passes a timer, ``handleExpiredTimer`` emits the
+    stranded session and clears the state — the mechanism that closes
+    sessions for users who simply STOP sending events, which no
+    input-driven operator can do. Emitted rows: (user_id, session_start,
+    session_end = last + gap, n_events), µs epochs.
+
+    Determinism contract (what the suite oracle relies on): with a finite
+    replay, the emitted set is exactly the batch-sessionization sessions
+    whose ``session_end <= final watermark`` — sessions still inside the
+    gap at end-of-stream stay open and unreported. A stale timer that
+    outlives a rollover re-arm is ignored by an expiry-vs-state guard
+    rather than assumed deleted. Requires the caller to have applied
+    ``withWatermark`` on ``ts`` and set the RocksDB state store provider.
+
+    Expects columns (user_id, ts [timestamp], event_id); ``ts`` must carry
+    the stream's watermark.
+    """
+    from ..protoruntime import ensure_protobuf_runtime, worker_env_overrides
+
+    ok, extra_path = ensure_protobuf_runtime()
+    if not ok:
+        from ..errors import EnvironmentGateError
+
+        raise EnvironmentGateError(
+            "transformWithStateInPandas needs google.protobuf — see "
+            "stateful_user_counts for the applyInPandasWithState "
+            "equivalent that runs without it"
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gap_us = gap_minutes * 60_000_000
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("session_start", LongType(), True),
+            StructField("session_end", LongType(), True),
+            StructField("n_events", LongType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType(), True),
+            StructField("last_us", LongType(), True),
+            StructField("n", LongType(), True),
+        ]
+    )
+
+    class SessionTimeout(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._h = handle
+            self._s = handle.getValueState("sess", state_schema)
+
+        def _emit(self, uid, start, last, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start": [start],
+                    "session_end": [last + gap_us],
+                    "n_events": [n],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            uid = key[0]
+            ts_all = []
+            for pdf in rows:
+                if "ts_us" in pdf.columns:
+                    ts_all.extend(int(v) for v in pdf["ts_us"])
+            if not ts_all:
+                return
+            ts_all.sort()
+            cur = self._s.get()
+            start, last, n = (cur[0], cur[1], cur[2]) if cur else (None, None, 0)
+            old_timer = (last + gap_us) // 1000 if cur else None
+            for t in ts_all:
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_us:
+                    yield self._emit(uid, start, last, n)
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            self._s.update((start, last, n))
+            new_timer = (last + gap_us) // 1000
+            if old_timer is not None and old_timer != new_timer:
+                self._h.deleteTimer(old_timer)
+            self._h.registerTimer(new_timer)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            cur = self._s.get()
+            if cur is None:
+                return
+            start, last, n = cur[0], cur[1], cur[2]
+            # stale-timer guard: only close the session THIS timer armed
+            if (last + gap_us) // 1000 > expiredTimerInfo.getExpiryTimeInMs():
+                return
+            yield self._emit(key[0], start, last, n)
+            self._s.clear()
+
+        def close(self) -> None:
+            pass
+
+    sc_env = events.sparkSession.sparkContext.environment
+    overrides = worker_env_overrides(extra_path)
+    saved = {k: sc_env.get(k) for k in overrides}
+    for k, v in overrides.items():
+        prev = sc_env.get(k)
+        sc_env[k] = v if not prev or k != "PYTHONPATH" else prev + os.pathsep + v
+    try:
+        return events.groupBy("user_id").transformWithStateInPandas(
+            SessionTimeout(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                sc_env.pop(k, None)
+            else:
+                sc_env[k] = old

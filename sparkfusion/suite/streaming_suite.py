@@ -419,3 +419,77 @@ def stream_window_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     return run_stream_to_table(window_argmax(stream), "complete")
+
+
+@register(
+    "stream_session_timeout_tws",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts_us,
+             SUM(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, sid, MIN(ts_us) AS session_start,
+             MAX(ts_us) + 1800000000 AS session_end,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, sid
+    ),
+    mx AS (SELECT user_id, max(sid) AS max_sid FROM sess GROUP BY user_id),
+    wm AS (
+      SELECT (max(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events
+    )
+    SELECT s.user_id, s.session_start, s.session_end, s.n_events
+    FROM sess s JOIN mx USING (user_id), wm
+    WHERE s.sid < mx.max_sid OR s.session_end <= wm.wm_us
+    """,
+)
+def stream_session_timeout_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-timeout detection via transformWithStateInPandas EVENT-TIME
+    TIMERS — completing the arbitrary-stateful API surface (ValueState /
+    ListState / MapState are the three sibling queries; timers are the
+    piece nothing input-driven can replace, because they close sessions
+    for users who simply STOP sending events). One re-armed timer per key
+    at last_event + gap; when the watermark passes it, handleExpiredTimer
+    emits the stranded session and clears the state. The finite replay is
+    exactly reproducible: the emitted set = batch-sessionization sessions
+    that either have a successor session (closed inline by the rollover
+    event) or whose end fell at or before the final watermark
+    (max event time, ms domain, minus the 1-hour delay) — sessions still
+    inside the gap at end-of-stream stay open and unreported, which the
+    oracle's max-sid branch mirrors. Verified empirically bit-exact at
+    sf0.001 and sf0.01 under both <= and < boundary readings (no session
+    lands on the ms boundary)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import run_stream_to_table, session_timeout_tws
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = (
+            read_events_stream(spark, sf_dir)
+            .withWatermark("ts", "1 hour")
+            .select(
+                "user_id", "ts", F.unix_micros(F.col("ts")).alias("ts_us")
+            )
+        )
+        out = run_stream_to_table(session_timeout_tws(ev, gap_minutes=30), "append")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return out

@@ -316,3 +316,64 @@ def test_recent_events_tws_state_survives_micro_batches(spark, sf_dir, tmp_path)
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def test_session_timeout_tws_timers_fire_across_batches(spark, tmp_path):
+    """Event-time timers, the four defining cases on hand-built data split
+    across two micro-batches: (a) a user who STOPS sending events gets their
+    session closed by the TIMER (nothing input-driven could emit it),
+    (b) a rollover event closes the prior session inline, (c) the rolled-to
+    session later closes by timer, (d) a session still inside the gap at
+    the final watermark stays open and unreported."""
+    import os
+
+    from sparkfusion.streaming.windows import (
+        run_stream_to_table,
+        session_timeout_tws,
+    )
+
+    MIN = 60_000_000  # µs
+    DAY = 1440 * MIN  # base offset: rows AT epoch 0 equal the initial
+    # watermark and are dropped as late before reaching the operator
+    b0 = [(1, DAY + 0 * MIN), (1, DAY + 10 * MIN), (2, DAY + 0 * MIN)]
+    b1 = [(2, DAY + 100 * MIN), (3, DAY + 300 * MIN)]
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "batches")
+        for name, rows in [("b0", b0), ("b1", b1)]:
+            spark.createDataFrame(rows, "user_id long, ts_us long").selectExpr(
+                "user_id", "timestamp_micros(ts_us) AS ts"
+            ).coalesce(1).write.parquet(os.path.join(src, name))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        ev = stream.withWatermark("ts", "1 hour").selectExpr(
+            "user_id", "ts", "unix_micros(ts) AS ts_us"
+        )
+        out = run_stream_to_table(session_timeout_tws(ev, gap_minutes=30), "append")
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in out.collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    # final watermark = 300min - 60min = 240min
+    want = {
+        (1, DAY, DAY + 40 * MIN, 2),  # stopped user -> closed by TIMER
+        (2, DAY, DAY + 30 * MIN, 1),  # closed inline by the rollover event
+        # rolled-to session -> closed by TIMER:
+        (2, DAY + 100 * MIN, DAY + 130 * MIN, 1),
+        # user 3 (end 330min > wm 240min) stays open: NOT emitted
+    }
+    assert got == want
