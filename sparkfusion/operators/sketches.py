@@ -35,21 +35,17 @@ def _h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
 
 
-def kmv_distinct(
+def kmv_mins(
     df: DataFrame,
     key_col: str,
     group_cols: list[str],
     k: int = 64,
     salt_buckets: int = 64,
 ) -> DataFrame:
-    """Per-group KMV distinct-count sketch over ``key_col``.
-
-    Returns one row per group: ``n_kept`` (sketch size, = min(k, distinct
-    hashes)), ``kth_hash`` (the threshold value the sketch would merge on),
-    and ``est_distinct`` — exact when the group has < k distinct hashes,
-    else the integer KMV estimate ``(k-1)·2³² div kth_hash``. All integer
-    arithmetic → engine-exact.
-    """
+    """The k smallest md5-derived hashes of ``key_col`` per group — the raw
+    sketch rows both :func:`kmv_distinct` and :func:`kmv_set_ops` consume.
+    Two bounded row_number levels (per salt bucket, then per group over
+    ≤ salt_buckets·k survivors); returns ``(*group_cols, __h)``."""
     h = (
         df.select(*group_cols, _h32(F.col(key_col)).alias("__h"))
         # NULL keys hash to NULL and would occupy a k-min slot (Spark windows
@@ -69,9 +65,29 @@ def kmv_distinct(
     )
     # level 2: global k-mins per group over ≤ salt_buckets·k rows
     w2 = Window.partitionBy(*group_cols).orderBy("__h")
-    mins = partial.withColumn("__rk", F.row_number().over(w2)).filter(
-        F.col("__rk") <= k
+    return (
+        partial.withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count sketch over ``key_col``.
+
+    Returns one row per group: ``n_kept`` (sketch size, = min(k, distinct
+    hashes)), ``kth_hash`` (the threshold value the sketch would merge on),
+    and ``est_distinct`` — exact when the group has < k distinct hashes,
+    else the integer KMV estimate ``(k-1)·2³² div kth_hash``. All integer
+    arithmetic → engine-exact.
+    """
+    mins = kmv_mins(df, key_col, group_cols, k, salt_buckets)
     return mins.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("__h").alias("kth_hash"),
@@ -79,4 +95,64 @@ def kmv_distinct(
         .otherwise(F.expr(f"CAST({k - 1} * {HASH_SPACE} div max(__h) AS BIGINT)"))
         .cast("long")
         .alias("est_distinct"),
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    val_a,
+    val_b,
+    k: int = 64,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """KMV sketch SET OPERATIONS: estimate |A ∪ B| and |A ∩ B| distinct
+    ``key_col`` values between two groups FROM THEIR SKETCHES ALONE — the
+    mergeability property that makes sketches useful at 100 TB (per-shard /
+    per-day sketches of k values each combine without revisiting the data;
+    exact distinct-intersection would need a full re-shuffle of both sides).
+
+    Union: the k smallest of the combined sketch hashes form a valid KMV
+    sketch of A ∪ B → the usual ``(k-1)·2³² div kth`` estimate. Intersection
+    (Beyer et al.'s inclusion ratio): within that union sketch, the fraction
+    ρ of hashes present in BOTH input sketches estimates the Jaccard
+    similarity, so ``|A ∩ B| ≈ ρ · |A ∪ B|`` — computed here as the exact
+    integer ``(n_common · est_union) div k``. When the union holds fewer
+    than k hashes the sketches are lossless and both outputs are exact.
+    Everything after the bounded per-group k-min pass happens on ≤ 2k rows.
+
+    Returns one row: ``(n_union_kept, kth_union, est_union, n_common,
+    est_intersect)`` — all BIGINT, engine-exact.
+    """
+    mins = kmv_mins(
+        df.filter(F.col(group_col).isin(val_a, val_b)),
+        key_col,
+        [group_col],
+        k,
+        salt_buckets,
+    )
+    a = mins.filter(F.col(group_col) == val_a).select("__h")
+    b = mins.filter(F.col(group_col) == val_b).select("__h")
+    both = a.join(b, "__h").withColumn("__in_both", F.lit(1))
+    ku = (
+        a.unionByName(b)
+        .distinct()
+        .orderBy("__h")
+        .limit(k)  # ≤ 2k rows in, k out: TakeOrderedAndProject
+        .join(both, "__h", "left")
+    )
+    est_union = F.when(
+        F.count(F.lit(1)) < k, F.count(F.lit(1))
+    ).otherwise(F.expr(f"CAST({k - 1} * {HASH_SPACE} div max(__h) AS BIGINT)"))
+    n_common = F.coalesce(F.sum("__in_both"), F.lit(0))
+    return ku.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_kept"),
+        F.max("__h").alias("kth_union"),
+        est_union.cast("long").alias("est_union"),
+        n_common.cast("long").alias("n_common"),
+        F.when(F.count(F.lit(1)) < k, n_common)
+        .otherwise(F.expr(f"(coalesce(sum(__in_both), 0) * (CAST({k - 1} * {HASH_SPACE} div max(__h) AS BIGINT))) div {k}"))
+        .cast("long")
+        .alias("est_intersect"),
     )

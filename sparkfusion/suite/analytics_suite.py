@@ -1852,3 +1852,60 @@ def g4_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
     )
     return sssp_distances(edges, seeds, rounds=4)
+
+
+@register(
+    "sk2_kmv_set_ops",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag AS g,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ),
+    ra AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rk FROM h WHERE g = 'R'
+      ) WHERE rk <= 64
+    ),
+    rb AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rk FROM h WHERE g = 'A'
+      ) WHERE rk <= 64
+    ),
+    ku AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rk
+        FROM (SELECT DISTINCT h FROM (SELECT h FROM ra UNION ALL SELECT h FROM rb))
+      ) WHERE rk <= 64
+    ),
+    m AS (
+      SELECT count(*) AS n_u, max(ku.h) AS kth,
+             sum(CASE WHEN a2.h IS NOT NULL AND b2.h IS NOT NULL
+                      THEN 1 ELSE 0 END) AS n_common
+      FROM ku LEFT JOIN ra a2 ON a2.h = ku.h LEFT JOIN rb b2 ON b2.h = ku.h
+    )
+    SELECT CAST(n_u AS BIGINT) AS n_union_kept,
+           CAST(kth AS BIGINT) AS kth_union,
+           CAST(CASE WHEN n_u < 64 THEN n_u
+                     ELSE (63 * 4294967296) // kth END AS BIGINT) AS est_union,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(CASE WHEN n_u < 64 THEN n_common
+                     ELSE (n_common * ((63 * 4294967296) // kth)) // 64
+                END AS BIGINT) AS est_intersect
+    FROM m
+    """,
+)
+def sk2_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set operations: |returned-parts ∪ available-parts| and
+    |∩| estimated from the two groups' 64-value sketches alone — the
+    MERGEABILITY that makes sketches the 100 TB tool (per-shard sketches
+    combine without revisiting data; exact distinct-intersection would
+    re-shuffle both sides). Union = KMV estimate over the k smallest of the
+    combined hashes; intersection = Beyer et al.'s inclusion ratio ρ·|A∪B|
+    in exact integer arithmetic, so the oracle verifies the ESTIMATOR
+    bit-for-bit; pytest separately pins its accuracy against the exact
+    intersection. See :func:`sparkfusion.operators.sketches.kmv_set_ops`."""
+    from ..operators.sketches import kmv_set_ops
+
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    return kmv_set_ops(li, "l_partkey", "l_returnflag", "R", "A", k=64)

@@ -223,3 +223,30 @@ def test_chi2_grid_is_complete_and_marginals_add_up(spark, sf_dir):
     n_docs = table(spark, sf_dir, "documents").count()
     assert sum(r["n_obs"] for r in rows) == n_docs
     assert abs(sum(r["expected"] for r in rows) - n_docs) < 1e-3
+
+
+def test_kmv_set_ops_accuracy_and_exact_small_case(spark, sf_dir):
+    """The sketch estimates must land near the exact set sizes (KMV rse ~
+    1/sqrt(k-1) ~ 13% at k=64; allow 4 sigma), and a small-domain case where
+    the union fits in the sketch must be EXACT."""
+    from pyspark.sql import functions as F
+
+    from sparkfusion.operators.sketches import kmv_set_ops
+    from sparkfusion.session import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    est = kmv_set_ops(li, "l_partkey", "l_returnflag", "R", "A", k=64).first()
+    keys = lambda flag: {
+        r["l_partkey"]
+        for r in li.filter(F.col("l_returnflag") == flag).distinct().collect()
+    }
+    a, b = keys("R"), keys("A")
+    assert abs(est["est_union"] - len(a | b)) <= 0.52 * len(a | b)
+    assert abs(est["est_intersect"] - len(a & b)) <= 0.52 * len(a | b)
+
+    small = spark.createDataFrame(
+        [("x", i) for i in range(20)] + [("y", i) for i in range(10, 40)],
+        "g string, key long",
+    )
+    exact = kmv_set_ops(small, "key", "g", "x", "y", k=64).first()
+    assert exact["est_union"] == 40 and exact["est_intersect"] == 10
