@@ -1909,3 +1909,85 @@ def sk2_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
     return kmv_set_ops(li, "l_partkey", "l_returnflag", "R", "A", k=64)
+
+
+def _markov_oracle(iters: int = 3, scale: int = 10**9) -> str:
+    sql = f"""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    rs AS (SELECT prev_type, sum(n) AS rowsum FROM trans GROUP BY 1),
+    p0 AS (
+      SELECT prev_type AS t,
+             CAST({scale} // (SELECT count(*) FROM rs) AS BIGINT) AS p
+      FROM rs
+    )"""
+    for i in range(iters):
+        sql += f""", p{i + 1} AS (
+      SELECT tr.next_type AS t, CAST(sum((p.p * tr.n) // r.rowsum) AS BIGINT) AS p
+      FROM p{i} p
+      JOIN trans tr ON tr.prev_type = p.t
+      JOIN rs r ON r.prev_type = p.t
+      GROUP BY tr.next_type
+    )"""
+    return sql + f" SELECT t AS event_type, p AS pi_fp FROM p{iters}"
+
+
+@register("fn6_markov_stationary", oracle=_markov_oracle(3))
+def fn6_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain (3-round
+    power iteration over fn3's transition matrix) in FIXED-POINT INTEGER
+    arithmetic — π·P applied via per-edge ``(π_i · c_ij) div rowsum_i``
+    truncating division, the same determinism trick as g1_pagerank (float
+    power iteration isn't reproducible across engines or partitionings).
+    Scale 1e9 keeps every product under 2⁶³ up to ~9e9 transitions per cell
+    (bump to DECIMAL(38,0) beyond). The heavy stage is the one lag() window
+    shuffle building the counts; the iterations run on the 5×5 matrix and
+    5-row vector — broadcast joins, no driver collect. Completes the
+    behavioral-model family: fn3 estimates the chain, fn6 asks where it
+    settles. Truncation leaks ≤1 ulp of mass per edge per round —
+    irrelevant for the steady-state ranking, and identical in both
+    engines."""
+    from pyspark.sql import Window
+
+    scale = 10**9
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        # 5×5 frame feeding every iteration — localCheckpoint, not cache():
+        # repeated invocations would leak CacheManager entries (fi1 lesson)
+        .localCheckpoint(eager=False)
+    )
+    rs = trans.groupBy("prev_type").agg(F.sum("n").alias("rowsum"))
+    n_types = rs.select(F.count(F.lit(1)).alias("k"))
+    pi = (
+        rs.crossJoin(F.broadcast(n_types))
+        .select(
+            F.col("prev_type").alias("t"),
+            F.expr(f"CAST({scale} div k AS BIGINT)").alias("p"),
+        )
+    )
+    tr = trans.join(rs, "prev_type")
+    for _ in range(3):
+        pi = (
+            pi.join(F.broadcast(tr), pi["t"] == tr["prev_type"])
+            .select(
+                F.col("next_type").alias("t2"),
+                F.expr("(p * n) div rowsum").alias("contrib"),
+            )
+            .groupBy(F.col("t2").alias("t"))
+            .agg(F.sum("contrib").cast("long").alias("p"))
+        )
+    return pi.select(F.col("t").alias("event_type"), F.col("p").alias("pi_fp"))

@@ -250,3 +250,30 @@ def test_kmv_set_ops_accuracy_and_exact_small_case(spark, sf_dir):
     )
     exact = kmv_set_ops(small, "key", "g", "x", "y", k=64).first()
     assert exact["est_union"] == 40 and exact["est_intersect"] == 10
+
+
+def test_markov_stationary_conserves_mass_and_converges(spark, sf_dir):
+    """Power-iteration sanity: total fixed-point mass stays within the
+    documented truncation leak (<= 25 edges * 3 rounds ulps of 1e9), and the
+    distribution is ordered like the raw event-type frequencies (the chain's
+    steady state tracks observed visit rates for this data)."""
+    from pyspark.sql import functions as F
+
+    from sparkfusion.session import events_with_ts
+    from sparkfusion.suite.analytics_suite import fn6_markov_stationary
+
+    rows = {r["event_type"]: r["pi_fp"]
+            for r in fn6_markov_stationary(spark, sf_dir).collect()}
+    total = sum(rows.values())
+    assert 10**9 - 500 <= total <= 10**9
+    freq = {
+        r["event_type"]: r["n"]
+        for r in events_with_ts(spark, sf_dir)
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # the full ordering can differ from raw frequencies (that's the point of
+    # the chain model), but the dominant state must agree, and every
+    # observed type must carry mass
+    assert set(rows) == set(freq)
+    assert max(rows, key=rows.get) == max(freq, key=freq.get)
+    assert min(rows.values()) > 0
