@@ -2345,3 +2345,105 @@ def km1_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return kmeans_quantized(emb, k=8, iterations=3, scale=6)
+
+
+_RAKE_STOPS = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+
+
+@register(
+    "rake1_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.i AS pos, w[t.i] AS w
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE lang = 'en'
+      ), unnest(generate_series(1, len(w))) AS t(i)
+      WHERE w[t.i] <> ''
+    ),
+    nonstop AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM toks
+      WHERE w NOT IN {_RAKE_STOPS!r}
+    ),
+    ph AS (
+      SELECT doc_id, grp, count(*) AS plen FROM nonstop GROUP BY 1, 2
+    ),
+    wstat AS (
+      SELECT w, count(*) AS freq, sum(plen) AS degree
+      FROM nonstop JOIN ph USING (doc_id, grp)
+      GROUP BY w
+    ),
+    scored AS (
+      SELECT n.doc_id, n.grp,
+             string_agg(n.w, ' ' ORDER BY n.pos) AS phrase,
+             sum((s.degree * 1000000) // s.freq) AS score_fp
+      FROM nonstop n JOIN wstat s ON s.w = n.w
+      GROUP BY n.doc_id, n.grp
+    )
+    SELECT phrase, CAST(score_fp AS BIGINT) AS score_fp,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM scored GROUP BY phrase, score_fp
+    ORDER BY score_fp DESC, phrase LIMIT 10
+    """,
+)
+def rake1_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the English corpus —
+    MULTI-WORD key phrases, the gap tfidf_top_terms (single terms) leaves:
+    candidate phrases are maximal stopword-free word runs (gaps-and-islands
+    on token positions, same trick as gap1_islands), each word scores
+    degree/frequency where degree sums the lengths of every phrase
+    containing the word, and a phrase scores the sum of its words' scores.
+    Scores are quantized to integer (degree·1e6) div freq so the
+    cross-engine sum is associative and exact (budget: degree < 9e12 before
+    the multiply needs DECIMAL). Scale shape: one posexplode of the token
+    stream (repartitioned by doc), one window per doc for the island ids,
+    one groupBy for word stats joined back by word (AQE handles vocabulary
+    skew), phrase re-assembly groups only within a doc-island — phrase
+    length bounds every collect_list. Top-10 phrases, (score, phrase)
+    tie-broken."""
+    from pyspark.sql import Window
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .repartition("doc_id")
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(text.words(F.col("text"))).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    nonstop = (
+        toks.filter(~F.col("w").isin(*_RAKE_STOPS))
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+    )
+    ph = nonstop.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("plen"))
+    wstat = (
+        nonstop.join(ph, ["doc_id", "grp"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree"))
+    )
+    scored = (
+        nonstop.join(wstat, "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum(F.expr("(degree * 1000000) div freq")).alias("score_fp"),
+        )
+    )
+    return (
+        scored.groupBy("phrase", "score_fp")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("score_fp"), "phrase")
+        .limit(10)
+    )

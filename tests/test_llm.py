@@ -757,3 +757,16 @@ def test_gram_matrix_shuffle_carries_partials_not_rows(spark):
     )
     plan = gram_matrix(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.index("Exchange") < plan.index("MapInPandas")
+
+
+def test_rake_phrases_are_stopword_free_and_ranked(spark, sf_dir):
+    from sparkfusion.suite.llm_suite import _RAKE_STOPS, rake1_keywords
+
+    rows = rake1_keywords(spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r["score_fp"] for r in rows]
+    assert scores == sorted(scores, reverse=True) and scores[-1] > 0
+    for r in rows:
+        words = r["phrase"].split(" ")
+        assert words and all(w and w not in _RAKE_STOPS for w in words)
+        assert r["n_occurrences"] >= 1
