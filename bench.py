@@ -112,6 +112,10 @@ HEADLINE = {
     "g4_weighted_sssp": "g4_weighted_sssp",
     "km1_kmeans_quantized": "km1_kmeans_quantized",
     "stream_session_timeout_tws": "stream_session_timeout_tws",
+    "sk2_kmv_set_ops": "sk2_kmv_set_ops",
+    "fn6_markov_stationary": "fn6_markov_stationary",
+    "rake1_keywords": "rake1_keywords",
+    "text_char_entropy": "text_char_entropy",
 }
 
 REPEATS = 3

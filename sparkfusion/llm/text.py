@@ -497,3 +497,36 @@ def url_canonicalize(col: Column | str) -> Column:
     rest = F.regexp_replace(rest, r"utm_[a-z]+=[^&#]*&?", "")  # tracking params
     rest = F.regexp_replace(rest, r"[?&]+$", "")        # dangling separators
     return F.concat(scheme, F.lit("://"), host, rest)
+
+
+#: fixed alphabet for char-entropy: the 26 letters + space, as one string
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def char_entropy_bits(col: Column | str) -> tuple[Column, Column]:
+    """Character-level Shannon entropy (bits) of the lowercase text over
+    :data:`ENTROPY_ALPHABET` — the classic gibberish/compressibility screen
+    (natural English sits ~4.0–4.2 bits/char over letters+space; repeated
+    boilerplate and key-mashing land far lower/higher).
+
+    MAP-ONLY, no explode: each character's count is the exact integer
+    ``length(text) − length(replace(text, c, ''))`` — 27 whole-stage-codegen
+    terms — and the entropy sum runs over those 27 terms in FIXED textual
+    order, so both engines evaluate the identical double expression tree
+    (the only cross-engine wiggle is the last ulp of libm log2, absorbed by
+    the caller's round). Returns ``(n_alpha, entropy_bits)`` columns.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    counts = [
+        F.length(c) - F.length(F.replace(c, F.lit(ch))) for ch in ENTROPY_ALPHABET
+    ]
+    n = counts[0]
+    for cnt in counts[1:]:
+        n = n + cnt
+    n_d = n.cast("double")
+    ent = F.lit(0.0)
+    for cnt in counts:
+        p = cnt.cast("double") / n_d
+        # 0·log(0) = 0: guard the empty-count terms
+        ent = ent + F.when(cnt > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+    return n, ent

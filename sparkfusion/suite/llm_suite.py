@@ -2447,3 +2447,47 @@ def rake1_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_fp"), "phrase")
         .limit(10)
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+    c AS (
+      SELECT doc_id,
+             {', '.join(
+                 f"length(t) - length(replace(t, '{ch}', '')) AS c{i}"
+                 for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz"))},
+             length(t) - length(replace(t, ' ', '')) AS c26
+      FROM base
+    ),
+    n AS (
+      SELECT doc_id, {' + '.join(f"c{i}" for i in range(27))} AS n_alpha,
+             * FROM c
+    )
+    SELECT doc_id, CAST(n_alpha AS BIGINT) AS n_alpha,
+           round({' + '.join(
+               f"(CASE WHEN c{i} > 0 THEN -(CAST(c{i} AS DOUBLE) / n_alpha)"
+               f" * log2(CAST(c{i} AS DOUBLE) / n_alpha) ELSE 0.0 END)"
+               for i in range(27))}, 6) AS entropy_bits
+    FROM n WHERE n_alpha > 0
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the
+    gibberish/boilerplate screen next to text_repetition and
+    text_quality_score. Map-only with NO explode: 27 exact integer
+    length-difference counts per row and a FIXED-ORDER 27-term double sum,
+    so the engines evaluate the same expression tree and round(…, 6)
+    absorbs the last libm-log2 ulp (same tolerance class as the tfidf/BM25
+    ln scores). See :func:`sparkfusion.llm.text.char_entropy_bits`."""
+    docs = table(spark, sf_dir, "documents")
+    n, ent = text.char_entropy_bits("text")
+    return (
+        docs.select(
+            "doc_id",
+            n.cast("long").alias("n_alpha"),
+            F.round(ent, 6).alias("entropy_bits"),
+        )
+        .filter(F.col("n_alpha") > 0)
+    )

@@ -770,3 +770,25 @@ def test_rake_phrases_are_stopword_free_and_ranked(spark, sf_dir):
         words = r["phrase"].split(" ")
         assert words and all(w and w not in _RAKE_STOPS for w in words)
         assert r["n_occurrences"] >= 1
+
+
+def test_char_entropy_closed_form_cases(spark):
+    """H(single repeated char) = 0; H(uniform over k chars) = log2(k);
+    non-alphabet characters are excluded from the distribution."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparkfusion.llm.text import char_entropy_bits
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "ab12!?")], "id long, text string"
+    )
+    n, ent = char_entropy_bits("text")
+    got = {
+        r["id"]: (r["n"], r["e"])
+        for r in df.select("id", n.alias("n"), F.round(ent, 9).alias("e")).collect()
+    }
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, round(math.log2(4), 9))
+    assert got[3] == (2, 1.0)  # only 'a','b' count; digits/punct excluded
