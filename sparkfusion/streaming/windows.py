@@ -670,3 +670,52 @@ def session_timeout_tws(
                 sc_env.pop(k, None)
             else:
                 sc_env[k] = old
+
+
+def stream_stream_left_outer_join(
+    events: DataFrame, interval: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view event, paired with
+    the same user's purchases in the following ``interval`` — and views that
+    convert to NOTHING inside the window still emit, with a NULL purchase,
+    once the watermark proves no match can arrive (the state-eviction
+    emission only outer stream-stream joins have; the inner form is
+    :func:`stream_stream_interval_join`). The conversion-coverage shape:
+    "which impressions never converted" must include the non-matches.
+
+    Determinism contract for a finite replay (what the suite oracle
+    mirrors): matched pairs emit when both sides have arrived — all of them,
+    watermark-independent; a NULL-extended row emits only when the view's
+    join window [v_ts, v_ts + interval] is closed by the FINAL watermark
+    (max event time minus ``watermark``), because eviction is what triggers
+    it — un-closed unmatched views are simply absent. Both sides carry the
+    same watermark; state for each side is bounded by the time-range
+    predicate + watermark exactly as in the inner form.
+
+    Output: (view_id, v_user, purchase_id nullable), append mode.
+    """
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"v_user = p_user AND p_ts BETWEEN v_ts AND v_ts + INTERVAL {interval}"
+        ),
+        "leftOuter",
+    ).select("view_id", "v_user", "purchase_id")

@@ -493,3 +493,56 @@ def stream_session_timeout_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(conf_key, prev)
     return out
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH v AS (
+      SELECT event_id AS view_id, user_id AS v_user, epoch_us(ts) AS v_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user, epoch_us(ts) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT v.view_id, v.v_user, p.purchase_id
+      FROM v JOIN p ON p.p_user = v.v_user
+                   AND p.p_ts BETWEEN v.v_ts AND v.v_ts + 1800000000
+    ),
+    wm AS (
+      SELECT (least((SELECT max(v_ts) FROM v), (SELECT max(p_ts) FROM p))
+              // 1000 - 3600000) * 1000 AS wm_us
+    )
+    SELECT view_id, v_user, purchase_id FROM m
+    UNION ALL
+    SELECT v.view_id, v.v_user, CAST(NULL AS BIGINT) AS purchase_id
+    FROM v, wm
+    WHERE v.view_id NOT IN (SELECT view_id FROM m)
+      AND v.v_ts + 1800000000 <= wm.wm_us
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (views ⟕ purchases within
+    30 min per user) — the conversion-coverage readout: matched pairs emit
+    as both sides arrive; a view that converts to NOTHING emits with a NULL
+    purchase only once the watermark proves no match can still arrive
+    (state-eviction emission, the capability only OUTER stream-stream joins
+    have; the inner form is stream_stream_join). The oracle mirrors the
+    exact eviction contract, empirically pinned: the effective final
+    watermark is min(max view ts, max purchase ts) in the MS domain minus
+    the 1-hour delay — the query's global watermark is the MIN across both
+    sides' watermark nodes, which an overall-events max would overstate
+    (verified: the overall-max formula mispredicts exactly the rows whose
+    window closes between the two maxima). Unmatched views whose window is
+    still open at end-of-stream are absent, as in production."""
+    from ..streaming.windows import (
+        run_stream_to_table,
+        stream_stream_left_outer_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(
+        stream_stream_left_outer_join(stream), "append"
+    )

@@ -377,3 +377,47 @@ def test_session_timeout_tws_timers_fire_across_batches(spark, tmp_path):
         # user 3 (end 330min > wm 240min) stays open: NOT emitted
     }
     assert got == want
+
+
+def test_stream_left_outer_null_extension_and_open_tail(spark):
+    """Hand-built single-batch case: a matched view emits its pair, an
+    unmatched view whose window the final watermark closed emits NULL, and
+    an unmatched view still inside its window stays absent. Watermark =
+    min(max_view, max_purchase) - 1h (the query's global watermark is the
+    min across both sides' nodes)."""
+    from sparkfusion.streaming.windows import (
+        run_stream_to_table,
+        stream_stream_left_outer_join,
+    )
+
+    MIN = 60_000_000
+    DAY = 1440 * MIN
+    rows = [
+        # (event_id, user, type, t)
+        (1, 1, "view", DAY + 0),            # matched by purchase 2
+        (2, 1, "purchase", DAY + 10 * MIN),
+        (3, 2, "view", DAY + 0),            # unmatched, window closed -> NULL
+        (4, 3, "view", DAY + 200 * MIN),    # unmatched, window open -> absent
+        (5, 9, "purchase", DAY + 230 * MIN),  # drives the purchase-side max
+        (6, 9, "view", DAY + 230 * MIN),    # drives the view-side max
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long"
+    ).selectExpr("event_id", "user_id", "event_type", "timestamp_micros(ts_us) AS ts")
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ev")
+        df.coalesce(1).write.parquet(path)
+        stream = spark.readStream.schema(df.schema).parquet(path)
+        out = run_stream_to_table(
+            stream_stream_left_outer_join(stream), "append"
+        )
+        got = {
+            (r["view_id"], r["v_user"], r["purchase_id"]) for r in out.collect()
+        }
+    # wm = 230min - 60min = 170min: view 3's window closes at 30min -> NULL;
+    # view 4's closes at 230min > wm -> absent; views/purchases of user 9 at
+    # the max match each other (p_ts = v_ts is inside [v_ts, v_ts+30min])
+    assert got == {(1, 1, 2), (3, 2, None), (6, 9, 5)}
