@@ -341,3 +341,31 @@ def test_write_bucketed_survives_stale_warehouse_dir(spark, sf_dir):
     os.makedirs(loc, exist_ok=True)
     t = write_bucketed_table(cust, "bkt_stale_probe", 2, ["c_custkey"])
     assert t.count() == 10
+
+
+def test_observe_metrics_on_flagship_query(spark, sf_dir):
+    """df.observe(): accumulator-style metrics ride the existing job (no
+    second scan) — the production pattern for row-count / null-rate
+    telemetry on a 100 TB pipeline where a separate audit query would
+    double the IO. Metrics must match an independent aggregation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sparkfusion.session import table
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+    )
+    out = observed.groupBy("l_returnflag").count()
+    n_groups = out.count()  # materializes the job carrying the metrics
+    assert n_groups >= 1
+    expect = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+    ).first()
+    assert obs.get["n_rows"] == expect["n"]
+    assert obs.get["sum_qty"] == expect["s"]
