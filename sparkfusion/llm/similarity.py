@@ -487,3 +487,68 @@ def gram_matrix(
             F.sum(F.col("part_q").cast("decimal(38,0)")).cast("double").alias("dot_q")
         )
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.8,
+    scale: int = 6,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): k-means
+    cluster the corpus embeddings, then search for near-duplicates only
+    WITHIN each cluster and drop every point that has a lower-id cluster-mate
+    with cosine ≥ ``threshold``.
+
+    This is the scalable middle ground between exact dedup (misses
+    paraphrases) and global all-pairs cosine (O(n²)): clustering first makes
+    the candidate join an EQUI-join on cluster id, so the pair space is
+    Σ|cluster|² instead of n² — at 100 TB you pick k ∝ n / target_cluster_size
+    (the paper uses k≈110k for 5B embeddings) and each cluster's pair block
+    fits one task. Same bucket-then-join posture as the MinHash/LSH families.
+
+    Determinism: clustering is :func:`sparkfusion.operators.kmeans`'s
+    quantized-integer Lloyd's (bit-reproducible trajectory, SQL-replayable),
+    cosines are the round-9 double fold, keeper choice is min-id within the
+    ≥-threshold neighbor relation — all engine- and partitioning-invariant.
+
+    Returns one row per input: ``(vec_id, cid, keep)``.
+    """
+    from ..operators.kmeans import _argmin_struct, lloyd_centroids, quantize_points
+
+    pts = quantize_points(df, id_col, emb_col, scale)
+    cents = lloyd_centroids(pts, k, iterations)
+    asg = pts.withColumn("m", _argmin_struct(cents)).select(
+        "vec_id", F.col("m.cid").alias("cid")
+    )
+
+    emb = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("e"),
+        norm(F.col(emb_col)).alias("nrm"),
+    )
+    a = asg.join(emb, "vec_id").select(
+        F.col("vec_id").alias("id_a"), "cid",
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = asg.join(emb, "vec_id").select(
+        F.col("vec_id").alias("id_b"), "cid",
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", cosine_r9_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return asg.join(dups, "vec_id", "left").select(
+        "vec_id", "cid", F.col("dup").isNull().alias("keep")
+    )

@@ -435,6 +435,16 @@ def bpe_train_merges(df, id_col: str, text_col: str, iters: int = 2):
     (CLAUDE.md iterative-algorithm rule). Returns (merge_rank, pair, n).
     """
     spark = df.sparkSession
+    merges = _bpe_merges_list(df, id_col, text_col, iters)
+    return spark.createDataFrame(merges, "merge_rank int, pair string, n bigint")
+
+
+def _bpe_merges_list(
+    df, id_col: str, text_col: str, iters: int
+) -> list[tuple[int, str, int]]:
+    """The :func:`bpe_train_merges` loop, returning the bounded driver-side
+    merge list ``[(rank, pair, n), …]`` for callers that APPLY the merges
+    (``bpe_encode_counts``) rather than report them."""
     word_freq = (
         df.repartition(id_col)
         .select(F.explode(words(F.lower(F.col(text_col)))).alias("word"))
@@ -475,7 +485,40 @@ def bpe_train_merges(df, id_col: str, text_col: str, iters: int = 2):
             .agg(F.sum("wn").alias("wn"))
             .localCheckpoint(eager=False)
         )
-    return spark.createDataFrame(merges, "merge_rank int, pair string, n bigint")
+    return merges
+
+
+def bpe_encode_counts(df, id_col: str = "doc_id", text_col: str = "text", iters: int = 2):
+    """Train ``iters`` BPE merges (:func:`bpe_train_merges`) and then ENCODE
+    every document with them — the apply half of the tokenizer lifecycle
+    (train → encode → count): each learned pair collapses to its placeholder
+    char in training order, so a document's BPE token count is simply the
+    character length of its rewritten words.
+
+    The encode pass is MAP-ONLY: the merge table is a bounded driver-side
+    list embedded as nested ``replace`` literals (exactly how a production
+    encoder broadcasts its merge ranks), folded over each doc's word array
+    with a sequential ``aggregate`` — no explode, no shuffle beyond the final
+    groupBy-free projection. Returns per doc: ``(doc_id, n_words, n_chars,
+    n_tokens)`` where n_chars is the pre-merge symbol count and n_tokens the
+    post-merge count — their gap is the compression the tokenizer bought.
+    """
+    merges = _bpe_merges_list(df, id_col, text_col, iters)
+    w = words(F.lower(F.col(text_col)))
+
+    def encoded_len(word_col):
+        out = word_col
+        for i, (_rank, pair, _n) in enumerate(merges):
+            out = F.replace(out, F.lit(pair), F.lit(chr(ord("A") + i)))
+        return F.length(out)
+
+    int0 = F.lit(0).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(w).cast("long").alias("n_words"),
+        F.aggregate(w, int0, lambda acc, x: acc + F.length(x)).alias("n_chars"),
+        F.aggregate(w, int0, lambda acc, x: acc + encoded_len(x)).alias("n_tokens"),
+    )
 
 
 def url_canonicalize(col: Column | str) -> Column:

@@ -66,35 +66,33 @@ def _argmin_struct(centroids: list[list[int]]) -> F.Column:
     )
 
 
-def kmeans_quantized(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-    k: int = 8,
-    iterations: int = 3,
-    scale: int = 6,
+def quantize_points(
+    df: DataFrame, id_col: str, emb_col: str, scale: int
 ) -> DataFrame:
-    """Run ``iterations`` rounds of quantized Lloyd's over ``df[emb_col]``
-    (array<float/double>), initialized from the ``k`` vectors with the
-    smallest ids (deterministic, SQL-nameable init). Returns one row per
-    cluster: ``(cid, n_points, inertia, centroid_l1, centroid_sq)`` where
-    inertia is the exact integer sum of squared quantized distances under
-    the FINAL centroids (DECIMAL(38,0) — BIGINT would overflow at 1e9 rows)
-    and centroid_l1/centroid_sq fingerprint the final centroid components.
-    Empty clusters keep their previous centroid."""
+    """(id, xq) frame with ``xq_i = round(x_i · 10^scale)`` as BIGINT,
+    localCheckpoint-ed (eager=False) so the iterative consumers below cannot
+    accrete lineage across rounds (CLAUDE.md iterative-algorithm rule —
+    cache() would also leak a CacheManager entry across repeated
+    invocations, the fi1_item_affinity lesson)."""
     q = 10**scale
-    # localCheckpoint, not cache(): the frame feeds 1 init + per-round + final
-    # actions, and cache() would leak a CacheManager entry across repeated
-    # invocations (the fi1_item_affinity lesson); eager=False lets the init
-    # collect be the materializing action.
-    pts = df.select(
+    return df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(
             F.col(emb_col), lambda x: F.round(x.cast("double") * q).cast("long")
         ).alias("xq"),
     ).localCheckpoint(eager=False)
 
-    # bounded init: the k lexicographically-first vectors (TakeOrderedAndProject)
+
+def lloyd_centroids(
+    pts: DataFrame, k: int, iterations: int
+) -> list[list[int]]:
+    """``iterations`` rounds of quantized Lloyd's over a ``(vec_id, xq)``
+    frame, initialized from the ``k`` vectors with the smallest ids
+    (deterministic, SQL-nameable init). Returns the final centroid list —
+    k·d bounded driver-side ints, the sanctioned iterative-scalar pattern.
+    Empty clusters keep their previous centroid. Each round: map-only
+    argmin against literal centroids, ONE map-side-combinable groupBy of
+    k×(d+1) cells."""
     init_rows = pts.orderBy("vec_id").limit(k).collect()
     cents: list[list[int]] = [list(r["xq"]) for r in init_rows]
     d = len(cents[0])
@@ -115,6 +113,27 @@ def kmeans_quantized(
                 _trunc_div(r[f"s{i}"], r["n"]) for i in range(d)
             ]
         cents = new_cents
+    return cents
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    scale: int = 6,
+) -> DataFrame:
+    """Run ``iterations`` rounds of quantized Lloyd's over ``df[emb_col]``
+    (array<float/double>), initialized from the ``k`` vectors with the
+    smallest ids (deterministic, SQL-nameable init). Returns one row per
+    cluster: ``(cid, n_points, inertia, centroid_l1, centroid_sq)`` where
+    inertia is the exact integer sum of squared quantized distances under
+    the FINAL centroids (DECIMAL(38,0) — BIGINT would overflow at 1e9 rows)
+    and centroid_l1/centroid_sq fingerprint the final centroid components.
+    Empty clusters keep their previous centroid."""
+    pts = quantize_points(df, id_col, emb_col, scale)
+    cents = lloyd_centroids(pts, k, iterations)
 
     final = pts.withColumn("m", _argmin_struct(cents))
     stats = final.groupBy(F.col("m.cid").alias("cid")).agg(

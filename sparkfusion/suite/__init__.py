@@ -125,6 +125,7 @@ def _load_all() -> None:
     # silently drop its queries from the driver contract
     from . import (  # noqa: F401
         analytics_suite,
+        curation_suite,
         llm_suite,
         quality_suite,
         relational,

@@ -2267,7 +2267,11 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.gram_matrix(emb, "embedding", scale=1000)
 
 
-def _kmeans_oracle(k: int = 8, iterations: int = 3, scale_pow: int = 6) -> str:
+def _kmeans_ctes(k: int = 8, iterations: int = 3, scale_pow: int = 6) -> str:
+    """Unrolled quantized-Lloyd's CTE chain ending in ``af`` (final
+    assignment: vec_id, xq, cid, dist) and ``c{iterations}`` (final
+    centroids) — shared by the km1 oracle and the SemDeDup oracle
+    (suite/curation_suite.py)."""
     q = 10**scale_pow
     sql = f"""
     WITH pts AS (
@@ -2311,7 +2315,11 @@ def _kmeans_oracle(k: int = 8, iterations: int = 3, scale_pow: int = 6) -> str:
       SELECT cid, c FROM c{i} WHERE cid NOT IN (SELECT cid FROM u{i})
     )"""
     sql += assign("af", f"c{iterations}")
-    return sql + f"""
+    return sql
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 3, scale_pow: int = 6) -> str:
+    return _kmeans_ctes(k, iterations, scale_pow) + f"""
     SELECT s.cid, s.n_points, s.inertia, f.centroid_l1, f.centroid_sq
     FROM (
       SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
