@@ -144,3 +144,53 @@ class AggregateRollupSink:
         with open(tmp, "w") as f:
             f.write(f"{v} {batch_id}")
         os.replace(tmp, os.path.join(self.path, _MARKER))
+
+
+class KeepLatestSink:
+    """``foreachBatch`` callable maintaining a KEEP-LATEST-per-key snapshot
+    from an append event stream — the streaming materialization of
+    ``m2_keep_latest`` (change-log compaction): each micro-batch is first
+    compacted to its per-key latest row, then merged with the snapshot by
+    the SAME latest-wins rule.
+
+    Latest-wins on a total (order_by) key is idempotent AND commutative, so
+    the final snapshot is independent of batch boundaries, arrival order,
+    and replays — stronger than :class:`ParquetUpsertSink`'s change-wins
+    rule (which is only replay-idempotent) and exactly what makes the
+    result batch-oracle-checkable. Commit protocol is the shared versioned
+    copy-on-write + ``_LATEST`` marker.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        order_by: Sequence[str],
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.order_by = list(order_by)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.quality import keep_latest
+
+        committed = latest_version(self.path)
+        if committed is not None and committed >= batch_id:
+            return  # replay of an already-committed batch
+        reduced = keep_latest(batch_df, self.keys, self.order_by)
+        snap = read_snapshot(self.spark, self.path)
+        merged = (
+            reduced
+            if snap is None
+            else keep_latest(
+                snap.unionByName(reduced), self.keys, self.order_by
+            )
+        )
+        target = os.path.join(self.path, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(target)
+        tmp = os.path.join(self.path, _MARKER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, os.path.join(self.path, _MARKER))

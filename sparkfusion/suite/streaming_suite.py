@@ -12,6 +12,8 @@ cross a bucket edge).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import (
@@ -545,4 +547,74 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     return run_stream_to_table(
         stream_stream_left_outer_join(stream), "append"
+    )
+
+
+@register(
+    "stream_cdc_keep_latest",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           epoch_us(ts) AS last_ts_us
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_cdc_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STREAMING CDC materialization: the events table is split
+    into three files, streamed one file per micro-batch
+    (``maxFilesPerTrigger=1``), and ``foreachBatch`` maintains a
+    keep-latest-per-user parquet snapshot through the versioned
+    copy-on-write commit protocol
+    (:class:`sparkfusion.streaming.cdc.KeepLatestSink`). Latest-wins on the
+    total (ts_us, event_id) order is commutative and idempotent, so the
+    final snapshot equals the batch compaction REGARDLESS of file listing
+    order, batch boundaries, or crash-replays — which is exactly what the
+    batch row_number oracle checks. The m2/cdc2 family's missing third leg:
+    m2 compacts a static log, cdc2 diffs two snapshots, this maintains the
+    snapshot continuously."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..session import events_with_ts
+    from ..streaming.cdc import KeepLatestSink, read_snapshot
+
+    base = f"/tmp/sparkfusion_io/cdc_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, snap_dir, ckpt = f"{base}/in", f"{base}/snap", f"{base}/ckpt"
+
+    ev = events_with_ts(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    sink = KeepLatestSink(spark, snap_dir, ["user_id"], ["ts_us", "event_id"])
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = read_snapshot(spark, snap_dir)
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("ts_us").alias("last_ts_us"),
     )

@@ -278,3 +278,92 @@ def ts6_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered.select(
         "user_id", F.size("vals").alias("n"), F.round(fold, 9).alias("ewma")
     )
+
+
+@register(
+    "ts7_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily),
+    mu AS (SELECT s // n AS mu0 FROM st),
+    den AS (
+      SELECT sum((x - mu0) * (x - mu0)) AS den
+      FROM daily CROSS JOIN mu
+    ),
+    ks AS (SELECT unnest([1, 2, 3]) AS lag_k),
+    num AS (
+      SELECT k.lag_k, count(*) AS n_pairs,
+             sum((a.x - mu0) * (b.x - mu0)) AS num
+      FROM ks k CROSS JOIN mu CROSS JOIN daily a
+      JOIN daily b ON b.d = a.d + k.lag_k
+      GROUP BY k.lag_k
+    )
+    SELECT CAST(n.lag_k AS INT) AS lag_k,
+           CAST(n.n_pairs AS BIGINT) AS n_pairs,
+           round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 9) AS r_acf
+    FROM num n CROSS JOIN den d
+    """,
+)
+def ts7_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags 1–3 —
+    the seasonality/momentum diagnostic behind every forecasting pipeline.
+    Exactness discipline: the day key is tz-free integer epoch-µs division,
+    daily revenue goes through DECIMAL(18,2) to integer cents, the mean is
+    replaced by its integer floor μ₀ = S div n (error < 1 cent — the same
+    integer-surrogate move as lm1/fn6), deviation products are exact BIGINT
+    with DECIMAL(38,0) accumulation (day count × (5e8¢)² clears 2⁶³ at
+    sf0.1 already), and the single IEEE division happens once per lag at
+    the very end, round-9. Shape: one groupBy(day) over the fact table —
+    everything after runs on the ~thousand-row daily aggregate (broadcast
+    lag spine + equi-join on day+k, no window, no cross join beyond the
+    1-row/3-row broadcasts)."""
+    from ..session import table
+
+    orders = table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+            ).alias("d")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tot"))
+        .select("d", (F.col("tot") * 100).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    st = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    mu = st.select(F.expr("s div n").alias("mu0"))
+    den = (
+        daily.crossJoin(F.broadcast(mu))
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("mu0")) * (F.col("x") - F.col("mu0")))
+                .cast("decimal(38,0)")
+            ).alias("den")
+        )
+    )
+    ks = spark.createDataFrame([(1,), (2,), (3,)], "lag_k int")
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    num = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("db") == F.col("da") + F.col("lag_k"))
+        .crossJoin(F.broadcast(mu))
+        .groupBy("lag_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                ((F.col("xa") - F.col("mu0")) * (F.col("xb") - F.col("mu0")))
+                .cast("decimal(38,0)")
+            ).alias("num"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "lag_k", "n_pairs",
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 9
+        ).alias("r_acf"),
+    )

@@ -87,3 +87,40 @@ def test_snapshot_diff_null_safe_compare(spark):
     out = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"], ["s"]).collect()}
     # NULL == NULL is "unchanged" (eqNullSafe); value->NULL is an update
     assert out == {2: "U"}
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "k long, ts long, v string")
+
+
+def test_keep_latest_sink_order_independent(spark, tmp_path):
+    """Latest-wins merge must produce the same snapshot whatever the batch
+    arrival order — the property that makes stream_cdc_keep_latest
+    batch-oracle-checkable under nondeterministic file listing."""
+    from sparkfusion.streaming.cdc import KeepLatestSink
+
+    b0 = [(1, 10, "old1"), (2, 30, "new2")]
+    b1 = [(1, 20, "new1"), (2, 5, "old2"), (3, 1, "only3")]
+    expect = {1: (20, "new1"), 2: (30, "new2"), 3: (1, "only3")}
+
+    for order in ([(0, b0), (1, b1)], [(0, b1), (1, b0)]):
+        path = str(tmp_path / f"snap_{order[0][1][0][2]}")
+        sink = KeepLatestSink(spark, path, keys=["k"], order_by=["ts"])
+        for bid, rows in order:
+            sink(_ev(spark, rows), bid)
+        got = {r.k: (r.ts, r.v) for r in read_snapshot(spark, path).collect()}
+        assert got == expect
+
+
+def test_keep_latest_sink_replay_and_intrabatch_dups(spark, tmp_path):
+    from sparkfusion.streaming.cdc import KeepLatestSink
+
+    path = str(tmp_path / "snap")
+    sink = KeepLatestSink(spark, path, keys=["k"], order_by=["ts"])
+    # duplicate keys INSIDE one batch: the per-batch compaction must pick ts=9
+    sink(_ev(spark, [(1, 3, "a"), (1, 9, "b"), (1, 7, "c")]), 0)
+    assert {r.k: r.v for r in read_snapshot(spark, path).collect()} == {1: "b"}
+    # replayed batch id: skipped, even with different content
+    sink(_ev(spark, [(1, 99, "GHOST")]), 0)
+    assert latest_version(path) == 0
+    assert {r.k: r.v for r in read_snapshot(spark, path).collect()} == {1: "b"}
