@@ -116,6 +116,15 @@ HEADLINE = {
     "fn6_markov_stationary": "fn6_markov_stationary",
     "rake1_keywords": "rake1_keywords",
     "text_char_entropy": "text_char_entropy",
+    "semdedup1_cluster_prune": "semdedup1_cluster_prune",
+    "dsir1_importance_select": "dsir1_importance_select",
+    "bpe3_encode_counts": "bpe3_encode_counts",
+    "tok2_vocab_sweep": "tok2_vocab_sweep",
+    "pack2_length_buckets": "pack2_length_buckets",
+    "boot1_bootstrap_ci": "boot1_bootstrap_ci",
+    "mix2_temperature_sample": "mix2_temperature_sample",
+    "stream_cdc_keep_latest": "stream_cdc_keep_latest",
+    "ts7_acf": "ts7_acf",
 }
 
 REPEATS = 3

@@ -262,3 +262,59 @@ def rebalance_by_lang(
         % 1000000
     )
     return df.join(F.broadcast(rates), lang_col).filter(hash_ppm < F.col("rate_ppm"))
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Sqrt-TEMPERATURE mixture sampling (τ = 0.5): each language's target
+    share is derived from its actual share as p_l ∝ √share_l — the standard
+    multilingual up/down-sampling move (XLM-R uses p ∝ share^τ) that lifts
+    low-resource languages without hand-written targets (contrast
+    :func:`rebalance_by_lang`, which takes an explicit target table).
+
+    Determinism across engines: √ is an IEEE-754 core operation (correctly
+    rounded everywhere — unlike pow(), which is libm and may differ by an
+    ulp; that is why τ is fixed at 0.5), its input ``n_l / N`` is an exact
+    double division of < 2⁵³ integers, and the result is quantized to an
+    integer q_l = round(1e9·√share) BEFORE any summation, so the normalizer
+    Σq is associative-exact. Keep-rates are exact integer arithmetic in
+    DECIMAL(38,0) (1e6·q_l·N clears 2⁶³ at corpus scale) with truncating
+    div, membership the md5-threshold key. Returns ``df``'s rows plus
+    ``rate_ppm``; same two-aggregation + broadcast shape as
+    :func:`rebalance_by_lang`.
+    """
+    actual = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("__n_l"))
+    total = actual.agg(F.sum("__n_l").alias("__n"))
+    q = (
+        actual.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__q",
+            F.round(
+                F.lit(1000000000.0)
+                * F.sqrt(
+                    F.col("__n_l").cast("double") / F.col("__n").cast("double")
+                )
+            ).cast("long"),
+        )
+    )
+    qsum = q.agg(F.sum("__q").alias("__qsum"))
+    rates = q.crossJoin(F.broadcast(qsum)).select(
+        lang_col,
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * __q * __n)"
+                " div (CAST(__qsum AS DECIMAL(38,0)) * __n_l)"
+            ),
+        ).alias("rate_ppm"),
+    )
+    hash_ppm = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 1000000
+    )
+    return df.join(F.broadcast(rates), lang_col).filter(hash_ppm < F.col("rate_ppm"))

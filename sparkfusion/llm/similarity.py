@@ -530,11 +530,16 @@ def semdedup(
         F.col(emb_col).alias("e"),
         norm(F.col(emb_col)).alias("nrm"),
     )
-    a = asg.join(emb, "vec_id").select(
+    # materialize (assignment ⋈ embedding+norm) ONCE: both sides of the
+    # within-cluster self-join reuse it, so the k·d-literal argmin and the
+    # norm fold run one time per row, not two (localCheckpoint, not cache —
+    # the CacheManager-leak rule; eager=False, the self-join materializes it)
+    side = asg.join(emb, "vec_id").localCheckpoint(eager=False)
+    a = side.select(
         F.col("vec_id").alias("id_a"), "cid",
         F.col("e").alias("ea"), F.col("nrm").alias("na"),
     )
-    b = asg.join(emb, "vec_id").select(
+    b = side.select(
         F.col("vec_id").alias("id_b"), "cid",
         F.col("e").alias("eb"), F.col("nrm").alias("nb"),
     )

@@ -407,3 +407,118 @@ def boot1_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 50, F.col("mean_u"))).alias("ci_med"),
         F.max(F.when(F.col("rn") == 98, F.col("mean_u"))).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mix2_temperature_sample",
+    oracle="""
+    WITH actual AS (
+      SELECT lang, count(*) AS n_l FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n FROM actual),
+    q AS (
+      SELECT lang, n_l, t.n,
+             CAST(round(1000000000 * sqrt(CAST(n_l AS DOUBLE)
+                                          / CAST(t.n AS DOUBLE))) AS BIGINT)
+               AS ql
+      FROM actual CROSS JOIN tot t
+    ),
+    qs AS (SELECT CAST(sum(ql) AS BIGINT) AS qsum FROM q),
+    rates AS (
+      SELECT lang,
+             CAST(least(
+               1000000,
+               (CAST(1000000 AS HUGEINT) * ql * n) // (CAST(qsum AS HUGEINT) * n_l)
+             ) AS BIGINT) AS rate_ppm
+      FROM q CROSS JOIN qs
+    )
+    SELECT d.doc_id, d.lang, r.rate_ppm
+    FROM documents d JOIN rates r USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000 < r.rate_ppm
+    """,
+)
+def mix2_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-temperature (τ=0.5) multilingual mixture sampling: target shares
+    DERIVED as p ∝ √(actual share) — the XLM-R-style low-resource upsampling
+    rule — with no hand-written target table (contrast mix1). √ is the one
+    power that is IEEE-correctly-rounded in every engine, and it is
+    quantized to an integer before the normalizer sum, so rates and
+    membership are bit-identical across engines and partitionings. See
+    :func:`sparkfusion.llm.chunking.temperature_rebalance`."""
+    from ..llm.chunking import temperature_rebalance
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_rebalance(docs).select("doc_id", "lang", "rate_ppm")
+
+
+@register(
+    "tok2_vocab_sweep",
+    oracle=f"""
+    WITH dw AS (
+      SELECT doc_id, unnest({_W}) AS word FROM documents
+    ),
+    vocab AS (
+      SELECT word, count(*) AS c,
+             row_number() OVER (ORDER BY count(*) DESC, word) AS rnk
+      FROM dw GROUP BY word
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM vocab),
+    sizes AS (SELECT unnest([100, 200, 300, 400, 500]) AS vocab_size)
+    SELECT s.vocab_size,
+           t.n_tok,
+           CAST(sum(CASE WHEN v.rnk > s.vocab_size THEN v.c ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST((1000000 * sum(CASE WHEN v.rnk > s.vocab_size THEN v.c
+                                    ELSE 0 END)) // t.n_tok AS BIGINT)
+             AS oov_ppm
+    FROM sizes s CROSS JOIN vocab v CROSS JOIN tot t
+    GROUP BY s.vocab_size, t.n_tok
+    """,
+)
+def tok2_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size sweep: corpus-wide OOV rate at candidate vocab sizes
+    100/200/…/500 from ONE frequency pass — the qf1-style grid that picks a
+    tokenizer vocab size without re-scanning 100 TB per candidate. Every
+    word carries its frequency rank ((count DESC, word) total order); a
+    word's occurrences are OOV at size s iff rank > s, so the whole curve
+    is a conditional aggregation over the vocab × 5-row grid (the grid
+    joins the VOCAB aggregate, never the token stream — the cross join is
+    |vocab|×5, shuffle-free after broadcast)."""
+    docs = table(spark, sf_dir, "documents")
+    w = docs.repartition("doc_id").select(
+        "doc_id", F.explode(text.words(F.lower(F.col("text")))).alias("word")
+    )
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "word")),
+        )
+    )
+    tot = vocab.agg(F.sum("c").alias("n_tok"))
+    sizes = spark.createDataFrame(
+        [(100,), (200,), (300,), (400,), (500,)], "vocab_size int"
+    )
+    return (
+        vocab.crossJoin(F.broadcast(sizes))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("vocab_size", "n_tok")
+        .agg(
+            F.sum(
+                F.when(F.col("rnk") > F.col("vocab_size"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oov")
+        )
+        .select(
+            "vocab_size", "n_tok", "n_oov",
+            F.expr("(1000000 * n_oov) div n_tok").alias("oov_ppm"),
+        )
+    )

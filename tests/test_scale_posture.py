@@ -47,6 +47,7 @@ CROSSJOIN_ALLOWED = {
     "suite/timeseries_suite.py": "broadcast bounds scalars",
     "suite/analytics_suite.py": "broadcast scalar aggregates",
     "suite/schema_ops.py": "broadcast 1-row frames",
+    "suite/curation_suite.py": "broadcast scalar totals / 5-row grid frames",
     "suite/temporal_suite.py": "broadcast calendar spine",
     "operators/analytics.py": "broadcast step dims (funnel)",
     "llm/chunking.py": "broadcast packing offsets",
