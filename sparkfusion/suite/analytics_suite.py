@@ -1991,3 +1991,84 @@ def fn6_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("contrib").cast("long").alias("p"))
         )
     return pi.select(F.col("t").alias("event_type"), F.col("p").alias("pi_fp"))
+
+
+@register(
+    "a30_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.25) AS p25,
+           quantile_disc(l_quantity, 0.50) AS p50,
+           quantile_disc(l_quantity, 0.75) AS p75,
+           quantile_disc(l_quantity, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a30_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE per-group percentiles (SQL:2008 PERCENTILE_DISC WITHIN
+    GROUP == DuckDB quantile_disc): returns an actual data value — the
+    smallest element whose cumulative distribution reaches p — where a14's
+    percentile_cont interpolates between neighbors. No float interpolation
+    means no rounding guard is needed: values are compared verbatim. Same
+    single group-key shuffle; the 100 TB swap is the same t-digest note as
+    a14 (approx_percentile also returns observed values)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias(name)
+            for p, name in [
+                (0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")
+            ]
+        ]
+    )
+
+
+@register(
+    "dq10_join_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_n,
+             CAST(quantile_disc(n, 0.5) AS BIGINT) AS med_n,
+             CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_n
+      FROM per_key
+    )
+    SELECT n_keys, n_rows, max_n, med_n, p99_n,
+           CAST((1000000 * max_n) // n_rows AS BIGINT) AS top_share_ppm,
+           CAST(max_n // med_n AS BIGINT) AS skew_ratio
+    FROM st
+    """,
+)
+def dq10_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join SKEW diagnostic for a candidate join key (orders.o_custkey):
+    key cardinality, hottest-key share (ppm of all rows), and the
+    max/median frequency ratio — the numbers that decide between a plain
+    shuffle join, AQE skew splitting, and an explicit salted join (j13).
+    Two cheap aggregations: one map-side-combinable groupBy(key), then a
+    single-row reduction over the per-key count table (discrete percentiles
+    are exact — no float). At 100 TB the second pass runs over |keys| rows,
+    not |rows|; swap med/p99 to approx_percentile if even that is hot."""
+    orders = table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    st = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        # Spark returns percentile_disc as DOUBLE even over integral input;
+        # the value is an observed BIGINT count, so the cast is lossless
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT)")
+        .alias("med_n"),
+        F.expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS BIGINT)")
+        .alias("p99_n"),
+    )
+    return st.select(
+        "n_keys", "n_rows", "max_n", "med_n", "p99_n",
+        F.expr("(1000000 * max_n) div n_rows").alias("top_share_ppm"),
+        F.expr("max_n div med_n").alias("skew_ratio"),
+    )

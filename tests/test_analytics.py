@@ -277,3 +277,35 @@ def test_markov_stationary_conserves_mass_and_converges(spark, sf_dir):
     assert set(rows) == set(freq)
     assert max(rows, key=rows.get) == max(freq, key=freq.get)
     assert min(rows.values()) > 0
+
+
+def test_percentile_disc_returns_data_values(spark, sf_dir):
+    """PERCENTILE_DISC must return observed values in nondecreasing order —
+    the semantic difference from a14's interpolating percentile_cont."""
+    from pyspark.sql import functions as F
+
+    from sparkfusion.session import table
+    from sparkfusion.suite.analytics_suite import a30_percentile_disc
+
+    li = table(spark, sf_dir, "lineitem")
+    vals = {
+        r["l_returnflag"]: set(
+            x["l_quantity"] for x in li.filter(F.col("l_returnflag") == r["l_returnflag"])
+            .select("l_quantity").distinct().collect()
+        )
+        for r in li.select("l_returnflag").distinct().collect()
+    }
+    for r in a30_percentile_disc(spark, sf_dir).collect():
+        assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
+        for c in ("p25", "p50", "p75", "p95"):
+            assert r[c] in vals[r["l_returnflag"]]
+
+
+def test_join_skew_diag_invariants(spark, sf_dir):
+    from sparkfusion.suite.analytics_suite import dq10_join_skew
+
+    r = dq10_join_skew(spark, sf_dir).first()
+    assert r["med_n"] <= r["p99_n"] <= r["max_n"]
+    assert r["skew_ratio"] >= 1
+    assert 0 < r["top_share_ppm"] <= 1_000_000
+    assert r["n_keys"] <= r["n_rows"]
