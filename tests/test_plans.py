@@ -369,3 +369,45 @@ def test_observe_metrics_on_flagship_query(spark, sf_dir):
     ).first()
     assert obs.get["n_rows"] == expect["n"]
     assert obs.get["sum_qty"] == expect["s"]
+
+
+def test_curation_queries_no_cartesian_all_joins_broadcast(spark, sf_dir):
+    """Round-9 curation family: candidate generation must stay equi-join /
+    broadcast — a CartesianProduct or a sort-merge join against a frame
+    that should broadcast is a scale regression."""
+    from sparkfusion.suite.curation_suite import (
+        boot1_bootstrap_ci,
+        dsir1_importance_select,
+        pack2_length_buckets,
+        tok1_oov_rate,
+    )
+
+    for fn in (dsir1_importance_select, tok1_oov_rate,
+               pack2_length_buckets, boot1_bootstrap_ci):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+
+
+def test_tok1_vocab_joins_broadcast(spark, sf_dir):
+    """The top-500 vocab is bounded by construction — its probe join must be
+    a BroadcastHashJoin, never a shuffle on the full token stream."""
+    from sparkfusion.suite.curation_suite import tok1_oov_rate
+
+    plan = plan_of(tok1_oov_rate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dq10_skew_diag_two_aggregations_only(spark, sf_dir):
+    """The skew diagnostic is two agg passes (per-key, then per-key-table
+    reduction) — no join, no window over the fact table."""
+    from sparkfusion.suite.analytics_suite import dq10_join_skew
+
+    plan = plan_of(dq10_join_skew(spark, sf_dir))
+    assert "Join" not in plan
+    n_aggs = (
+        plan.count("HashAggregate")
+        + plan.count("SortAggregate")
+        + plan.count("ObjectHashAggregate")
+    )
+    assert n_aggs >= 2
