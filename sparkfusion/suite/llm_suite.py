@@ -2499,3 +2499,57 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_alpha") > 0)
     )
+
+
+@register(
+    "dedup_source_matrix",
+    oracle=f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    lab AS (SELECT doc_id, source FROM documents),
+    m AS (
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b,
+             count(*) AS n_pairs
+      FROM pairs p
+      JOIN lab sa ON sa.doc_id = p.id_a
+      JOIN lab sb ON sb.doc_id = p.id_b
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM m)
+    SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST((1000000 * n_pairs) // t.total AS BIGINT) AS share_ppm
+    FROM m CROSS JOIN tot t
+    """,
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: MinHash near-dup pairs rolled up
+    by unordered (source_a, source_b) — the governance readout that says
+    which ingest feeds duplicate each other (off-diagonal mass) vs merely
+    themselves (diagonal). Pure composition: the pair relation is exactly
+    dedup_minhash_pairs' banded pipeline; the rollup adds two broadcast
+    label joins and a 25-cell aggregate, so the matrix costs nothing beyond
+    the dedup the pipeline already runs."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=16, bands=4, n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    lab = docs.select("doc_id", "source")
+    m = (
+        pairs.join(
+            F.broadcast(lab.select(F.col("doc_id").alias("id_a"),
+                                   F.col("source").alias("sa"))), "id_a")
+        .join(
+            F.broadcast(lab.select(F.col("doc_id").alias("id_b"),
+                                   F.col("source").alias("sb"))), "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    tot = m.agg(F.sum("n_pairs").alias("total"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "source_a", "source_b", "n_pairs",
+        F.expr("(1000000 * n_pairs) div total").alias("share_ppm"),
+    )
