@@ -2072,3 +2072,157 @@ def dq10_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * max_n) div n_rows").alias("top_share_ppm"),
         F.expr("max_n div med_n").alias("skew_ratio"),
     )
+
+
+@register(
+    "st3_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    r AS (
+      SELECT event_type,
+             rank() OVER (ORDER BY value) AS rmin,
+             count(*) OVER (PARTITION BY value) AS cnt
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN event_type = 'view'
+                           THEN 2 * rmin + cnt - 1 ELSE 0 END) AS BIGINT)
+               AS r1_2x,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n2
+      FROM r
+    )
+    SELECT n1, n2,
+           CAST(r1_2x - n1 * (n1 + 1) AS BIGINT) AS u1_2x,
+           CAST(2 * n1 * n2 - (r1_2x - n1 * (n1 + 1)) AS BIGINT) AS u2_2x
+    FROM agg
+    """,
+)
+def st3_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) for two event populations — the
+    NONPARAMETRIC A/B readout that complements ab1's Welch t-test when the
+    metric is skewed. Exactness: tie groups get the textbook average rank,
+    carried as the INTEGER 2·avg_rank = 2·rank_min + ties − 1, so the rank
+    sum, U₁ and U₂ (reported ×2) never touch a float — U₁+U₂ = 2·n₁·n₂ by
+    identity, which the oracle verifies for free. Shape: one filter scan,
+    one global rank window (at 100 TB: the two-level partition-offset rank
+    of p13b — rank is distributable because only ORDER BY value matters),
+    one conditional aggregation."""
+    ev = events_with_ts(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("event_type", "value")
+    from pyspark.sql import Window
+
+    r = ev.select(
+        "event_type",
+        F.rank().over(Window.orderBy("value")).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("value")).alias("cnt"),
+    )
+    agg = r.agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "view",
+                2 * F.col("rmin") + F.col("cnt") - 1,
+            ).otherwise(F.lit(0))
+        ).alias("r1_2x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n2"
+        ),
+    )
+    return agg.select(
+        "n1", "n2",
+        (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)).alias("u1_2x"),
+        (
+            2 * F.col("n1") * F.col("n2")
+            - (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1))
+        ).alias("u2_2x"),
+    )
+
+
+@register(
+    "st4_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    n AS (
+      SELECT CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n2
+      FROM s
+    ),
+    pv AS (
+      SELECT value,
+             count(*) FILTER (WHERE event_type = 'view') AS c1,
+             count(*) FILTER (WHERE event_type = 'purchase') AS c2
+      FROM s GROUP BY value
+    ),
+    cum AS (
+      SELECT value,
+             sum(c1) OVER (ORDER BY value) AS f1,
+             sum(c2) OVER (ORDER BY value) AS f2
+      FROM pv
+    )
+    SELECT n.n1, n.n2,
+           CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS d_scaled,
+           round(CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS DOUBLE)
+                 / CAST(n.n1 * n.n2 AS DOUBLE), 9) AS d_stat
+    FROM cum CROSS JOIN n
+    GROUP BY n.n1, n.n2
+    """,
+)
+def st4_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — distribution-shift
+    detection between two event populations (the drift test dq5's PSI
+    bins approximate). Exactness trick: D = max|F₁−F₂| is a RATIONAL with
+    denominator n₁·n₂, so the max runs over the exact integer
+    |cum₁·n₂ − cum₂·n₁| and the single division happens once at the end
+    (round-9). Shape: one groupBy(value) collapses the scan to distinct
+    values, one ordered cumulative window over those (at 100 TB: value
+    range-partitioning + per-partition cumsum + broadcast offsets — the
+    pack_training_sequences pattern), one max aggregate."""
+    ev = events_with_ts(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("event_type", "value")
+    from pyspark.sql import Window
+
+    n = ev.agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n2"
+        ),
+    )
+    pv = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    cum = pv.select(
+        "value",
+        F.sum("c1").over(Window.orderBy("value")).alias("f1"),
+        F.sum("c2").over(Window.orderBy("value")).alias("f2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            ).alias("d_scaled")
+        )
+        .select(
+            "n1", "n2", "d_scaled",
+            F.round(
+                F.col("d_scaled").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                9,
+            ).alias("d_stat"),
+        )
+    )

@@ -309,3 +309,55 @@ def test_join_skew_diag_invariants(spark, sf_dir):
     assert r["skew_ratio"] >= 1
     assert 0 < r["top_share_ppm"] <= 1_000_000
     assert r["n_keys"] <= r["n_rows"]
+
+
+def test_mann_whitney_identity_and_brute_force(spark, sf_dir):
+    """U1+U2 == 2*n1*n2 (scaled) and U1 matches a pure-Python rank-sum
+    recomputation with average-rank tie handling."""
+    from sparkfusion.session import events_with_ts
+    from sparkfusion.suite.analytics_suite import st3_mann_whitney
+
+    r = st3_mann_whitney(spark, sf_dir).first()
+    assert r["u1_2x"] + r["u2_2x"] == 2 * r["n1"] * r["n2"]
+
+    rows = (
+        events_with_ts(spark, sf_dir)
+        .filter("event_type IN ('view','purchase')")
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = sorted((x["value"], x["event_type"]) for x in rows)
+    # average ranks with ties
+    from collections import defaultdict
+    pos = defaultdict(list)
+    for i, (v, _) in enumerate(vals, start=1):
+        pos[v].append(i)
+    r1_2x = sum(
+        2 * pos[v][0] + len(pos[v]) - 1 for v, t in vals if t == "view"
+    )
+    n1 = sum(1 for _, t in vals if t == "view")
+    assert r["u1_2x"] == r1_2x - n1 * (n1 + 1)
+
+
+def test_ks_matches_brute_force(spark, sf_dir):
+    from sparkfusion.session import events_with_ts
+    from sparkfusion.suite.analytics_suite import st4_ks_test
+
+    r = st4_ks_test(spark, sf_dir).first()
+    assert 0 <= r["d_stat"] <= 1
+
+    rows = (
+        events_with_ts(spark, sf_dir)
+        .filter("event_type IN ('view','purchase')")
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(x["value"] for x in rows if x["event_type"] == "view")
+    b = sorted(x["value"] for x in rows if x["event_type"] == "purchase")
+    import bisect
+    best = 0
+    for v in sorted(set(a) | set(b)):
+        c1 = bisect.bisect_right(a, v)
+        c2 = bisect.bisect_right(b, v)
+        best = max(best, abs(c1 * len(b) - c2 * len(a)))
+    assert r["d_scaled"] == best
