@@ -40,3 +40,37 @@ def register_udtf(spark) -> None:
 
     spark.udtf.register("split_to_rows", SplitToRows)
     return SplitToRows
+
+
+def register_analyze_udtf(spark) -> None:
+    """Register ``first_words`` — a Python UDTF whose OUTPUT SCHEMA is
+    computed at plan time by a static ``analyze()`` from the constant ``k``
+    argument (Spark 4's polymorphic-UDTF extension point): ``LATERAL
+    first_words(text, 3)`` emits columns ``w1..w3``. The schema is decided
+    once per query, not per row — the mechanism behind schema-flexible
+    table functions like parse_kv/pivot helpers. Arrow-optimized UDTF
+    execution applies when ``spark.sql.execution.pythonUDTF.arrow.enabled``
+    is set; the eval itself is the documented UDTF contract site (same
+    exemption as split_to_rows above).
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            if k.value is None or not isinstance(k.value, int):
+                raise ValueError("first_words: k must be a constant INT")
+            schema = StructType()
+            for i in range(int(k.value)):
+                schema = schema.add(f"w{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, k: int):
+            ws = [w for w in (text or "").split() if w][:k]
+            ws += [None] * (k - len(ws))
+            yield tuple(ws)
+
+    spark.udtf.register("first_words", udtf(FirstWords))
+    return FirstWords

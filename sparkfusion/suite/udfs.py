@@ -326,3 +326,33 @@ def x8_arrow_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
     )
     return arrow_user_gaps(ev)
+
+
+@register(
+    "x9_udtf_analyze_schema",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS ws
+      FROM documents
+    )
+    SELECT doc_id, ws[1] AS w1, ws[2] AS w2, ws[3] AS w3 FROM w
+    """,
+)
+def x9_udtf_analyze_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()``): the output schema
+    (columns w1..w3) is computed AT PLAN TIME from the constant k argument —
+    the dynamic-schema table-function mechanism (x5's UDTF has a fixed
+    declared schema). The oracle recovers the same first-k words by list
+    slicing; Python's whitespace split == the suite's canonical word split.
+    See :func:`sparkfusion.functions.aggregates.register_analyze_udtf`."""
+    from ..functions.aggregates import register_analyze_udtf
+    from ..session import table
+
+    register_analyze_udtf(spark)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("x9_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.w1, s.w2, s.w3 "
+        "FROM x9_docs d, LATERAL first_words(lower(d.text), 3) s"
+    )
