@@ -868,3 +868,105 @@ def sample_mjpeg_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(sample_partition, MJPEG_SAMPLED_SCHEMA)
+
+
+MEDIA_PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("codec", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ]
+)
+
+
+def mixed_media_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach a MIXED-format binary payload per row — format by id % 3
+    (PPM / PNG / JPEG), dimensions varied per id (PPM/PNG: 4+id%5 ×
+    3+id%4; JPEG: 8-pixel blocks (1+(id//3)%3, 1+(id//3)%2)) so a header
+    probe has real work to do. Same pure-function pixels as the single-
+    format tables."""
+    import pandas as pd  # noqa: F811
+
+    @F.pandas_udf(BinaryType())
+    def build(ids: pd.Series) -> pd.Series:
+        def b(i: int) -> bytes:
+            i = int(i)
+            if i % 3 == 0:
+                return make_ppm(i, 4 + i % 5, 3 + i % 4)
+            if i % 3 == 1:
+                return make_png(i, 4 + i % 5, 3 + i % 4)
+            return make_jpeg(i, 1 + (i // 3) % 3, 1 + (i // 3) % 2)
+
+        return ids.map(b)
+
+    return df.select(F.col(id_col).alias("media_id")).withColumn(
+        "content", build(F.col("media_id"))
+    )
+
+
+def _probe_one(buf: bytes) -> tuple[str, int, int]:
+    """Header-only (codec, width, height) from magic bytes — O(header), the
+    raster / entropy stream is never read."""
+    if buf[:2] == b"P6":
+        # ASCII header: P6 <ws> width <ws> height <ws> maxval
+        toks: list[int] = []
+        i, n = 2, len(buf)
+        while len(toks) < 2 and i < n:
+            while i < n and buf[i : i + 1].isspace():
+                i += 1
+            j = i
+            while j < n and not buf[j : j + 1].isspace():
+                j += 1
+            toks.append(int(buf[i:j]))
+            i = j
+        return "ppm", toks[0], toks[1]
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is always the first chunk: width/height at fixed offsets
+        return (
+            "png",
+            int.from_bytes(buf[16:20], "big"),
+            int.from_bytes(buf[20:24], "big"),
+        )
+    if buf[:2] == b"\xff\xd8":
+        # marker walk to the SOF segment (skip tables by their length field)
+        i = 2
+        while i + 4 <= len(buf):
+            if buf[i] != 0xFF:
+                raise DecodeError(f"jpeg probe: bad marker alignment at {i}")
+            m = buf[i + 1]
+            if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):  # SOFn
+                return (
+                    "jpeg",
+                    int.from_bytes(buf[i + 7 : i + 9], "big"),
+                    int.from_bytes(buf[i + 5 : i + 7], "big"),
+                )
+            seg_len = int.from_bytes(buf[i + 2 : i + 4], "big")
+            i += 2 + seg_len
+        raise DecodeError("jpeg probe: no SOF marker before scan")
+    raise DecodeError(f"unknown magic: {buf[:8]!r}")
+
+
+def probe_headers(df: DataFrame) -> DataFrame:
+    """HEADER-ONLY metadata pass over mixed binary media — the cheap first
+    scan a 100 TB pipeline runs to route/filter blobs BEFORE paying for any
+    full decode (contrast decode_ppm/png/jpeg, which reconstruct every
+    pixel): magic-byte sniff, then a bounded header parse (PPM ASCII
+    triple, PNG IHDR fixed offsets, JPEG marker walk to SOF). Arrow-batched
+    mapInPandas like every decoder in this module."""
+    import pandas as pd  # noqa: F811
+
+    def probe_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"media_id": [], "codec": [], "width": [], "height": []}
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                codec, w, h = _probe_one(bytes(buf))
+                out["media_id"].append(int(mid))
+                out["codec"].append(codec)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(probe_partition, MEDIA_PROBE_SCHEMA)

@@ -2553,3 +2553,31 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_a", "source_b", "n_pairs",
         F.expr("(1000000 * n_pairs) div total").alias("share_ppm"),
     )
+
+
+@register(
+    "mm_header_probe",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+                ELSE 'jpeg' END AS codec,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 8 * (1 + (doc_id // 3) % 3)
+                     ELSE 4 + doc_id % 5 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 8 * (1 + (doc_id // 3) % 2)
+                     ELSE 3 + doc_id % 4 END AS INT) AS height
+    FROM documents
+    """,
+)
+def mm_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADER-ONLY metadata probe over a MIXED-format binary media column
+    (PPM / PNG / JPEG by magic bytes, per-id varied dimensions): the cheap
+    routing/filtering scan a 100 TB media pipeline runs before paying for
+    any full decode — O(header bytes) per blob vs O(pixels), and it is the
+    pass that decides WHICH blobs the mm_*_decode operators ever see. The
+    oracle knows the builders' dimension rules analytically, so the parse
+    of all three container headers (PPM ASCII triple, PNG IHDR, JPEG
+    marker walk to SOF) is verified without DuckDB touching a single blob.
+    See :func:`sparkfusion.llm.multimodal.probe_headers`."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.mixed_media_table(docs.repartition("doc_id"), "doc_id")
+    return multimodal.probe_headers(media)

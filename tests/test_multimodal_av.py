@@ -327,3 +327,37 @@ def test_resize_ppm_factor_one_is_identity(spark):
     assert plain.keys() == resized.keys()
     for k in plain:
         assert tuple(plain[k]) == tuple(resized[k])
+
+
+def test_header_probe_never_needs_valid_raster(spark):
+    """The probe must succeed on blobs whose RASTER is corrupt — proof it
+    is header-only — and raise DecodeError on unknown magic."""
+    import pytest
+
+    from sparkfusion.errors import DecodeError
+    from sparkfusion.llm.multimodal import _probe_one, make_png, make_ppm
+
+    ppm = bytearray(make_ppm(7, 5, 4))
+    ppm[-3:] = b"\x00\x00"  # truncate raster
+    assert _probe_one(bytes(ppm)) == ("ppm", 5, 4)
+
+    png = bytearray(make_png(7, 5, 4))
+    png[40:] = b"garbage"  # destroy IDAT entirely; IHDR intact
+    assert _probe_one(bytes(png)) == ("png", 5, 4)
+
+    with pytest.raises(DecodeError):
+        _probe_one(b"\x00\x01\x02\x03not-a-container")
+
+
+def test_mixed_media_table_round_trip(spark):
+    from pyspark.sql import functions as F
+
+    from sparkfusion.llm.multimodal import mixed_media_table, probe_headers
+
+    ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    probed = probe_headers(mixed_media_table(ids, "doc_id")).collect()
+    assert len(probed) == 30
+    for r in probed:
+        expect = ("ppm", "png", "jpeg")[r["media_id"] % 3]
+        assert r["codec"] == expect
+        assert r["width"] > 0 and r["height"] > 0
