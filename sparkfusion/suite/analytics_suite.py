@@ -2226,3 +2226,40 @@ def st4_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d_stat"),
         )
     )
+
+
+@register(
+    "a31_bitmap_distinct_rollup",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def a31_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-count rollup via Spark 4 bitmap aggregates — the
+    mv2-HLL pattern with zero error: per (event_type, day) the user-id set
+    is materialized as 32Ki-bit bucket bitmaps (``bitmap_construct_agg``),
+    the day dimension is then collapsed by ``bitmap_or_agg`` (bitwise OR is
+    the exact set union — associative, replay-idempotent, mergeable
+    across any rollup dimension), and the final count is a sum of
+    ``bitmap_count`` over buckets. At 100 TB this is the incremental
+    distinct-users ledger: daily bitmap states are tiny (|ids|/8 bytes
+    partitioned into 4 KiB buckets), merging a new day never rescans
+    history, and unlike HLL the answer is exact. The oracle is the plain
+    COUNT(DISTINCT) both engines agree on."""
+    ev = events_with_ts(spark, sf_dir).select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy(
+        "event_type", "day", F.expr("bitmap_bucket_number(user_id)").alias("bk")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("b")
+    )
+    merged = daily.groupBy("event_type", "bk").agg(
+        F.expr("bitmap_or_agg(b)").alias("b")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(b)")).alias("n_users")
+    )
