@@ -2263,3 +2263,58 @@ def a31_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(b)")).alias("n_users")
     )
+
+
+@register(
+    "fs1_point_in_time_features",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(value AS DECIMAL(18,6)) AS val
+      FROM events
+    ),
+    feat AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             count(*) OVER w - 1 AS n_prior,
+             CAST(sum(val) OVER w - val AS DOUBLE) AS sum_prior
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT user_id, event_id AS label_event, ts_us AS label_ts_us,
+           CAST(n_prior AS BIGINT) AS n_prior, round(sum_prior, 6) AS sum_prior
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def fs1_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-correct feature extraction — the leakage guard every
+    feature store exists for: each label event (purchase) carries features
+    computed from STRICTLY EARLIER events of the same user ((ts, event_id)
+    total order; the label row itself is excluded by subtracting its own
+    contribution from an inclusive running window, which is cheaper than a
+    second exclusive frame). One per-user window over the fact table, the
+    label filter applies after — no self-join, no as-of lookup (j9 covers
+    the two-table variant). DECIMAL running sum keeps the float contract."""
+    ev = events_with_ts(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("val"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    feat = ev.select(
+        "user_id", "event_id", "event_type", "ts_us",
+        (F.count(F.lit(1)).over(w) - 1).alias("n_prior"),
+        (F.sum("val").over(w) - F.col("val")).cast("double").alias("sum_prior"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("label_event"),
+        F.col("ts_us").alias("label_ts_us"),
+        "n_prior",
+        F.round("sum_prior", 6).alias("sum_prior"),
+    )
