@@ -194,3 +194,36 @@ class KeepLatestSink:
         with open(tmp, "w") as f:
             f.write(str(batch_id))
         os.replace(tmp, os.path.join(self.path, _MARKER))
+
+
+def vacuum_versions(path: str, keep_last: int = 2) -> list[str]:
+    """Garbage-collect superseded snapshot versions under ``path``: keep the
+    committed version (whatever ``_LATEST`` points at) plus up to
+    ``keep_last - 1`` immediately preceding versions for time-travel /
+    in-flight readers, delete the rest. NEVER touches versions newer than
+    the marker (an in-flight uncommitted write) and is a no-op before the
+    first commit — so it is safe to run concurrently with the sinks above
+    at any cadence. Returns the deleted directory names (the reference's
+    append-only sinks have no retention story; this is the missing GC half
+    of the COW protocol)."""
+    import re
+    import shutil
+
+    committed = latest_version(path)
+    if committed is None:
+        return []
+    versions = sorted(
+        int(m.group(1))
+        for name in os.listdir(path)
+        if (m := re.fullmatch(r"v(\d+)", name))
+    )
+    keep = {v for v in versions if v > committed}  # in-flight: never touch
+    keep.update(v for v in versions if v <= committed)
+    retained = sorted(v for v in keep if v <= committed)[-max(keep_last, 1):]
+    doomed = [v for v in versions if v <= committed and v not in retained]
+    removed = []
+    for v in doomed:
+        target = os.path.join(path, f"v{v}")
+        shutil.rmtree(target, ignore_errors=True)
+        removed.append(f"v{v}")
+    return removed

@@ -124,3 +124,28 @@ def test_keep_latest_sink_replay_and_intrabatch_dups(spark, tmp_path):
     sink(_ev(spark, [(1, 99, "GHOST")]), 0)
     assert latest_version(path) == 0
     assert {r.k: r.v for r in read_snapshot(spark, path).collect()} == {1: "b"}
+
+
+def test_vacuum_keeps_committed_and_inflight(spark, tmp_path):
+    """GC must retain the committed version (+history budget), never touch
+    versions NEWER than the marker (in-flight writes), and stay a no-op
+    before the first commit."""
+    import os
+
+    from sparkfusion.streaming.cdc import KeepLatestSink, vacuum_versions
+
+    path = str(tmp_path / "snap")
+    assert vacuum_versions(path) == []  # no marker yet — caller's dir absent
+
+    sink = KeepLatestSink(spark, path, keys=["k"], order_by=["ts"])
+    for bid in range(4):
+        sink(_ev(spark, [(1, bid, f"v{bid}")]), bid)
+    # fake an in-flight (uncommitted) newer version directory
+    os.makedirs(os.path.join(path, "v9"))
+
+    removed = vacuum_versions(path, keep_last=2)
+    assert removed == ["v0", "v1"]
+    left = sorted(n for n in os.listdir(path) if n.startswith("v"))
+    assert left == ["v2", "v3", "v9"]
+    # snapshot still readable at the committed version
+    assert {r.k: r.v for r in read_snapshot(spark, path).collect()} == {1: "v3"}
