@@ -291,13 +291,13 @@ def ts6_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily),
     mu AS (SELECT s // n AS mu0 FROM st),
     den AS (
-      SELECT sum((x - mu0) * (x - mu0)) AS den
+      SELECT sum(CAST(x - mu0 AS HUGEINT) * (x - mu0)) AS den
       FROM daily CROSS JOIN mu
     ),
     ks AS (SELECT unnest([1, 2, 3]) AS lag_k),
     num AS (
       SELECT k.lag_k, count(*) AS n_pairs,
-             sum((a.x - mu0) * (b.x - mu0)) AS num
+             sum(CAST(a.x - mu0 AS HUGEINT) * (b.x - mu0)) AS num
       FROM ks k CROSS JOIN mu CROSS JOIN daily a
       JOIN daily b ON b.d = a.d + k.lag_k
       GROUP BY k.lag_k
@@ -339,9 +339,12 @@ def ts7_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (
         daily.crossJoin(F.broadcast(mu))
         .agg(
+            # cast BEFORE multiplying: at sf1 the daily-cents deviation
+            # already squares past 2^63 (the sf0.1-only version overflowed
+            # under ANSI at the 10x sweep)
             F.sum(
-                ((F.col("x") - F.col("mu0")) * (F.col("x") - F.col("mu0")))
-                .cast("decimal(38,0)")
+                (F.col("x") - F.col("mu0")).cast("decimal(38,0)")
+                * (F.col("x") - F.col("mu0"))
             ).alias("den")
         )
     )
@@ -356,8 +359,8 @@ def ts7_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum(
-                ((F.col("xa") - F.col("mu0")) * (F.col("xb") - F.col("mu0")))
-                .cast("decimal(38,0)")
+                (F.col("xa") - F.col("mu0")).cast("decimal(38,0)")
+                * (F.col("xb") - F.col("mu0"))
             ).alias("num"),
         )
     )
