@@ -2581,3 +2581,46 @@ def mm_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
     media = multimodal.mixed_media_table(docs.repartition("doc_id"), "doc_id")
     return multimodal.probe_headers(media)
+
+
+@register(
+    "pipeline3_media_triage",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    g AS (
+      SELECT doc_id, w, h, t.x, u.y
+      FROM p,
+           UNNEST(generate_series(0, w - 1)) AS t(x),
+           UNNEST(generate_series(0, h - 1)) AS u(y)
+    )
+    SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum((x * 7 + y * 13 + doc_id) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((x * 7 + y * 13 + doc_id + 37) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((x * 7 + y * 13 + doc_id + 74) % 256) AS BIGINT) AS sum_b
+    FROM g GROUP BY doc_id, w, h
+    """,
+)
+def pipeline3_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-then-decode media TRIAGE as one DAG — the economics the header
+    probe exists for: sniff every blob's codec/dimensions at O(header)
+    cost, then pay the O(pixels) decode ONLY for the selected subset (here
+    the PPM third of a mixed PPM/PNG/JPEG column; a real pipeline selects
+    by codec support, size band, or dimensions). The blob column is
+    localCheckpoint-ed so payload synthesis runs once across the probe and
+    the decode branch. Oracle: the analytic pixel sums over each selected
+    blob's VARIABLE (4+id%5 × 3+id%4) grid — DuckDB verifies the routed
+    decode without seeing a byte."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.mixed_media_table(
+        docs.repartition("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    probed = multimodal.probe_headers(media)
+    selected = (
+        probed.filter(F.col("codec") == "ppm")
+        .select("media_id")
+        .join(media, "media_id")
+    )
+    return multimodal.decode_ppm(selected)
