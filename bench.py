@@ -125,6 +125,16 @@ HEADLINE = {
     "mix2_temperature_sample": "mix2_temperature_sample",
     "stream_cdc_keep_latest": "stream_cdc_keep_latest",
     "ts7_acf": "ts7_acf",
+    "a30_percentile_disc": "a30_percentile_disc",
+    "dq10_join_skew": "dq10_join_skew",
+    "st3_mann_whitney": "st3_mann_whitney",
+    "st4_ks_test": "st4_ks_test",
+    "a31_bitmap_distinct_rollup": "a31_bitmap_distinct_rollup",
+    "fs1_point_in_time_features": "fs1_point_in_time_features",
+    "x9_udtf_analyze_schema": "x9_udtf_analyze_schema",
+    "mm_header_probe": "mm_header_probe",
+    "dedup_source_matrix": "dedup_source_matrix",
+    "pipeline3_media_triage": "pipeline3_media_triage",
 }
 
 REPEATS = 3
