@@ -108,3 +108,84 @@ def fuzzy_join(
             "dist",
         )
     )
+
+
+def weighted_word_cosine_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_words: str,
+    right_id: str,
+    right_words: str,
+    max_df: int = 50,
+    threshold: float = 0.5,
+    inv_scale: int = 1_000_000,
+) -> DataFrame:
+    """Rarity-weighted word-vector COSINE join — the record-linkage
+    similarity for longer strings where a single edit-distance budget
+    (``fuzzy_join``) stops making sense: each side's rows become sparse
+    word vectors weighted by tf · floor(inv_scale / √df) (an integer
+    inverse-document-frequency surrogate: √ is IEEE-correctly-rounded in
+    every engine so the quantized weight is exact everywhere, and the
+    √-damping tracks idf's hapax-vs-stopword ratio far better than a raw
+    1/df, which lets single-occurrence noise shingles drown the signal —
+    ln(N/df) itself would drag libm in), pairs are generated by
+    the inverted-index equi-join on shared words (``max_df`` drops
+    corpus-stopwords so no hot word floods the join — the fuzzy_join /
+    MinHash discipline), dot products are exact BIGINT sums, and only the
+    final cosine touches doubles (round-9, fixed expression order).
+    Returns ``(lid, rid, cos)`` with cos ≥ threshold.
+
+    Inputs are ``(id, word)`` relations (pre-tokenized, may carry
+    duplicates = term frequency). df counts distinct containing rows
+    across BOTH sides, so the weighting is symmetric.
+    """
+    lw = left.select(F.col(left_id).alias("lid"), F.col(left_words).alias("word"))
+    rw = right.select(F.col(right_id).alias("rid"), F.col(right_words).alias("word"))
+
+    df_counts = (
+        lw.select(F.col("word"), F.col("lid").alias("rid")).distinct()
+        .unionByName(rw.select("word", "rid").distinct())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select(
+            "word",
+            F.floor(
+                F.lit(float(inv_scale)) / F.sqrt(F.col("df").cast("double"))
+            ).cast("long").alias("iw"),
+        )
+    )
+
+    def side(rel: DataFrame, idc: str) -> DataFrame:
+        tf = rel.groupBy(idc, "word").agg(F.count(F.lit(1)).alias("tf"))
+        return tf.join(df_counts, "word").select(
+            idc, "word", (F.col("tf") * F.col("iw")).alias("w")
+        )
+
+    lv, rv = side(lw, "lid"), side(rw, "rid")
+    ln = lv.groupBy("lid").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nl")
+    )
+    rn = rv.groupBy("rid").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nr")
+    )
+    dots = (
+        lv.withColumnRenamed("w", "wl")
+        .join(rv.withColumnRenamed("w", "wr"), "word")
+        .groupBy("lid", "rid")
+        .agg(F.sum(F.col("wl") * F.col("wr")).alias("dot"))
+    )
+    # norm frames are |rows|-sized — plain equi-joins (AQE broadcasts them
+    # at test scale; at 1e9 rows they shuffle on the id, which is correct)
+    return (
+        dots.join(ln, "lid")
+        .join(rn, "rid")
+        .select(
+            "lid", "rid",
+            F.round(
+                F.col("dot").cast("double") / F.col("nl") / F.col("nr"), 9
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -2624,3 +2624,105 @@ def pipeline3_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(media, "media_id")
     )
     return multimodal.decode_ppm(selected)
+
+
+_ER2_THRESHOLD = 0.4
+
+
+@register(
+    "er2_tfidf_cosine_linkage",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_W} AS ws FROM documents
+    ),
+    lsh AS (
+      SELECT doc_id AS lid,
+             ws[CAST(t.i AS INT)] || \' \' || ws[CAST(t.i AS INT) + 1]
+               || \' \' || ws[CAST(t.i AS INT) + 2] AS word
+      FROM d, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+    ),
+    r0 AS (
+      SELECT doc_id AS rid, list_filter(ws, (x, i) -> i % 7 != 0) AS ws
+      FROM d
+    ),
+    rsh AS (
+      SELECT rid,
+             ws[CAST(t.i AS INT)] || \' \' || ws[CAST(t.i AS INT) + 1]
+               || \' \' || ws[CAST(t.i AS INT) + 2] AS word
+      FROM r0, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+    ),
+    cap AS (SELECT 2 * count(*) // 5 AS max_df FROM documents),
+    dfc AS (
+      SELECT word, count(*) AS df FROM (
+        SELECT DISTINCT word, lid AS id FROM lsh
+        UNION ALL
+        SELECT DISTINCT word, rid FROM rsh
+      ) GROUP BY word
+    ),
+    keep AS (
+      SELECT word, CAST(floor(1000000 / sqrt(df)) AS BIGINT) AS iw
+      FROM dfc CROSS JOIN cap WHERE df <= max_df
+    ),
+    lv AS (
+      SELECT lid, word, CAST(count(*) * iw AS BIGINT) AS w
+      FROM lsh JOIN keep USING (word) GROUP BY lid, word, iw
+    ),
+    rv AS (
+      SELECT rid, word, CAST(count(*) * iw AS BIGINT) AS w
+      FROM rsh JOIN keep USING (word) GROUP BY rid, word, iw
+    ),
+    lnm AS (SELECT lid, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nl FROM lv GROUP BY lid),
+    rnm AS (SELECT rid, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nr FROM rv GROUP BY rid),
+    dots AS (
+      SELECT lid, rid, sum(a.w * b.w) AS dot
+      FROM lv a JOIN rv b USING (word) GROUP BY lid, rid
+    )
+    SELECT lid, rid, round(CAST(dot AS DOUBLE) / nl / nr, 9) AS cos
+    FROM dots JOIN lnm USING (lid) JOIN rnm USING (rid)
+    WHERE round(CAST(dot AS DOUBLE) / nl / nr, 9) >= {_ER2_THRESHOLD}
+    """,
+)
+def er2_tfidf_cosine_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-weighted SHINGLE-vector cosine RECORD LINKAGE: documents
+    joined against a synthetic dirty feed (every 7th word dropped, then
+    re-shingled) on sparse integer tf·(1e6 div df) 3-gram vectors — the
+    similarity that scales past er1\'s single-edit budget to long,
+    partially-missing strings, and the weighted complement of the
+    unweighted-Jaccard dedup family (same shingle relation, rarity-aware
+    score). Candidates come from the inverted-index shingle join with a
+    20%-of-corpus fraction df cap (absolute caps go degenerate when the SF
+    grows — the er1/neg_pair lesson), dot products are exact BIGINT, the
+    cosine is one round-9 double expression, and the floor(1e6/√df) IDF
+    surrogate keeps libm out of the oracle (√ is IEEE-exact). See
+    :func:`sparkfusion.llm.fuzzy.weighted_word_cosine_join`."""
+    from ..llm.fuzzy import weighted_word_cosine_join
+
+    docs = table(spark, sf_dir, "documents")
+    max_df = 2 * docs.count() // 5  # fraction cap: bounded scalar, one action
+
+    def sh(ws_col):
+        return F.expr(
+            f"CASE WHEN size({ws_col}) >= 3 THEN"
+            f" transform(sequence(1, size({ws_col}) - 2),"
+            f" i -> concat({ws_col}[i - 1], \' \', {ws_col}[i], \' \',"
+            f" {ws_col}[i + 1]))"
+            f" ELSE array() END"
+        )
+
+    base = docs.repartition("doc_id").select(
+        "doc_id", text.words(F.lower(F.col("text"))).alias("ws")
+    )
+    lw = base.select(
+        F.col("doc_id").alias("lid"), F.explode(sh("ws")).alias("word")
+    )
+    rw = (
+        base.select(
+            F.col("doc_id").alias("rid"),
+            F.filter("ws", lambda x, i: (i + 1) % 7 != 0).alias("ws"),
+        )
+        .select("rid", F.explode(sh("ws")).alias("word"))
+    )
+    return weighted_word_cosine_join(
+        lw, rw, "lid", "word", "rid", "word",
+        max_df=max_df, threshold=_ER2_THRESHOLD,
+    )
