@@ -135,6 +135,7 @@ HEADLINE = {
     "mm_header_probe": "mm_header_probe",
     "dedup_source_matrix": "dedup_source_matrix",
     "pipeline3_media_triage": "pipeline3_media_triage",
+    "er2_tfidf_cosine_linkage": "er2_tfidf_cosine_linkage",
 }
 
 REPEATS = 3
