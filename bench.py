@@ -136,6 +136,7 @@ HEADLINE = {
     "dedup_source_matrix": "dedup_source_matrix",
     "pipeline3_media_triage": "pipeline3_media_triage",
     "er2_tfidf_cosine_linkage": "er2_tfidf_cosine_linkage",
+    "s27_s3_stream_sink_roundtrip": "s27_s3_stream_sink_roundtrip",
 }
 
 REPEATS = 3

@@ -540,3 +540,74 @@ def s26_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@register(
+    "s27_s3_stream_sink_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_id % 5 = 0
+    """,
+)
+def s27_s3_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING → S3 exactly-once sink, end to end against the
+    wire protocol (r8's `S3ParquetStreamWriter`, promoted from pytest-only
+    to the oracle gate): an events slice becomes a 2-file stream
+    (maxFilesPerTrigger=1 → two micro-batches), each batch ships through
+    the shared multipart task writer and commits a per-batch manifest, and
+    the result is read back through the `s3parquet` ranged-GET DataSource.
+    The oracle reads the ORIGINAL events rows — a pass proves byte-faithful
+    stream → multipart → manifest → list → footer-probe → Arrow fidelity
+    across batch boundaries. Replay idempotence (original manifest wins,
+    replay objects swept) is pinned separately in tests/test_s3_native.py."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..session import events_with_ts
+    from ..sources.s3local import CREDS, ensure_bucket
+    from ..sources.s3py import (
+        FORMAT_NAME,
+        read_from_s3_native,
+        register_s3_datasource,
+    )
+
+    _, endpoint = ensure_bucket("sparkfusion-suite")
+    opts = {"endpoint_url": endpoint, **CREDS}
+    run = uuid.uuid4().hex
+    base = f"{IO_DIR}/s27_{run}"
+    in_dir, ckpt = f"{base}/in", f"{base}/ckpt"
+    prefix = f"stream_rt/{run}"
+
+    ev = events_with_ts(spark, sf_dir).filter(F.col("event_id") % 5 == 0).select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    for i in range(2):
+        ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    register_s3_datasource(spark)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.format(FORMAT_NAME)
+        .option("bucket", "sparkfusion-suite")
+        .option("prefix", prefix)
+        .options(**{k: str(v) for k, v in opts.items()})
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    shutil.rmtree(base, ignore_errors=True)
+    return read_from_s3_native(
+        spark, "sparkfusion-suite", prefix, name=f"s27_back_{run}", **opts
+    )
