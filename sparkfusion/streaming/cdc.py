@@ -227,3 +227,26 @@ def vacuum_versions(path: str, keep_last: int = 2) -> list[str]:
         shutil.rmtree(target, ignore_errors=True)
         removed.append(f"v{v}")
     return removed
+
+
+def read_snapshot_at(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """TIME-TRAVEL read: the snapshot as of a PAST committed version — the
+    read half of the versioned copy-on-write protocol (every ``v{N}``
+    directory is immutable once the marker moves past it, so historical
+    reads need no locks and see no torn state). Raises if ``version`` is
+    newer than the committed marker (an in-flight write is not a readable
+    version) or its directory was vacuumed (:func:`vacuum_versions`
+    documents the retention budget)."""
+    committed = latest_version(path)
+    if committed is None or version > committed:
+        raise ValueError(
+            f"version {version} is not committed at {path} "
+            f"(committed={committed})"
+        )
+    target = os.path.join(path, f"v{version}")
+    if not os.path.isdir(target):
+        raise ValueError(
+            f"version {version} was vacuumed from {path} — "
+            "raise vacuum_versions(keep_last=...) to retain more history"
+        )
+    return spark.read.parquet(target)

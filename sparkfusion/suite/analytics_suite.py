@@ -2318,3 +2318,49 @@ def fs1_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_prior",
         F.round("sum_prior", 6).alias("sum_prior"),
     )
+
+
+@register(
+    "m3_time_travel_read",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us
+    FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events WHERE event_id % 2 = 0
+    ) WHERE rn = 1
+    """,
+)
+def m3_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the copy-on-write snapshot protocol: two
+    keep-latest batches commit versions v0 (even event_ids) and v1 (odd),
+    then the query reads the table AS OF v0 — while ``_LATEST`` points at
+    v1. Immutable version directories make historical reads lock-free and
+    torn-state-free; the oracle is the batch compaction of ONLY the first
+    batch's rows, so a pass proves the past version is genuinely
+    unchanged by later commits (the audit/debug/reproduce-training-run
+    read every versioned lake offers; vacuum_versions documents the
+    retention budget). Completes the protocol family: write (m1/mv3/
+    stream_cdc), diff (cdc2), GC (vacuum), and now read-at-version."""
+    import shutil
+
+    from ..streaming.cdc import KeepLatestSink, read_snapshot_at
+
+    path = os.path.join(IO_DIR, "m3_time_travel")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = events_with_ts(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    sink = KeepLatestSink(spark, path, keys=["user_id"], order_by=["ts_us", "event_id"])
+    sink(ev.filter(F.col("event_id") % 2 == 0), 0)
+    sink(ev.filter(F.col("event_id") % 2 == 1), 1)
+    snap_v0 = read_snapshot_at(spark, path, 0)
+    return snap_v0.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts_us").alias("last_ts_us"),
+    )

@@ -149,3 +149,27 @@ def test_vacuum_keeps_committed_and_inflight(spark, tmp_path):
     assert left == ["v2", "v3", "v9"]
     # snapshot still readable at the committed version
     assert {r.k: r.v for r in read_snapshot(spark, path).collect()} == {1: "v3"}
+
+
+def test_time_travel_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from sparkfusion.streaming.cdc import (
+        KeepLatestSink,
+        read_snapshot_at,
+        vacuum_versions,
+    )
+
+    path = str(tmp_path / "snap")
+    with _pytest.raises(ValueError):
+        read_snapshot_at(spark, path, 0)  # nothing committed yet
+    sink = KeepLatestSink(spark, path, keys=["k"], order_by=["ts"])
+    for bid in range(3):
+        sink(_ev(spark, [(1, bid, f"v{bid}")]), bid)
+    assert {r.v for r in read_snapshot_at(spark, path, 0).collect()} == {"v0"}
+    assert {r.v for r in read_snapshot_at(spark, path, 2).collect()} == {"v2"}
+    with _pytest.raises(ValueError):
+        read_snapshot_at(spark, path, 9)  # newer than the marker
+    vacuum_versions(path, keep_last=1)
+    with _pytest.raises(ValueError):
+        read_snapshot_at(spark, path, 0)  # vacuumed away
