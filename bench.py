@@ -137,6 +137,7 @@ HEADLINE = {
     "pipeline3_media_triage": "pipeline3_media_triage",
     "er2_tfidf_cosine_linkage": "er2_tfidf_cosine_linkage",
     "s27_s3_stream_sink_roundtrip": "s27_s3_stream_sink_roundtrip",
+    "m3_time_travel_read": "m3_time_travel_read",
 }
 
 REPEATS = 3
