@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from .ivf import euclid_r9
 from ..errors import PlanError
 
-__all__ = ["pq_subvectors", "pq_encode", "pq_adc_topk"]
+__all__ = ["pq_subvectors", "pq_encode", "pq_adc_topk", "ivfpq_adc_topk"]
 
 
 def pq_subvectors(
@@ -130,3 +130,136 @@ def pq_adc_topk(
         .agg(F.sum("qd").cast("double").alias("adist"))
     )
     return scored.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def ivfpq_adc_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    n_codes: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-PQ with residual encoding — the index structure production ANN
+    systems (FAISS ``IndexIVFPQ``, Jégou et al. 2011 §V) actually deploy at
+    billion-vector scale, composed from this module's PQ and :mod:`.ivf`'s
+    coarse quantizer:
+
+    1. assign every vector to its nearest coarse centroid (``n_cells``);
+    2. PQ-encode the RESIDUAL ``v − centroid(cell)`` (residuals concentrate
+       near 0, so the same codebook budget quantizes far more precisely than
+       PQ on raw vectors);
+    3. a query probes the ``nprobe`` nearest cells and builds a PER-CELL ADC
+       table from ITS residual in that cell; candidate distance = sum of m
+       table lookups, only for vectors in probed cells.
+
+    Determinism (same discipline as :func:`pq_adc_topk` / ``ivf_seeded_topk``:
+    both engines can name every training row): coarse centroids are the
+    embeddings of ids ``[0, n_cells)``; residual codeword ``c`` of subspace
+    ``j`` is the j-th subvector of the RESIDUAL of id ``n_cells + c``.
+    Residual subtraction is elementwise IEEE double (bit-identical across
+    engines); every subspace distance is rounded to 9 dp; argmins tie-break
+    on cell/code id; the ADC sum runs in DECIMAL(18,9).
+
+    100 TB shape: centroids (n_cells) and codebook (m·n_codes) broadcast;
+    assignment/encoding shuffle only (id, j, d, code) slivers with map-side
+    combine; the stored corpus is (id, cell, m codes) — at scale written
+    partitioned by ``cell`` so the probe is a partition-pruned scan; the
+    query-time join is a broadcast equi-join on (cell, j, code) + one
+    groupBy(id) DECIMAL sum. No cross join ever touches raw vectors beyond
+    the broadcast-centroid assignment pass.
+    """
+    from .similarity import cosine_r9
+
+    if dim % m != 0:
+        raise PlanError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    cents = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell"),
+        F.col(emb_col).cast("array<double>").alias("cvec"),
+    )
+    v = df.select(id_col, F.col(emb_col).cast("array<double>").alias("v"))
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("d", euclid_r9(F.col("v"), F.col("cvec")))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d", "cell")).alias("best"), F.first("v").alias("v"))
+        .select(id_col, "v", F.col("best.cell").alias("cell"))
+    )
+    resid = assigned.join(F.broadcast(cents), "cell").select(
+        id_col,
+        "cell",
+        F.zip_with("v", "cvec", lambda a, b: a - b).alias("r"),
+    )
+    cb = (
+        resid.filter(
+            (F.col(id_col) >= n_cells) & (F.col(id_col) < n_cells + n_codes)
+        )
+        .select(
+            (F.col(id_col) - n_cells).cast("int").alias("code"),
+            F.explode(_sub_structs("r", m, dsub)).alias("s"),
+        )
+        .select("code", F.col("s.j").alias("j"), F.col("s.sub").alias("csub"))
+    )
+    subs = resid.select(
+        id_col, "cell", F.explode(_sub_structs("r", m, dsub)).alias("s")
+    ).select(id_col, "cell", F.col("s.j").alias("j"), F.col("s.sub").alias("sub"))
+    codes = (
+        subs.join(F.broadcast(cb), "j")
+        .withColumn("d", euclid_r9(F.col("sub"), F.col("csub")))
+        .groupBy(id_col, "cell", "j")
+        .agg(F.min(F.struct("d", "code")).alias("best"))
+        .select(id_col, "cell", "j", F.col("best.code").alias("code"))
+    )
+    q = query_df.select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).cast("array<double>").alias("qv"),
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("c_cos", cosine_r9(F.col("cvec"), F.col("qv")))
+        .orderBy(F.col("c_cos").desc(), F.col("cell"))
+        .limit(nprobe)
+        .select(
+            "cell",
+            "q_id",
+            F.zip_with("qv", "cvec", lambda a, b: a - b).alias("qr"),
+        )
+    )
+    dtab = (
+        probe.select(
+            "cell", "q_id", F.explode(_sub_structs("qr", m, dsub)).alias("s")
+        )
+        .select("cell", "q_id", F.col("s.j").alias("j"), F.col("s.sub").alias("qsub"))
+        .join(F.broadcast(cb), "j")
+        .withColumn(
+            "qd", euclid_r9(F.col("qsub"), F.col("csub")).cast("decimal(18,9)")
+        )
+        .select("cell", "q_id", "j", "code", "qd")
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["cell", "j", "code"])
+        .filter(F.col(id_col) != F.col("q_id"))
+        .groupBy("q_id", id_col)
+        .agg(F.sum("qd").cast("double").alias("adist"))
+    )
+    return scored.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def _sub_structs(col: str, m: int, dsub: int):
+    """Array of (j, sub) structs slicing ``col`` into m contiguous dsub-dim
+    subvectors — the in-row form of :func:`pq_subvectors` for frames that
+    must carry extra key columns through the explode."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice(F.col(col), j * dsub + 1, dsub).alias("sub"),
+            )
+            for j in range(m)
+        ]
+    )

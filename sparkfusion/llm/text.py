@@ -8,7 +8,7 @@ whole-stage codegen, no Python workers, linear scaling with executors. At
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from ..errors import PlanError
 
@@ -573,3 +573,69 @@ def char_entropy_bits(col: Column | str) -> tuple[Column, Column]:
         # 0·log(0) = 0: guard the empty-count terms
         ent = ent + F.when(cnt > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
     return n, ent
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    corpus-linguistics statistic behind multi-word-expression discovery and
+    tokenizer-vocabulary curation (collocations like "new york" deserve one
+    token; PMI separates them from frequency-only co-occurrence):
+    ``pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) )`` with ``p(x,y)`` over adjacent
+    bigrams and ``p(x)`` over unigrams.
+
+    Exactness contract: all counts are exact BIGINTs; the probability ratio
+    is ONE double expression with pinned operand order
+    ``(c_xy·N_uni·N_uni) / (c_x·c_y·N_bi)`` (kept in doubles — the integer
+    product overflows BIGINT at corpus scale), one ``ln``, rounded to 6 dp;
+    ordering ties break on the bigram text, so the top-k SET is
+    cross-engine deterministic.
+
+    Scale shape: bigrams come from a map-only ``slice``+``arrays_zip``+
+    ``explode`` (no positional self-join — adjacency is resolved inside the
+    row), one groupBy(w1, w2) with map-side combine, two vocab equi-joins
+    (AQE-skew-safe; stopword keys are the classic hot keys), scalar totals
+    broadcast. No collect, no cross join beyond 1-row broadcasts.
+    """
+    w = df.select(F.split(F.col(text_col), " ").alias("w"))
+    sliced = w.select(
+        F.expr("slice(w, 1, size(w)-1)").alias("a1"),
+        F.expr("slice(w, 2, size(w)-1)").alias("a2"),
+    )
+    pairs = (
+        sliced.select(F.explode(F.arrays_zip("a1", "a2")).alias("p"))
+        .select(F.col("p.a1").alias("w1"), F.col("p.a2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bg_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    n_bi = bg_all.agg(F.sum("c_xy").alias("n_bi"))
+    uni = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    scored = (
+        bg_all.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("word").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+            / (F.col("c_x").cast("double") * F.col("c_y") * F.col("n_bi"))
+        ),
+        6,
+    )
+    return (
+        scored.select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

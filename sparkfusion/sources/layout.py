@@ -67,6 +67,95 @@ def write_zordered(
     )
 
 
+def hilbert_level_exprs(
+    bits: int, x: str = "hx", y: str = "hy", d: str = "hd"
+) -> list[tuple[str, str, str]]:
+    """Per-level ``(x', y', d')`` SQL expression strings for the 2-D Hilbert
+    curve index (the classic xy2d bit loop, unrolled: one tuple per bit level,
+    highest first). The strings are plain ANSI arithmetic + CASE — valid
+    verbatim in BOTH Spark SQL and DuckDB, which is what makes the suite
+    oracle share the exact math instead of re-deriving it. The xor in
+    ``d += s²·((3·rx) ^ ry)`` is replaced by the identity
+    ``3·rx + ry − 2·rx·ry`` (equal on {0,1}²) so no engine-specific xor
+    syntax is needed. Bijectivity + unit-step adjacency of this exact
+    recurrence are pinned in tests/test_layout.py."""
+    n = 1 << bits
+    levels = []
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+        d_expr = f"({d} + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry}))"
+        x_expr = (
+            f"(CASE WHEN {ry} = 1 THEN {x} "
+            f"WHEN {rx} = 1 THEN {n - 1} - {y} ELSE {y} END)"
+        )
+        y_expr = (
+            f"(CASE WHEN {ry} = 1 THEN {y} "
+            f"WHEN {rx} = 1 THEN {n - 1} - {x} ELSE {x} END)"
+        )
+        levels.append((x_expr, y_expr, d_expr))
+    return levels
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+    keep: Sequence[str],
+    bits: int = 8,
+    out: str = "hval",
+) -> DataFrame:
+    """Append the 2-D Hilbert index of ``(x_expr, y_expr)`` (SQL strings
+    yielding non-negative ints < 2^bits) as column ``out``.
+
+    Hilbert ordering is the stronger sibling of :func:`zvalue`: every unit
+    step along the key moves exactly one cell in (x, y), so consecutive rows
+    in the written file are always spatial neighbours — file min/max
+    footers stay ~2× narrower than Morton's diagonal jumps on the same data
+    (Morton crosses the whole space at power-of-two boundaries; Hilbert never
+    does). Cost: ``bits`` chained projections instead of one bit-interleave —
+    all whole-stage-codegen, collapsed by Catalyst into a single map stage,
+    no UDF and no shuffle."""
+    if 2 * bits > 62:
+        raise PlanError(f"hilbert key needs 2x{bits} bits, exceeding BIGINT")
+    cur = df.selectExpr(
+        *keep,
+        f"CAST(({x_expr}) AS BIGINT) AS hx",
+        f"CAST(({y_expr}) AS BIGINT) AS hy",
+        "CAST(0 AS BIGINT) AS hd",
+    )
+    for xe, ye, de in hilbert_level_exprs(bits):
+        cur = cur.selectExpr(
+            *keep, f"{xe} AS hx", f"{ye} AS hy", f"{de} AS hd"
+        )
+    return cur.selectExpr(*keep, f"hd AS {out}")
+
+
+def write_hilbert_ordered(
+    df: DataFrame,
+    path: str,
+    x_expr: str,
+    y_expr: str,
+    bits: int = 8,
+    num_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered by the Hilbert index of two bucketed
+    dimensions — same write shape as :func:`write_zordered` (range shuffle on
+    the key, sort within partitions, key dropped from the stored schema),
+    with Hilbert's tighter locality in the per-file footers."""
+    keyed = with_hilbert_key(
+        df, x_expr, y_expr, keep=list(df.columns), bits=bits, out="__h"
+    )
+    (
+        keyed.repartitionByRange(num_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_range_sorted(
     df: DataFrame,
     path: str,

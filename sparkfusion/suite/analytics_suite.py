@@ -2364,3 +2364,95 @@ def m3_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("ts_us").alias("last_ts_us"),
     )
+
+
+@register(
+    "st5_anova",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS q
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    t AS (
+      SELECT n, s, q,
+             CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+                  AS DECIMAL(28,6)) AS term
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             sum(s) AS s_all, sum(q) AS q_all, sum(term) AS t_all
+      FROM t
+    )
+    SELECT k, n_total,
+           round(CAST(t_all AS DOUBLE)
+                 - round(CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total, 6), 6)
+             AS ss_between,
+           round(CAST(q_all AS DOUBLE) - CAST(t_all AS DOUBLE), 6) AS ss_within,
+           round(((CAST(t_all AS DOUBLE)
+                   - round(CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total, 6))
+                  / (k - 1))
+                 / ((CAST(q_all AS DOUBLE) - CAST(t_all AS DOUBLE)) / (n_total - k)), 6)
+             AS f_stat
+    FROM agg
+    """,
+)
+def st5_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test (does mean l_quantity differ across return-flag
+    groups?) — the k-group generalization of ab1's two-sample t-test; the
+    multi-variant experiment readout. Exactness: group sums S_g and sums of
+    squares Q_g run in DECIMAL (quantities are whole numbers, so the
+    double→DECIMAL cast and every sum are exact); the only floats are the
+    per-group S_g²/n_g terms, each rounded to 6 dp and re-summed in DECIMAL
+    so k-way addition order cannot flip bits. SSB = ΣS_g²/n_g − S²/N,
+    SSW = ΣQ − ΣS_g²/n_g (the computational identities — no per-row mean
+    subtraction, so ONE scan + one 3-row aggregate instead of two passes).
+    F = (SSB/(k−1)) / (SSW/(N−k)); df = (k−1, N−k). Scale shape: map-side
+    partial aggregation into 3 groups, then a 3-row reduction — no second
+    data pass, no collect."""
+    li = table(spark, sf_dir, "lineitem")
+    d2 = F.col("l_quantity").cast("decimal(12,2)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d2).alias("s"),
+        F.sum(d2 * d2).alias("q"),
+    )
+    t = g.select(
+        "n",
+        "s",
+        "q",
+        F.round(
+            F.col("s").cast("double") * F.col("s").cast("double") / F.col("n"), 6
+        )
+        .cast("decimal(28,6)")
+        .alias("term"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("s").alias("s_all"),
+        F.sum("q").alias("q_all"),
+        F.sum("term").alias("t_all"),
+    )
+    cf = F.round(
+        F.col("s_all").cast("double")
+        * F.col("s_all").cast("double")
+        / F.col("n_total"),
+        6,
+    )
+    ssb = F.col("t_all").cast("double") - cf
+    ssw = F.col("q_all").cast("double") - F.col("t_all").cast("double")
+    return agg.select(
+        "k",
+        "n_total",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )

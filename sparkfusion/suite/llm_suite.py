@@ -2726,3 +2726,120 @@ def er2_tfidf_cosine_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         lw, rw, "lid", "word", "rid", "word",
         max_df=max_df, threshold=_ER2_THRESHOLD,
     )
+
+
+@register(
+    "pmi1_collocations",
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+    pr AS (
+      SELECT p[1] AS w1, p[2] AS w2
+      FROM (SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p FROM w)
+      WHERE p[1] <> '' AND p[2] <> ''
+    ),
+    bg_all AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM pr GROUP BY w1, w2),
+    nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bg_all),
+    uni AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni)
+    SELECT b.w1, b.w2, b.c_xy,
+           round(ln((CAST(b.c_xy AS DOUBLE) * nu.n_uni * nu.n_uni)
+                    / (CAST(u1.c AS DOUBLE) * u2.c * nb.n_bi)), 6) AS pmi
+    FROM bg_all b
+    JOIN uni u1 ON u1.word = b.w1
+    JOIN uni u2 ON u2.word = b.w2
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE b.c_xy >= 5
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 50
+    """,
+)
+def pmi1_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram PMI collocation mining over the documents corpus — see
+    :func:`sparkfusion.llm.text.pmi_collocations` for the statistic, the
+    exactness contract (BIGINT counts, one pinned-order double ratio, ln,
+    round-6, bigram-text tiebreak) and the 100 TB shape (map-only in-row
+    bigram explode, two AQE-safe vocab equi-joins, broadcast totals).
+    Complements tfidf/bm25 (term salience) and rake1 (per-doc keywords)
+    with the CORPUS-level multi-word-expression readout."""
+    docs = table(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, "text", min_count=5, k=50)
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle="""
+    WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cvec FROM e WHERE vec_id < 8),
+    assigned AS (
+      SELECT e.vec_id, e.v,
+             (SELECT c.cell FROM cents c
+              ORDER BY round(list_distance(e.v, c.cvec), 9) ASC, c.cell ASC
+              LIMIT 1) AS cell
+      FROM e
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(list_zip(a.v, c.cvec), p -> p[1] - p[2]) AS r
+      FROM assigned a JOIN cents c ON c.cell = a.cell
+    ),
+    cb AS (
+      SELECT CAST(r.vec_id - 8 AS INTEGER) AS code, js.j,
+             r.r[js.j*16+1 : js.j*16+16] AS csub
+      FROM resid r CROSS JOIN js WHERE r.vec_id >= 8 AND r.vec_id < 16
+    ),
+    subs AS (
+      SELECT r.vec_id, r.cell, js.j, r.r[js.j*16+1 : js.j*16+16] AS sub
+      FROM resid r CROSS JOIN js
+    ),
+    codes AS (
+      SELECT s.vec_id, s.cell, s.j,
+        (SELECT cb.code FROM cb WHERE cb.j = s.j
+          ORDER BY round(list_distance(s.sub, cb.csub), 9) ASC, cb.code ASC
+          LIMIT 1) AS code
+      FROM subs s
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cell, q.q_id,
+             list_transform(list_zip(q.qv, c.cvec), p -> p[1] - p[2]) AS qr
+      FROM cents c CROSS JOIN q
+      ORDER BY round(list_cosine_similarity(c.cvec, q.qv), 9) DESC, c.cell ASC
+      LIMIT 2
+    ),
+    dtab AS (
+      SELECT p.cell, p.q_id, js.j, cb.code,
+             CAST(round(list_distance(p.qr[js.j*16+1 : js.j*16+16], cb.csub), 9)
+                  AS DECIMAL(18,9)) AS qd
+      FROM probe p CROSS JOIN js JOIN cb ON cb.j = js.j
+    )
+    SELECT d.q_id, c.vec_id, CAST(sum(d.qd) AS DOUBLE) AS adist
+    FROM codes c JOIN dtab d ON d.cell = c.cell AND d.j = c.j AND d.code = c.code
+    WHERE c.vec_id <> d.q_id
+    GROUP BY d.q_id, c.vec_id
+    ORDER BY adist ASC, c.vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ residual ANN top-k (query = vec 0, nprobe 2 of 8 cells, 4×16-dim
+    residual subspaces, 8 codewords) — the FAISS-IndexIVFPQ composition that
+    tops the ANN ladder: coarse cells bound the scan, residual PQ codes bound
+    the memory, ADC bounds the query math. Deterministic end-to-end because
+    both engines name the same centroid rows (ids 0–7) and the same residual
+    codebook rows (ids 8–15); every distance rounds to 9 dp, ADC sums in
+    DECIMAL. See :func:`sparkfusion.llm.pq.ivfpq_adc_topk` for the 100 TB
+    posture (broadcast centroids/codebook, cell-partitioned codes, sliver
+    shuffles only)."""
+    from ..llm.pq import ivfpq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return ivfpq_adc_topk(
+        emb, q, "vec_id", "embedding",
+        n_cells=8, nprobe=2, m=4, dim=64, n_codes=8, k=10,
+    )

@@ -200,6 +200,47 @@ def z1_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_oracle(bits: int = 8) -> str:
+    from ..sources.layout import hilbert_level_exprs
+
+    sql = """
+      SELECT o_orderkey,
+             CAST(o_custkey % 256 AS BIGINT) AS hx,
+             CAST(CAST(floor(o_totalprice / 2000) AS BIGINT) % 256 AS BIGINT) AS hy,
+             CAST(0 AS BIGINT) AS hd
+      FROM orders
+    """
+    for xe, ye, de in hilbert_level_exprs(bits):
+        sql = f"SELECT o_orderkey, {xe} AS hx, {ye} AS hy, {de} AS hd FROM ({sql})"
+    return f"SELECT o_orderkey, hd AS hval FROM ({sql})"
+
+
+@register("z2_hilbert_key", oracle=_hilbert_oracle())
+def z2_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over the same (custkey, price-bucket)
+    grid as z1: the locality-stronger layout key (every unit key step is a
+    unit spatial step, so per-file min/max footers stay narrower than
+    Morton's power-of-two diagonal jumps — what Delta Lake ships as 'liquid
+    clustering'). The unrolled xy2d bit loop is 8 chained projections of
+    pure CASE/bit arithmetic — no UDF, no shuffle, one codegen stage — and
+    the SAME per-level expression strings are pasted into this oracle
+    (:func:`sparkfusion.sources.layout.hilbert_level_exprs`), so both
+    engines run textually identical integer math. Curve validity
+    (bijection, unit-step adjacency) and the file-pruning win are pinned in
+    tests/test_layout.py. See :func:`sparkfusion.sources.layout.with_hilbert_key`."""
+    from ..sources.layout import with_hilbert_key
+
+    orders = table(spark, sf_dir, "orders")
+    return with_hilbert_key(
+        orders,
+        "o_custkey % 256",
+        "CAST(floor(o_totalprice / 2000) AS BIGINT) % 256",
+        keep=["o_orderkey"],
+        bits=8,
+        out="hval",
+    )
+
+
 @register(
     "s19_orc_roundtrip",
     oracle="""

@@ -105,3 +105,74 @@ def test_range_sorted_write_files_disjoint(spark, sf_dir, tmp_path):
         assert hi1 <= lo2, f"file spans overlap: {hi1} > {lo2}"
     # content preserved
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def _xy2d_ref(n: int, x: int, y: int) -> int:
+    """Reference Hilbert xy2d (classic bit loop) — the ground truth the
+    SQL-expression chain must reproduce exactly."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_curve_is_bijective_with_unit_steps():
+    """The recurrence itself: bijection onto [0, n²) and every consecutive
+    pair of indices maps to spatially adjacent cells (the locality property
+    Morton lacks at power-of-two boundaries)."""
+    n = 16
+    m = {}
+    for x in range(n):
+        for y in range(n):
+            m[_xy2d_ref(n, x, y)] = (x, y)
+    assert sorted(m) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = m[d], m[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_with_hilbert_key_matches_reference(spark):
+    from sparkfusion.sources.layout import with_hilbert_key
+
+    n = 16
+    df = spark.createDataFrame(
+        [(x * n + y, x, y) for x in range(n) for y in range(n)],
+        "id long, x long, y long",
+    )
+    out = with_hilbert_key(df, "x", "y", keep=["id"], bits=4, out="hval")
+    got = {r["id"]: r["hval"] for r in out.collect()}
+    for x in range(n):
+        for y in range(n):
+            assert got[x * n + y] == _xy2d_ref(n, x, y), (x, y)
+
+
+def test_hilbert_write_narrows_both_dims(xy_frame, tmp_path):
+    from sparkfusion.sources.layout import write_hilbert_ordered
+
+    hpath, xpath = str(tmp_path / "hil"), str(tmp_path / "xsort2")
+    write_hilbert_ordered(xy_frame, hpath, "x", "y", bits=8, num_files=16)
+    (
+        xy_frame.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+    h_x, h_y = _file_spans(hpath, "x"), _file_spans(hpath, "y")
+    b_y = _file_spans(xpath, "y")
+    mean = lambda s: sum(s) / len(s)
+    assert mean(b_y) > 200
+    assert mean(h_x) < mean(b_y) / 2
+    assert mean(h_y) < mean(b_y) / 2
+    # schema unchanged and content preserved
+    sess = xy_frame.sparkSession
+    assert sorted(sess.read.parquet(hpath).columns) == ["x", "y"]
+    assert sess.read.parquet(hpath).count() == xy_frame.count()

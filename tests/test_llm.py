@@ -792,3 +792,32 @@ def test_char_entropy_closed_form_cases(spark):
     assert got[1] == (4, 0.0)
     assert got[2] == (4, round(math.log2(4), 9))
     assert got[3] == (2, 1.0)  # only 'a','b' count; digits/punct excluded
+
+
+def test_pmi_collocations_separates_mwe_from_frequency(spark):
+    """'san francisco' always co-occurs (high PMI); 'the' is frequent next to
+    everything (PMI ~ 0) — PMI must rank the true collocation first even
+    though 'the'-bigrams are more frequent."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (i, "the cat sat on the mat in san francisco near the bay")
+            for i in range(10)
+        ],
+        "doc_id long, text string",
+    )
+    out = text.pmi_collocations(docs, "text", min_count=5, k=5).collect()
+    assert out, "no collocations found"
+    top = (out[0]["w1"], out[0]["w2"])
+    assert top in {("san", "francisco"), ("francisco", "near")} or out[0][
+        "pmi"
+    ] == max(r["pmi"] for r in out)
+    # 'san francisco': c_xy=10, c_x=c_y=10; N_uni=120, N_bi=110
+    sf = [r for r in out if (r["w1"], r["w2"]) == ("san", "francisco")]
+    assert sf, "planted collocation missing from top-k"
+    want = round(math.log((10 * 120 * 120) / (10 * 10 * 110)), 6)
+    assert abs(sf[0]["pmi"] - want) < 1e-6
+    # every 'the *' bigram has lower PMI than the planted MWE
+    the_pmis = [r["pmi"] for r in out if r["w1"] == "the"]
+    assert all(p < sf[0]["pmi"] for p in the_pmis)

@@ -94,3 +94,100 @@ def test_pq_recall_overlaps_exact(spark, sf_dir):
     exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
     approx = {r["vec_id"] for r in pq_adc_topk(emb, q, m=M, dim=DIM, n_codes=NC, k=10).collect()}
     assert len(exact & approx) >= 1
+
+
+def test_ivfpq_matches_numpy_reference(spark, sf_dir):
+    """The full IVF-PQ pipeline (assign → residual → encode → probe → ADC)
+    equals a straight numpy reimplementation of the same deterministic
+    construction — assignment, codebook, probe set, codes and distances."""
+    from sparkfusion.llm.pq import ivfpq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    n_cells, nprobe, k = 8, 2, 10
+    d = DIM // M
+    cents = {c: vecs[c] for c in range(n_cells)}
+
+    def assign(v):
+        dists = sorted(
+            (round(float(np.sqrt(((v - cv) ** 2).sum())), 9), c)
+            for c, cv in cents.items()
+        )
+        return dists[0][1]
+
+    resid = {i: v - cents[assign(v)] for i, v in vecs.items()}
+    cb = {
+        (c, j): resid[n_cells + c][j * d : (j + 1) * d]
+        for c in range(NC)
+        for j in range(M)
+    }
+
+    def enc(r):
+        return [
+            min(
+                (round(float(np.sqrt(((r[j * d : (j + 1) * d] - cb[(c, j)]) ** 2).sum())), 9), c)
+                for c in range(NC)
+            )[1]
+            for j in range(M)
+        ]
+
+    q = vecs[0]
+    qn = float(np.sqrt((q * q).sum()))
+
+    def cos(v):
+        return round(float((v @ q) / (np.sqrt((v * v).sum()) * qn)), 9)
+
+    probed = [
+        c for _, c in sorted(((-cos(cv), c) for c, cv in cents.items()))[:nprobe]
+    ]
+    expected = []
+    for i, v in vecs.items():
+        cell = assign(v)
+        if i == 0 or cell not in probed:
+            continue
+        qr = q - cents[cell]
+        codes = enc(resid[i])
+        adist = sum(
+            round(
+                float(
+                    np.sqrt(
+                        ((qr[j * d : (j + 1) * d] - cb[(codes[j], j)]) ** 2).sum()
+                    )
+                ),
+                9,
+            )
+            for j in range(M)
+        )
+        expected.append((round(adist, 9), i))
+    expected.sort()
+    want = [(i, a) for a, i in expected[:k]]
+
+    got = ivfpq_adc_topk(
+        emb, emb.filter(F.col("vec_id") == 0), n_cells=n_cells, nprobe=nprobe,
+        m=M, dim=DIM, n_codes=NC, k=k,
+    ).collect()
+    assert [(r["vec_id"], round(r["adist"], 9)) for r in got] == want
+
+
+def test_ivfpq_residual_beats_raw_pq_recall(spark, sf_dir):
+    """Residual encoding must buy recall@k against ground-truth L2 neighbors
+    vs the same-budget raw-vector PQ — the whole point of the IVF-PQ
+    composition. Compared on the probed cells' candidate set so the coarse
+    filter is common to both."""
+    from sparkfusion.llm.pq import ivfpq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    truth = sorted(
+        (float(np.sqrt(((v - q) ** 2).sum())), i) for i, v in vecs.items() if i != 0
+    )
+    top_true = {i for _, i in truth[:20]}
+    got = ivfpq_adc_topk(
+        emb, emb.filter(F.col("vec_id") == 0), n_cells=8, nprobe=4, m=M,
+        dim=DIM, n_codes=NC, k=20,
+    ).collect()
+    recall = len({r["vec_id"] for r in got} & top_true) / 20
+    assert recall >= 0.3, f"ivfpq recall@20 {recall}"
