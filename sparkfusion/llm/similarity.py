@@ -557,3 +557,38 @@ def semdedup(
     return asg.join(dups, "vec_id", "left").select(
         "vec_id", "cid", F.col("dup").isNull().alias("keep")
     )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "id",
+    k0: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers (Cormack et al., SIGIR 2009) —
+    the standard hybrid-retrieval combiner: keyword relevance (BM25) and
+    embedding similarity produce incomparable scores, but
+    ``Σ 1/(k0 + rank)`` over their RANKS is scale-free, robust, and needs no
+    score normalization. ``a``/``b`` carry ``(id_col, rank_a)`` /
+    ``(id_col, rank_b)`` (1-based BIGINT ranks, typically pre-cut to the
+    top-N candidates each); an id missing from one ranker simply contributes
+    nothing from that side (full outer join + coalesce-to-0).
+
+    Determinism: ranks are exact integers; the score is two IEEE double
+    terms added in pinned order and rounded to 9 dp; ties break on id — so
+    the fused top-k SET is cross-engine reproducible. Scale: both inputs are
+    top-N candidate frames (TakeOrderedAndProject output, never the corpus),
+    so the fusion join is trivially broadcast-sized."""
+    fused = a.join(b, id_col, "full_outer")
+    one = F.lit(1).cast("double")
+    score = F.round(
+        F.coalesce(one / (F.lit(k0) + F.col("rank_a")), F.lit(0.0))
+        + F.coalesce(one / (F.lit(k0) + F.col("rank_b")), F.lit(0.0)),
+        9,
+    )
+    return (
+        fused.select(id_col, "rank_a", "rank_b", score.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )

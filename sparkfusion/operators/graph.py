@@ -273,3 +273,54 @@ def sssp_distances(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """k-core peeling: iteratively delete nodes of degree < k (and their
+    incident edges) — the graph-quality filter that isolates the densely
+    connected core (spam/bot subgraph mining, community pre-filtering,
+    visualization skeletons). Runs a FIXED number of peel rounds so the
+    computation is SQL-expressible for the oracle (same contract as
+    :func:`sssp_distances`' fixed-round relaxation); at convergence the
+    survivors are exactly the k-core, and tests/test_graph.py pins that
+    enough rounds reach the true fixed point.
+
+    Returns ``(node, deg)`` — nodes still carrying edges after ``rounds``
+    peels, with their degree in the peeled subgraph.
+
+    Scale shape: each round is one degree aggregation (map-side combinable)
+    plus two LEFT SEMI joins (never materializing node×edge products), with
+    ``localCheckpoint`` per round so plan lineage stays flat (the CLAUDE.md
+    iterative-algorithm rule). Skewed hubs survive peeling by definition —
+    AQE handles the degree-join skew."""
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+    )
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("node"))
+            .unionAll(ed.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(rounds):
+        keep = degrees(e).filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return degrees(e)

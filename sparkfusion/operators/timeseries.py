@@ -204,3 +204,63 @@ def zscore_outliers(
         .filter(F.abs(F.col("z")) > F.lit(threshold))
         .drop("__n", "__s1", "__s2")
     )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    value_col: str,
+    bucket_col: str,
+    period_col: str,
+    half_window: int = 12,
+) -> DataFrame:
+    """Moving-average seasonal decomposition (the classical additive
+    decomposition STL refines): over a REGULAR aggregated series,
+    ``trend`` = centered (2·half_window+1)-point moving average,
+    ``seasonal`` = per-period mean of the detrended values (period given by
+    ``period_col``, e.g. hour-of-day), ``remainder`` = value − trend −
+    seasonal. The anomaly-detection / forecasting preprocessor every
+    metrics stack needs one step past ts3's plain moving average.
+
+    Determinism: window sums of integer values are exact; trend is ONE
+    double division rounded to 6 dp; detrended values are rounded then
+    re-summed in DECIMAL so the per-period mean is independent of partition
+    order; remainder subtracts the two rounded components in pinned order.
+
+    Scale: the input is the AGGREGATED series (hours/days — thousands of
+    rows at any corpus size), so the unpartitioned ordered window is a
+    deliberate single-task stage over a tiny frame; the raw-event rollup
+    that feeds it is the distributed part. Period means join back via a
+    broadcast of ≤period-cardinality rows."""
+    w = Window.orderBy(bucket_col).rowsBetween(-half_window, half_window)
+    trend = F.round(
+        F.sum(F.col(value_col)).over(w).cast("double")
+        / F.count(F.col(value_col)).over(w),
+        6,
+    )
+    base = series.select(
+        bucket_col,
+        period_col,
+        F.col(value_col).cast("long").alias(value_col),
+        trend.alias("trend"),
+    )
+    detr = F.round(F.col(value_col).cast("double") - F.col("trend"), 6).cast(
+        "decimal(28,6)"
+    )
+    per = (
+        base.select(period_col, detr.alias("detr"))
+        .groupBy(period_col)
+        .agg(
+            F.round(
+                F.sum("detr").cast("double") / F.count(F.lit(1)), 6
+            ).alias("seasonal")
+        )
+    )
+    return base.join(F.broadcast(per), period_col).select(
+        bucket_col,
+        value_col,
+        "trend",
+        "seasonal",
+        F.round(
+            F.col(value_col).cast("double") - F.col("trend") - F.col("seasonal"), 6
+        ).alias("remainder"),
+    )

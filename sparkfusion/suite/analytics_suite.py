@@ -2456,3 +2456,56 @@ def st5_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k"))), 6
         ).alias("f_stat"),
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    parts = [
+        """e0 AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+        SELECT o_custkey AS u, (o_orderkey * 2654435761) % 1500 + 1 AS v
+        FROM orders
+      ) WHERE u <> v
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""d{r} AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e{r} UNION ALL SELECT b AS node FROM e{r}
+      ) GROUP BY node
+    )"""
+        )
+        parts.append(f"k{r} AS (SELECT node FROM d{r} WHERE deg >= {k})")
+        parts.append(
+            f"""e{r + 1} AS (
+      SELECT e.a, e.b FROM e{r} e
+      JOIN k{r} x ON e.a = x.node JOIN k{r} y ON e.b = y.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds}
+    ) GROUP BY node"""
+    )
+
+
+@register("g5_kcore", oracle=_kcore_oracle(3, 3))
+def g5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core peeling (k=3) of the deterministic orders graph shared
+    with g2 — the dense-core graph-quality filter (spam rings, community
+    skeletons). Fixed rounds make it oracle-checkable (the sssp contract);
+    convergence to the true k-core fixed point is pinned in
+    tests/test_graph.py. See :func:`sparkfusion.operators.graph.kcore_peel`
+    for the per-round shape (one degree agg + two left-semi joins +
+    localCheckpoint)."""
+    from ..operators.graph import kcore_peel
+
+    orders = table(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.col("o_custkey").alias("u"),
+        ((F.col("o_orderkey") * 2654435761) % 1500 + 1).alias("v"),
+    )
+    return kcore_peel(edges, k=3, rounds=3)

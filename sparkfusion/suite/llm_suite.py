@@ -2843,3 +2843,89 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, q, "vec_id", "embedding",
         n_cells=8, nprobe=2, m=4, dim=64, n_codes=8, k=10,
     )
+
+
+@register(
+    "ret1_rrf_fusion",
+    oracle=f"""
+    WITH dw AS (SELECT doc_id, {_W} AS w FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl FROM dw),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+    ),
+    t AS (SELECT doc_id, unnest(w) AS term FROM dw),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM t
+      WHERE term IN ('vector', 'stream', 'filter') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT doc_id,
+             round(sum(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * CAST(tf AS DOUBLE) * 2.2
+               / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             ), 6) AS bm25
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    btop AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+    brank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a
+      FROM btop
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cs AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 9) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    ctop AS (SELECT vec_id, cos FROM cs ORDER BY cos DESC, vec_id LIMIT 100),
+    crank AS (
+      SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_b
+      FROM ctop
+    )
+    SELECT coalesce(br.doc_id, cr.vec_id) AS id, br.rank_a, cr.rank_b,
+           round(coalesce(CAST(1 AS DOUBLE) / (60 + br.rank_a), 0)
+                 + coalesce(CAST(1 AS DOUBLE) / (60 + cr.rank_b), 0), 9) AS rrf
+    FROM brank br FULL OUTER JOIN crank cr ON br.doc_id = cr.vec_id
+    ORDER BY rrf DESC, id
+    LIMIT 20
+    """,
+)
+def ret1_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking (the bm25_search query) fused
+    with embedding-cosine ranking (the sim_cosine_topk scan, docs keyed by
+    vec_id) via reciprocal-rank fusion — the production RAG pattern where
+    lexical and semantic retrievers vote by rank, not by incomparable
+    scores. Both sides are cut to their top-100 candidates with
+    TakeOrderedAndProject (distributed heap — the corpus is never globally
+    sorted); ranks come from a row_number over the tiny candidate frame;
+    the fusion is a full outer join of two ≤100-row frames. See
+    :func:`sparkfusion.llm.similarity.rrf_fuse` for the determinism
+    contract (integer ranks, pinned-order double sum, round-9, id ties)."""
+    from pyspark.sql import Window
+
+    from ..llm.similarity import brute_force_topk, rrf_fuse
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    bm = text.bm25_scores(docs, list(_BM25_TERMS), "doc_id", "text", k1=1.2, b=0.75)
+    btop = bm.orderBy(F.col("bm25").desc(), "doc_id").limit(100)
+    brank = btop.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("long")
+        .alias("rank_a"),
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    ctop = brute_force_topk(emb, q, "vec_id", "embedding", k=100)
+    crank = ctop.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), "vec_id"))
+        .cast("long")
+        .alias("rank_b"),
+    )
+    return rrf_fuse(brank, crank, id_col="id", k0=60, k=20)

@@ -370,3 +370,59 @@ def ts7_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num").cast("double") / F.col("den").cast("double"), 9
         ).alias("r_acf"),
     )
+
+
+@register(
+    "ts8_seasonal_decompose",
+    oracle="""
+    WITH h AS (
+      SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+             CAST(extract(hour FROM date_trunc('hour', ts)) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT bucket_us, hod, n,
+             round(CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w, 6) AS trend
+      FROM h
+      WINDOW w AS (ORDER BY bucket_us ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    d AS (
+      SELECT *, CAST(round(CAST(n AS DOUBLE) - trend, 6) AS DECIMAL(28,6)) AS detr
+      FROM t
+    ),
+    s AS (
+      SELECT hod, round(CAST(sum(detr) AS DOUBLE) / count(*), 6) AS seasonal
+      FROM d GROUP BY hod
+    )
+    SELECT d.bucket_us, d.n, d.trend, s.seasonal,
+           round(CAST(d.n AS DOUBLE) - d.trend - s.seasonal, 6) AS remainder
+    FROM d JOIN s USING (hod)
+    """,
+)
+def ts8_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event-count
+    series: 25-point centered moving-average trend, hour-of-day seasonal
+    profile, remainder — the STL-lite anomaly/forecast preprocessor (ts5's
+    z-score flags outliers against a FLAT mean; this one first removes trend
+    and daily cycle so real anomalies stand out). The distributed part is
+    the raw-event hourly rollup; the decomposition windows run over the tiny
+    aggregated series by design. See
+    :func:`sparkfusion.operators.timeseries.seasonal_decompose` for the
+    determinism contract."""
+    from ..operators.timeseries import seasonal_decompose
+
+    ev = events_with_ts(spark, sf_dir)
+    hourly = (
+        ev.select(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("bucket")).alias("bucket_us"),
+            F.hour(F.col("bucket")).cast("long").alias("hod"),
+            "n",
+        )
+    )
+    return seasonal_decompose(
+        hourly, "n", "bucket_us", "hod", half_window=12
+    )

@@ -124,3 +124,33 @@ def test_sssp_parallel_edges_keep_lightest(spark):
         for r in sssp_distances(edges, seeds, rounds=2).collect()
     }
     assert got["t"] == 3
+
+
+def test_kcore_peels_pendants_keeps_clique(spark):
+    """A 4-clique (every node degree 3) wearing a pendant chain: k=3 peeling
+    must strip the chain — including the cascade where removing one pendant
+    drops the next below k — and keep the clique intact."""
+    from sparkfusion.operators.graph import kcore_peel
+
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    chain = [(3, 10), (10, 11), (11, 12)]  # pendant path off the clique
+    edges = spark.createDataFrame(clique + chain, "u long, v long")
+    out = {r["node"]: r["deg"] for r in kcore_peel(edges, k=3, rounds=4).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_fixed_rounds_match_convergence(spark):
+    """On the suite's deterministic graph shape (small variant), 3 rounds
+    already reach the fixed point: one more peel changes nothing."""
+    from sparkfusion.operators.graph import kcore_peel
+
+    import random
+
+    rnd = random.Random(7)
+    edges = spark.createDataFrame(
+        [(rnd.randrange(60), rnd.randrange(60)) for _ in range(300)],
+        "u long, v long",
+    )
+    r3 = sorted(map(tuple, kcore_peel(edges, k=3, rounds=3).collect()))
+    r4 = sorted(map(tuple, kcore_peel(edges, k=3, rounds=4).collect()))
+    assert r3 == r4

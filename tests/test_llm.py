@@ -821,3 +821,22 @@ def test_pmi_collocations_separates_mwe_from_frequency(spark):
     # every 'the *' bigram has lower PMI than the planted MWE
     the_pmis = [r["pmi"] for r in out if r["w1"] == "the"]
     assert all(p < sf[0]["pmi"] for p in the_pmis)
+
+
+def test_rrf_fuse_prefers_ids_ranked_by_both(spark):
+    from sparkfusion.llm.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "id long, rank_a long"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (4, 2), (5, 3)], "id long, rank_b long"
+    )
+    out = rrf_fuse(a, b, id_col="id", k0=60, k=10).collect()
+    assert out[0]["id"] == 3  # only id in both rankers
+    assert abs(out[0]["rrf"] - round(1 / 63 + 1 / 61, 9)) < 1e-9
+    # single-side ids score exactly their one term
+    one = {r["id"]: r["rrf"] for r in out}
+    assert abs(one[1] - round(1 / 61, 9)) < 1e-9
+    assert abs(one[4] - round(1 / 62, 9)) < 1e-9
+    assert len(out) == 5

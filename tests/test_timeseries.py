@@ -166,3 +166,43 @@ def test_fe2_user_trend_matches_numpy(spark, sf_dir):
             continue
         slope = np.polyfit(x, y, 1)[0]
         assert got[uid] == pytest.approx(slope, rel=1e-6, abs=1e-9), uid
+
+
+def test_seasonal_decompose_identity_and_flat_series(spark):
+    """value == trend + seasonal + remainder (to rounding), and a constant
+    series decomposes to trend=const, seasonal=0, remainder=0."""
+    from sparkfusion.operators.timeseries import seasonal_decompose
+
+    rows = [(h * 3_600_000_000, h % 24, 10) for h in range(72)]
+    df = spark.createDataFrame(rows, "bucket_us long, hod long, n long")
+    out = seasonal_decompose(df, "n", "bucket_us", "hod", half_window=12).collect()
+    assert len(out) == 72
+    for r in out:
+        assert abs(r["n"] - (r["trend"] + r["seasonal"] + r["remainder"])) < 5e-6
+        assert r["trend"] == 10.0
+        assert r["seasonal"] == 0.0
+        assert r["remainder"] == 0.0
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """A planted 24h cycle (+6 at hour 0) on a flat base must show up in the
+    seasonal component at hour 0, not in the remainder."""
+    from sparkfusion.operators.timeseries import seasonal_decompose
+
+    rows = [
+        (h * 3_600_000_000, h % 24, 10 + (6 if h % 24 == 0 else 0))
+        for h in range(24 * 10)
+    ]
+    df = spark.createDataFrame(rows, "bucket_us long, hod long, n long")
+    out = sorted(
+        seasonal_decompose(df, "n", "bucket_us", "hod", half_window=12).collect(),
+        key=lambda r: r["bucket_us"],
+    )
+    by_hod0 = [r for r in out if r["n"] == 16]
+    others = [r for r in out if r["n"] == 10]
+    mean = lambda xs: sum(xs) / len(xs)
+    assert mean([r["seasonal"] for r in by_hod0]) > 4.0
+    assert abs(mean([r["seasonal"] for r in others])) < 1.0
+    # remainder stays small away from the series edges
+    interior = [r for r in out[13:-13]]
+    assert max(abs(r["remainder"]) for r in interior) < 2.0
