@@ -138,6 +138,13 @@ HEADLINE = {
     "er2_tfidf_cosine_linkage": "er2_tfidf_cosine_linkage",
     "s27_s3_stream_sink_roundtrip": "s27_s3_stream_sink_roundtrip",
     "m3_time_travel_read": "m3_time_travel_read",
+    "sim_ivfpq_topk": "sim_ivfpq_topk",
+    "pmi1_collocations": "pmi1_collocations",
+    "z2_hilbert_key": "z2_hilbert_key",
+    "st5_anova": "st5_anova",
+    "ret1_rrf_fusion": "ret1_rrf_fusion",
+    "ts8_seasonal_decompose": "ts8_seasonal_decompose",
+    "g5_kcore": "g5_kcore",
 }
 
 REPEATS = 3

@@ -2509,3 +2509,114 @@ def g5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_orderkey") * 2654435761) % 1500 + 1).alias("v"),
     )
     return kcore_peel(edges, k=3, rounds=3)
+
+
+@register(
+    "sky1_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS sz
+      FROM part
+    ),
+    w AS (
+      SELECT p_partkey, price_cents, sz,
+             max(sz) OVER (ORDER BY price_cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper,
+             max(sz) OVER (PARTITION BY price_cents) AS best_same
+      FROM p
+    )
+    SELECT p_partkey, price_cents, sz FROM w
+    WHERE (best_cheaper IS NULL OR sz > best_cheaper) AND sz = best_same
+    """,
+)
+def sky1_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (minimize price, maximize size) — the multi-criteria shortlist query
+    (cheapest-per-capability sweep; abc1's 80/20 cut ranks by ONE measure,
+    the skyline keeps every non-dominated trade-off point). Instead of the
+    textbook O(n²) dominance anti-join, two windows give O(n log n): a
+    point survives iff its size beats the running max over all STRICTLY
+    cheaper points (RANGE frame on integer cents — exclusive of peers) and
+    nothing at the SAME price strictly out-sizes it; equal (price, size)
+    duplicates are mutually non-dominating and both stay. All-integer
+    comparisons (cents, size) — no float enters the predicate. Scale note:
+    the ordered window runs on the parts DIMENSION (always tiny next to the
+    facts); a fact-scale skyline would range-partition on price and fold
+    per-partition maxima — same algebra, two passes."""
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("sz"),
+    )
+    w_cheaper = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_same = Window.partitionBy("price_cents")
+    return (
+        p.select(
+            "p_partkey",
+            "price_cents",
+            "sz",
+            F.max("sz").over(w_cheaper).alias("best_cheaper"),
+            F.max("sz").over(w_same).alias("best_same"),
+        )
+        .filter(
+            (F.col("best_cheaper").isNull() | (F.col("sz") > F.col("best_cheaper")))
+            & (F.col("sz") == F.col("best_same"))
+        )
+        .select("p_partkey", "price_cents", "sz")
+    )
+
+
+@register(
+    "fe3_target_encode_loo",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN g.n > 1
+                THEN round(CAST(g.s - CAST(e.value AS DECIMAL(18,2)) AS DOUBLE)
+                           / (g.n - 1), 6)
+                ELSE NULL END AS te_loo
+    FROM events e JOIN g USING (event_type)
+    """,
+)
+def fe3_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature (event_type →
+    mean event value EXCLUDING the row itself) — the leakage-safe mean
+    encoding gradient-boosting pipelines use for high-cardinality
+    categoricals: te(x_i) = (S_g − x_i) / (n_g − 1), which never lets a
+    row see its own target. One groupBy builds (n, S) per category
+    (DECIMAL-exact — values are 2-decimal doubles so the cast is lossless),
+    joined back broadcast-style; per row ONE exact decimal subtraction and
+    ONE double division, round-6. Singleton groups yield NULL (guarded
+    CASE, no ±inf). Scale: category stats are a tiny aggregate joined back
+    to the fact scan — map-side after AQE broadcasts it; no window, no
+    second pass."""
+    ev = events_with_ts(spark, sf_dir)
+    dec = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec).alias("s")
+    )
+    return (
+        ev.join(F.broadcast(g), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("s") - dec).cast("double") / (F.col("n") - 1), 6
+                ),
+            ).alias("te_loo"),
+        )
+    )
