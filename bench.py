@@ -145,6 +145,9 @@ HEADLINE = {
     "ret1_rrf_fusion": "ret1_rrf_fusion",
     "ts8_seasonal_decompose": "ts8_seasonal_decompose",
     "g5_kcore": "g5_kcore",
+    "sky1_skyline": "sky1_skyline",
+    "fe3_target_encode_loo": "fe3_target_encode_loo",
+    "stream_ivfpq_ingest": "stream_ivfpq_ingest",
 }
 
 REPEATS = 3

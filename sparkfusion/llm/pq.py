@@ -263,3 +263,118 @@ def _sub_structs(col: str, m: int, dsub: int):
             for j in range(m)
         ]
     )
+
+
+def derive_ivfpq_params(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 8,
+    m: int = 4,
+    dim: int = 64,
+    n_codes: int = 8,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Derive the literal IVF-PQ index parameters from the deterministic
+    training rows (ids ``[0, n_cells + n_codes)``) with BOUNDED driver math —
+    the km1 pattern: one collect of n_cells+n_codes rows, pure-python
+    replication of the engine's argmin (round-9 L2, cell-id tiebreak), and
+    the result ships into the plan as literals so the encoder is a pure map
+    (usable under Structured Streaming, where a groupBy-argmin would be a
+    stateful aggregate).
+
+    Returns ``(centroids, codebook)``: ``centroids[cell]`` = 64 floats;
+    ``codebook[j][code]`` = the 16-float residual codeword."""
+    import math
+
+    rows = (
+        emb.filter(F.col(id_col) < n_cells + n_codes)
+        .select(F.col(id_col).cast("long").alias("i"), F.col(emb_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    vecs = {r["i"]: list(r["v"]) for r in rows}
+    if len(vecs) < n_cells + n_codes:
+        raise PlanError(
+            f"need ids [0, {n_cells + n_codes}) to derive the IVF-PQ params; "
+            f"got {sorted(vecs)}"
+        )
+    cents = [vecs[c] for c in range(n_cells)]
+
+    def _r9_dist(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return round(math.sqrt(acc), 9)
+
+    d = dim // m
+    codebook: list[list[list[float]]] = [[] for _ in range(m)]
+    for c in range(n_codes):
+        v = vecs[n_cells + c]
+        cell = min((( _r9_dist(v, cents[i]), i) for i in range(n_cells)))[1]
+        r = [x - y for x, y in zip(v, cents[cell])]
+        for j in range(m):
+            codebook[j].append(r[j * d : (j + 1) * d])
+    return cents, codebook
+
+
+def ivfpq_encode_literal(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Map-only IVF-PQ encoder against LITERAL index parameters (from
+    :func:`derive_ivfpq_params`): per row, argmin-assign to a coarse cell,
+    subtract that centroid, argmin-encode each residual subspace — all as
+    whole-stage-codegen expressions (array_min over a struct array is the
+    in-row argmin with the same (distance, id) tiebreak as the distributed
+    form). Because there is NO aggregate and NO join, this plan is legal
+    under Structured Streaming in append mode — the streaming-ingest path of
+    a vector index: new vectors arrive, encode statelessly, append to the
+    cell-partitioned store. Returns ``(id, cell, code0..code{m-1})``."""
+    m = len(codebook)
+    d = len(codebook[0][0])
+    v = F.col(emb_col).cast("array<double>")
+
+    def lit_arr(xs: list[float]):
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    cell_cands = F.array(
+        *[
+            F.struct(
+                euclid_r9(v, lit_arr(c)).alias("d"), F.lit(i).alias("cell")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    cents_lit = F.array(*[lit_arr(c) for c in centroids])
+    base = df.select(
+        F.col(id_col),
+        v.alias("v"),
+        F.array_min(cell_cands).getField("cell").alias("cell"),
+    ).select(
+        id_col,
+        "cell",
+        F.zip_with(
+            "v", F.element_at(cents_lit, F.col("cell") + 1), lambda a, b: a - b
+        ).alias("r"),
+    )
+    code_cols = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        euclid_r9(
+                            F.slice(F.col("r"), j * d + 1, d), lit_arr(cw)
+                        ).alias("d"),
+                        F.lit(c).alias("code"),
+                    )
+                    for c, cw in enumerate(codebook[j])
+                ]
+            )
+        )
+        .getField("code")
+        .alias(f"code{j}")
+        for j in range(m)
+    ]
+    return base.select(id_col, "cell", *code_cols)

@@ -19,6 +19,7 @@ bound state size — without one, window state grows forever at 100 TB/day.
 
 from .windows import (
     read_events_stream,
+    read_table_stream,
     recent_events_tws,
     run_stream_to_table,
     session_window_agg,
@@ -35,6 +36,7 @@ from .windows import (
 
 __all__ = [
     "read_events_stream",
+    "read_table_stream",
     "run_stream_to_table",
     "tumbling_window_agg",
     "sliding_window_agg",

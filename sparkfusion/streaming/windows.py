@@ -47,6 +47,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", _ts_convert(dict(static.dtypes)["ts"]))
 
 
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over any star-schema parquet table (the generic
+    sibling of :func:`read_events_stream`, minus the ts-dtype branch): same
+    file-vs-directory layout handling, schema pinned from the batch read so
+    the stream cannot drift from the table contract."""
+    from ..session import _ensure_read_confs, table
+
+    _ensure_read_confs(spark)
+    static = table(spark, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    reader = spark.readStream.schema(static.schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
+
+
 def run_stream_to_table(result: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a (finite) streaming DataFrame to completion through a memory
     sink; returns the materialized result as a batch DataFrame."""

@@ -618,3 +618,72 @@ def stream_cdc_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("ts_us").alias("last_ts_us"),
     )
+
+
+@register(
+    "stream_ivfpq_ingest",
+    oracle="""
+    WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cvec FROM e WHERE vec_id < 8),
+    assigned AS (
+      SELECT e.vec_id, e.v,
+             (SELECT c.cell FROM cents c
+              ORDER BY round(list_distance(e.v, c.cvec), 9) ASC, c.cell ASC
+              LIMIT 1) AS cell
+      FROM e
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(list_zip(a.v, c.cvec), p -> p[1] - p[2]) AS r
+      FROM assigned a JOIN cents c ON c.cell = a.cell
+    ),
+    cb AS (
+      SELECT CAST(r.vec_id - 8 AS INTEGER) AS code, js.j,
+             r.r[js.j*16+1 : js.j*16+16] AS csub
+      FROM resid r CROSS JOIN js WHERE r.vec_id >= 8 AND r.vec_id < 16
+    ),
+    subs AS (
+      SELECT r.vec_id, r.cell, js.j, r.r[js.j*16+1 : js.j*16+16] AS sub
+      FROM resid r CROSS JOIN js
+    ),
+    codes AS (
+      SELECT s.vec_id, s.cell, s.j,
+        (SELECT cb.code FROM cb WHERE cb.j = s.j
+          ORDER BY round(list_distance(s.sub, cb.csub), 9) ASC, cb.code ASC
+          LIMIT 1) AS code
+      FROM subs s
+    )
+    SELECT vec_id, cell,
+           max(CASE WHEN j = 0 THEN code END) AS code0,
+           max(CASE WHEN j = 1 THEN code END) AS code1,
+           max(CASE WHEN j = 2 THEN code END) AS code2,
+           max(CASE WHEN j = 3 THEN code END) AS code3
+    FROM codes GROUP BY vec_id, cell
+    """,
+)
+def stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING vector-index ingest: the embeddings table replayed as a file
+    stream and IVF-PQ-encoded on the fly — how a production vector store
+    absorbs new embeddings continuously instead of re-batching the corpus.
+    The trick that makes it a legal append-mode stream: the index parameters
+    (8 coarse centroids, 4×8 residual codewords) are derived ONCE from the
+    deterministic training rows with bounded driver math and shipped into
+    the plan as literals (:func:`sparkfusion.llm.pq.derive_ivfpq_params`),
+    so per-vector assign+encode is a PURE MAP (in-row argmin via array_min
+    over struct arrays — no stateful aggregate, no stream-side join). The
+    oracle is the batch IVF-PQ encode of the same corpus — a finite replay
+    must produce byte-identical codes. At 100 TB/day the sink would be the
+    cell-partitioned code store (s27's S3 stream sink); here the memory sink
+    keeps the query self-contained."""
+    from ..llm.pq import derive_ivfpq_params, ivfpq_encode_literal
+    from ..session import table
+    from ..streaming import read_table_stream, run_stream_to_table
+
+    emb_batch = table(spark, sf_dir, "embeddings")
+    cents, codebook = derive_ivfpq_params(
+        emb_batch, "vec_id", "embedding", n_cells=8, m=4, dim=64, n_codes=8
+    )
+    stream = read_table_stream(spark, sf_dir, "embeddings")
+    encoded = ivfpq_encode_literal(stream, cents, codebook, "vec_id", "embedding")
+    return run_stream_to_table(encoded, "append")

@@ -191,3 +191,40 @@ def test_ivfpq_residual_beats_raw_pq_recall(spark, sf_dir):
     ).collect()
     recall = len({r["vec_id"] for r in got} & top_true) / 20
     assert recall >= 0.3, f"ivfpq recall@20 {recall}"
+
+
+def test_literal_encoder_matches_distributed_assignment(spark, sf_dir):
+    """The streaming-safe literal encoder (bounded-driver params, in-row
+    argmin) must produce the same cell for every vector as the distributed
+    broadcast-join assignment inside ivfpq_adc_topk, and codes must be
+    self-consistent: every codebook-source vector encodes its own residual
+    to its own code."""
+    from sparkfusion.llm.pq import derive_ivfpq_params, ivfpq_encode_literal
+    from sparkfusion.llm.ivf import euclid_r9
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, cb = derive_ivfpq_params(emb)
+    out = ivfpq_encode_literal(emb, cents, cb).collect()
+    assert len(out) == emb.count()
+    got = {r["vec_id"]: r for r in out}
+    # centroid vectors assign to their own cell with zero distance
+    for c in range(8):
+        assert got[c]["cell"] == c
+    # codebook-source vectors (ids 8..15) encode to their own code
+    for c in range(8):
+        r = got[8 + c]
+        assert (r["code0"], r["code1"], r["code2"], r["code3"]) == (c, c, c, c)
+    # cross-check cells against the distributed argmin
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, cvec array<double>"
+    )
+    dist = (
+        v.crossJoin(F.broadcast(cents_df))
+        .withColumn("d", euclid_r9(F.col("v"), F.col("cvec")))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cell")).alias("b"))
+        .select("vec_id", F.col("b.cell").alias("cell"))
+    )
+    for r in dist.collect():
+        assert got[r["vec_id"]]["cell"] == r["cell"], r["vec_id"]
