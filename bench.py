@@ -148,6 +148,9 @@ HEADLINE = {
     "sky1_skyline": "sky1_skyline",
     "fe3_target_encode_loo": "fe3_target_encode_loo",
     "stream_ivfpq_ingest": "stream_ivfpq_ingest",
+    "mm_scene_cut": "mm_scene_cut",
+    "ts9_rolling_median": "ts9_rolling_median",
+    "st6_mutual_information": "st6_mutual_information",
 }
 
 REPEATS = 3

@@ -2620,3 +2620,61 @@ def fe3_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te_loo"),
         )
     )
+
+
+@register(
+    "st6_mutual_information",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_xy
+      FROM events GROUP BY 1, 2
+    ),
+    rx AS (SELECT event_type, sum(n_xy) AS n_x FROM c GROUP BY 1),
+    ry AS (SELECT bucket, sum(n_xy) AS n_y FROM c GROUP BY 1),
+    t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM c)
+    SELECT c.event_type, c.bucket, c.n_xy,
+           round((CAST(c.n_xy AS DOUBLE) / t.n)
+                 * ln((CAST(c.n_xy AS DOUBLE) * t.n)
+                      / (CAST(rx.n_x AS DOUBLE) * ry.n_y)), 9) AS mi_term
+    FROM c JOIN rx USING (event_type) JOIN ry USING (bucket) CROSS JOIN t
+    """,
+)
+def st6_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between a categorical and a bucketed numeric
+    column (event_type × value decile-ish buckets) — the dependence measure
+    that catches NONLINEAR association st1's chi-square only tests and a17's
+    correlation misses entirely; the feature-selection score for curation
+    pipelines. Per-cell terms (n_xy/N)·ln(n_xy·N / (n_x·n_y)) localize which
+    cells carry the dependence; their sum is the MI (zero-observed cells
+    contribute exactly 0 and are naturally absent). Counts are exact
+    BIGINTs; each term is one pinned-order double ratio + ln + round-9 (the
+    st1/pmi1 discipline — products go through doubles so corpus-scale
+    counts cannot overflow int64). Shape: one groupBy collapses the scan;
+    marginals and terms live on the tiny cell frame."""
+    ev = events_with_ts(spark, sf_dir)
+    c = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    rx = c.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    ry = c.groupBy("bucket").agg(F.sum("n_xy").alias("n_y"))
+    t = c.agg(F.sum("n_xy").cast("long").alias("n"))
+    return (
+        c.join(rx, "event_type")
+        .join(ry, "bucket")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "bucket",
+            "n_xy",
+            F.round(
+                (F.col("n_xy").cast("double") / F.col("n"))
+                * F.log(
+                    (F.col("n_xy").cast("double") * F.col("n"))
+                    / (F.col("n_x").cast("double") * F.col("n_y"))
+                ),
+                9,
+            ).alias("mi_term"),
+        )
+    )

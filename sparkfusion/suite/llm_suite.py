@@ -2929,3 +2929,56 @@ def ret1_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank_b"),
     )
     return rrf_fuse(brank, crank, id_col="id", k0=60, k=20)
+
+
+@register(
+    "mm_scene_cut",
+    oracle="""
+    WITH f AS (SELECT unnest(generate_series(0, 3)) AS frame_idx),
+    g AS (
+      SELECT a.x, b.y
+      FROM (SELECT unnest(generate_series(0, 2)) AS x) a,
+           (SELECT unnest(generate_series(0, 1)) AS y) b
+    ),
+    s AS (
+      SELECT doc_id AS media_id, frame_idx,
+             CAST(sum(((x * 7 + y * 13 + doc_id + frame_idx * 17) % 256) * 64)
+                  AS BIGINT) AS sum_lum
+      FROM documents, f, g
+      GROUP BY doc_id, frame_idx
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, sum_lum,
+           sum_lum - lag(sum_lum) OVER w AS lum_delta,
+           CASE WHEN abs(sum_lum - lag(sum_lum) OVER w) > 30000
+                THEN TRUE ELSE FALSE END AS is_cut
+    FROM s
+    WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+    """,
+)
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection over the REAL MJPEG decode path: every
+    frame entropy-decoded (mm_mjpeg_frames samples every 2nd; a cut detector
+    needs consecutive frames), then per-stream frame-to-frame luminance
+    delta with a fixed threshold — the shot-boundary heuristic video
+    curation pipelines run before sampling training frames. Frame 0 of each
+    stream has no predecessor (NULL delta, is_cut=false by the CASE's NULL
+    comparison semantics — identical in both engines). The decode is
+    mapInPandas batch work; the lag window partitions per media stream, so
+    it distributes — no global order. Luminance sums stay analytic (the
+    flat-block exact regime), keeping the full pipeline oracle-checkable."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.mjpeg_media_table(docs, "doc_id")
+    frames = multimodal.sample_mjpeg_frames(media, every_n=1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    delta = F.col("sum_lum") - F.lag("sum_lum").over(w)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "sum_lum",
+        delta.alias("lum_delta"),
+        F.when(F.abs(delta) > 30000, F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_cut"),
+    )

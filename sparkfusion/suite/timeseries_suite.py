@@ -426,3 +426,58 @@ def ts8_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(
         hourly, "n", "bucket_us", "hod", half_window=12
     )
+
+
+@register(
+    "ts9_rolling_median",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             count(*) OVER w AS n_win,
+             median(value) OVER w AS med
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    )
+    SELECT event_id, user_id, value, med FROM s WHERE n_win = 5
+    """,
+)
+def ts9_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 5-point rolling MEDIAN per user series — the robust smoother
+    ts3's mean cannot be (one spike drags a mean for its whole window;
+    a median shrugs it off). Spark refuses aggregate median over a window
+    frame, so the fixed-width median is built from pure expressions:
+    array_sort over the (lag2, lag1, v, lead1, lead2) tuple, take the middle
+    element — whole-stage codegen, no UDF, and EXACT (odd count → middle
+    value, no interpolation, so the double compares bit-for-bit with
+    DuckDB's window median). Edge rows without a full window are trimmed on
+    BOTH sides (the oracle filters on the frame count) — partial-window
+    medians of even counts would interpolate and reintroduce float risk.
+    Scale: partitioned by user, no global order."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lags = [
+        F.lag("value", 2).over(w),
+        F.lag("value", 1).over(w),
+        F.col("value"),
+        F.lead("value", 1).over(w),
+        F.lead("value", 2).over(w),
+    ]
+    arr = F.array(*lags)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            arr.alias("win"),
+        )
+        .filter(~F.exists("win", lambda x: x.isNull()))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.element_at(F.array_sort("win"), 3).alias("med"),
+        )
+    )
