@@ -151,6 +151,7 @@ HEADLINE = {
     "mm_scene_cut": "mm_scene_cut",
     "ts9_rolling_median": "ts9_rolling_median",
     "st6_mutual_information": "st6_mutual_information",
+    "m4_compact_small_files": "m4_compact_small_files",
 }
 
 REPEATS = 3

@@ -652,3 +652,36 @@ def s27_s3_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_from_s3_native(
         spark, "sparkfusion-suite", prefix, name=f"s27_back_{run}", **opts
     )
+
+
+@register(
+    "m4_compact_small_files",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_orderkey % 5 = 0
+    """,
+)
+def m4_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as a first-class maintenance query (the
+    OPTIMIZE / bin-packing pass every lakehouse runs): a lineitem slice is
+    deliberately fragmented into 32 tiny files (what a streaming or
+    per-task writer accretes), compacted via
+    :func:`sparkfusion.sources.writers.compact_parquet` — coalesce (no
+    shuffle) into a staging dir, then a crash-safe park→promote→delete
+    swap — and read back. The oracle pins that compaction is
+    content-preserving; the file-count collapse and the swap's crash
+    ordering are pinned in tests/test_maintenance.py. Completes the
+    maintenance family: compact (this), vacuum (snapshot GC), time travel
+    (m3), incremental refresh (mv1)."""
+    from ..sources.writers import compact_parquet
+
+    path = os.path.join(IO_DIR, "m4_compact")
+    sl = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    )
+    sl.repartition(32).write.mode("overwrite").parquet(path)
+    n_after = compact_parquet(spark, path, target_files=2)
+    assert n_after <= 2, n_after
+    return spark.read.parquet(path)
