@@ -1260,8 +1260,8 @@ def rc1_recursive_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g2_triangle_count",
     oracle="""
     WITH raw AS (
-      SELECT least(o_custkey, (o_orderkey * 2654435761) % 1500 + 1) AS u,
-             greatest(o_custkey, (o_orderkey * 2654435761) % 1500 + 1) AS v
+      SELECT least(o_custkey, ((o_orderkey % 1500) * 1261) % 1500 + 1) AS u,
+             greatest(o_custkey, ((o_orderkey % 1500) * 1261) % 1500 + 1) AS v
       FROM orders
     ),
     e AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
@@ -1302,7 +1302,7 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     edges = orders.select(
         F.col("o_custkey").alias("u"),
-        ((F.col("o_orderkey") * 2654435761) % 1500 + 1).alias("v"),
+        (((F.col("o_orderkey") % 1500) * 1261) % 1500 + 1).alias("v"),
     )
     return triangle_count(edges)
 
@@ -2462,7 +2462,7 @@ def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
     parts = [
         """e0 AS (
       SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
-        SELECT o_custkey AS u, (o_orderkey * 2654435761) % 1500 + 1 AS v
+        SELECT o_custkey AS u, ((o_orderkey % 1500) * 1261) % 1500 + 1 AS v
         FROM orders
       ) WHERE u <> v
     )"""
@@ -2506,7 +2506,7 @@ def g5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     edges = orders.select(
         F.col("o_custkey").alias("u"),
-        ((F.col("o_orderkey") * 2654435761) % 1500 + 1).alias("v"),
+        (((F.col("o_orderkey") % 1500) * 1261) % 1500 + 1).alias("v"),
     )
     return kcore_peel(edges, k=3, rounds=3)
 

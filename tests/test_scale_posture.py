@@ -25,6 +25,7 @@ COLLECT_ALLOWED = {
     "llm/dedup.py": "CC convergence scalar per round",
     "llm/text.py": "BPE trainer: 1-row TakeOrderedAndProject merge pick per round",
     "llm/ivf.py": "k centroid rows broadcast back (k ≤ 256 by contract)",
+    "llm/pq.py": "IVF-PQ param derivation: n_cells+n_codes training rows (16 by contract) shipped as plan literals",
     "operators/kmeans.py": "k×(d+1) centroid aggregates per round (k·d bounded by contract)",
     "suite/analytics_suite.py": "mv/merge demos read back tiny committed outputs",
     "suite/llm_suite.py": "decontam benchmark shingle set broadcast (bounded)",
