@@ -152,6 +152,7 @@ HEADLINE = {
     "ts9_rolling_median": "ts9_rolling_median",
     "st6_mutual_information": "st6_mutual_information",
     "m4_compact_small_files": "m4_compact_small_files",
+    "s29_corrupt_record_quarantine": "s29_corrupt_record_quarantine",
 }
 
 REPEATS = 3

@@ -685,3 +685,62 @@ def m4_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_after = compact_parquet(spark, path, target_files=2)
     assert n_after <= 2, n_after
     return spark.read.parquet(path)
+
+
+@register(
+    "s29_corrupt_record_quarantine",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_nationkey % 5 <> 0
+    """,
+)
+def s29_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row quarantine on CSV ingest — the dead-letter pattern every
+    production loader needs: rows that fail typed parsing must not kill the
+    job (FAILFAST) or silently vanish (DROPMALFORMED), they must route to a
+    quarantine sink for replay. Every 5th nation row is written with a
+    poisoned integer field; the PERMISSIVE read captures each unparseable
+    line intact in ``_corrupt``, good rows flow on, bad rows land in a
+    quarantine parquet with their raw text. The oracle pins that the GOOD
+    set is exactly the unpoisoned rows — nothing dropped, nothing leaked
+    through with nulls. (Spark requires materializing the frame before
+    filtering on the internal corrupt-record column — the documented
+    raw-file restriction; production lands the typed+corrupt frame to a
+    staging table first, which is exactly what the cache stands in for.)"""
+    path = os.path.join(IO_DIR, "nation_poisoned_csv")
+    qpath = os.path.join(IO_DIR, "nation_quarantine")
+    nat = table(spark, sf_dir, "nation")
+    lines = nat.select(
+        F.when(
+            F.col("n_nationkey") % 5 == 0,
+            F.concat_ws(
+                ",", F.concat(F.lit("x"), F.col("n_nationkey")), F.col("n_name"),
+                F.col("n_regionkey"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",", F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    raw = (
+        spark.read.schema(
+            "n_nationkey int, n_name string, n_regionkey int, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    ).cache()
+    try:
+        bad = raw.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
+        bad.write.mode("overwrite").parquet(qpath)
+        good = raw.filter(F.col("_corrupt").isNull()).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        out = good.localCheckpoint(eager=True)
+    finally:
+        raw.unpersist()
+    return out

@@ -147,3 +147,26 @@ def test_binary_file_scan_matches_disk_bytes(spark, sf_dir):
             len(data),
             hashlib.md5(data).hexdigest(),
         )
+
+
+def test_corrupt_record_quarantine_captures_bad_rows(spark, sf_dir):
+    """The dead-letter side of s29: every poisoned line (and only those)
+    lands in the quarantine parquet with its raw text intact for replay."""
+    from sparkfusion.suite.sources_suite import (
+        IO_DIR,
+        s29_corrupt_record_quarantine,
+    )
+    import os
+
+    from pyspark.sql import functions as F
+
+    good = s29_corrupt_record_quarantine(spark, sf_dir)
+    from sparkfusion.session import table
+
+    nat = table(spark, sf_dir, "nation")
+    n_bad = nat.filter(F.col("n_nationkey") % 5 == 0).count()
+    assert good.count() == nat.count() - n_bad
+    q = spark.read.parquet(os.path.join(IO_DIR, "nation_quarantine"))
+    rows = [r["_corrupt"] for r in q.collect()]
+    assert len(rows) == n_bad
+    assert all(r.startswith("x") for r in rows)  # raw poisoned text preserved
