@@ -153,6 +153,7 @@ HEADLINE = {
     "st6_mutual_information": "st6_mutual_information",
     "m4_compact_small_files": "m4_compact_small_files",
     "s29_corrupt_record_quarantine": "s29_corrupt_record_quarantine",
+    "g6_personalized_pagerank": "g6_personalized_pagerank",
 }
 
 REPEATS = 3

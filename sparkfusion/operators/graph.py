@@ -324,3 +324,64 @@ def kcore_peel(
             .localCheckpoint(eager=False)
         )
     return degrees(e)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 12,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to a SOURCE SET instead
+    of spreading uniformly — the graph-proximity score behind
+    recommendation ("items near what this user touched"), seed-expansion
+    community detection, and trust propagation. Same fixed-point BIGINT
+    arithmetic as :func:`pagerank` (float PPR is not reproducible across
+    partitionings; integer div/mul/add is bit-identical everywhere), same
+    per-iteration shape (one contribution shuffle + localCheckpoint), with
+    the teleport term gated on source membership: ``rank' =
+    e(v)·teleport_fp + (d·Σ contrib) div 100`` where ``e(v)=1`` iff v is a
+    source and ``teleport_fp = ((100−d)·10^scale) div (100·|S|)``.
+    Non-source nodes unreached after ``iterations`` hops carry rank 0 —
+    returned, not dropped, so the output is a total scoring of the node
+    set."""
+    one = 10**scale
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
+    nodes = e.select("src").distinct().withColumnRenamed("src", "node").cache()
+    n_src = len(sources)
+    init_fp = one // n_src
+    teleport_fp = ((100 - damping_pct) * one) // (100 * n_src)
+    is_src = F.col("node").isin(list(sources))
+    ranks = nodes.withColumn(
+        "rank_fp",
+        F.when(is_src, F.lit(init_fp)).otherwise(F.lit(0)).cast("long"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("rank_fp div deg").alias("c"))
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(is_src, F.lit(teleport_fp)).otherwise(F.lit(0))
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                )
+                .cast("long")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

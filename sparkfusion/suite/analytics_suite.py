@@ -2678,3 +2678,64 @@ def st6_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mi_term"),
         )
     )
+
+
+def _ppr_oracle(iters: int = 3) -> str:
+    srcs = "('c1', 'c2', 'c3')"
+    sql = f"""
+    WITH base AS (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM base UNION SELECT b, a FROM base
+    ), deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    nodes AS (SELECT src AS node FROM deg),
+    nn AS (
+      SELECT 1000000000000 // 3 AS init_fp,
+             (15 * 1000000000000) // (100 * 3) AS teleport_fp
+    ),
+    r0 AS (
+      SELECT node,
+             CAST(CASE WHEN node IN {srcs} THEN init_fp ELSE 0 END AS BIGINT)
+               AS rank_fp
+      FROM nodes, nn)"""
+    for i in range(iters):
+        sql += f""", r{i + 1} AS (
+      SELECT n.node,
+             CAST(CASE WHEN n.node IN {srcs} THEN teleport_fp ELSE 0 END
+                  + (85 * coalesce(d.s, 0)) // 100 AS BIGINT) AS rank_fp
+      FROM nodes n CROSS JOIN nn LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank_fp // deg.deg) AS s
+        FROM edges e JOIN r{i} r ON r.node = e.src JOIN deg ON deg.src = e.src
+        GROUP BY 1
+      ) d ON d.node = n.node)"""
+    return sql + f" SELECT node, rank_fp FROM r{iters}"
+
+
+@register("g6_personalized_pagerank", oracle=_ppr_oracle(3))
+def g6_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a 3-customer seed set over the same
+    symmetrized trade graph as g1 — the graph-proximity recommender score
+    ("suppliers/customers near THESE customers"), where g1 answers global
+    importance. Teleport mass returns only to the seeds; nodes unreached in
+    3 hops score exactly 0 and are still returned (a total scoring, not a
+    reachability filter). Fixed-point BIGINT arithmetic and per-round
+    localCheckpoint exactly as g1. See
+    :func:`sparkfusion.operators.graph.personalized_pagerank`."""
+    from ..operators.graph import personalized_pagerank
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    out = personalized_pagerank(edges, ["c1", "c2", "c3"], iterations=3)
+    return out.select("node", "rank_fp")

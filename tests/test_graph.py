@@ -154,3 +154,21 @@ def test_kcore_fixed_rounds_match_convergence(spark):
     r3 = sorted(map(tuple, kcore_peel(edges, k=3, rounds=3).collect()))
     r4 = sorted(map(tuple, kcore_peel(edges, k=3, rounds=4).collect()))
     assert r3 == r4
+
+
+def test_personalized_pagerank_concentrates_near_seeds(spark):
+    """On a barbell (two cliques joined by one bridge), PPR seeded in clique
+    A must score clique-A nodes above clique-B nodes, and the seed highest;
+    global PageRank would score the symmetric cliques identically."""
+    from sparkfusion.operators.graph import personalized_pagerank
+
+    a = [(f"a{i}", f"a{j}") for i in range(4) for j in range(4) if i != j]
+    b = [(f"b{i}", f"b{j}") for i in range(4) for j in range(4) if i != j]
+    bridge = [("a0", "b0"), ("b0", "a0")]
+    edges = spark.createDataFrame(a + b + bridge, "src string, dst string")
+    out = {
+        r["node"]: r["rank_fp"]
+        for r in personalized_pagerank(edges, ["a1"], iterations=4).collect()
+    }
+    assert out["a1"] == max(out.values())
+    assert min(out[f"a{i}"] for i in range(4)) > max(out[f"b{i}"] for i in range(1, 4))
