@@ -411,3 +411,40 @@ def test_dq10_skew_diag_two_aggregations_only(spark, sf_dir):
         + plan.count("ObjectHashAggregate")
     )
     assert n_aggs >= 2
+
+
+def test_z2_hilbert_is_map_only(spark, sf_dir):
+    """The Hilbert key must plan as a pure scan+project chain — zero
+    exchanges, zero joins: Catalyst collapses the 8 chained level
+    projections into one codegen stage."""
+    from sparkfusion.suite.sources_suite import z2_hilbert_key
+
+    plan = plan_of(z2_hilbert_key(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "FileScan parquet" in plan
+
+
+def test_ivfpq_broadcasts_index_structures(spark, sf_dir):
+    """IVF-PQ: centroids, codebook, and the query distance table must all
+    broadcast — no SortMergeJoin and no cartesian product anywhere in the
+    index pipeline."""
+    from sparkfusion.suite.llm_suite import sim_ivfpq_topk
+
+    plan = plan_of(sim_ivfpq_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_stream_ivfpq_encoder_is_stateless_map(spark, sf_dir):
+    """The streaming encoder's batch-equivalent plan: literal index params →
+    no aggregate, no join, no exchange (what makes it append-mode legal)."""
+    from sparkfusion.llm.pq import derive_ivfpq_params, ivfpq_encode_literal
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, cb = derive_ivfpq_params(emb)
+    plan = plan_of(ivfpq_encode_literal(emb, cents, cb))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
