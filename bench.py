@@ -154,6 +154,7 @@ HEADLINE = {
     "m4_compact_small_files": "m4_compact_small_files",
     "s29_corrupt_record_quarantine": "s29_corrupt_record_quarantine",
     "g6_personalized_pagerank": "g6_personalized_pagerank",
+    "sim_ivfpq_store_probe": "sim_ivfpq_store_probe",
 }
 
 REPEATS = 3

@@ -378,3 +378,28 @@ def ivfpq_encode_literal(
         for j in range(m)
     ]
     return base.select(id_col, "cell", *code_cols)
+
+
+def probe_cells_for_query(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int = 2
+) -> list[int]:
+    """The ``nprobe`` cells nearest a query vector by round-9 cosine against
+    the literal centroids (cell-id tiebreak) — bounded driver math matching
+    the engine-side probe selection, so a reader can turn the probe set into
+    a PARTITION FILTER on the cell-partitioned code store."""
+    import math
+
+    def _r9_cos(a: list[float], b: list[float]) -> float:
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 9)
+
+    ranked = sorted(
+        ((-_r9_cos(c, query_vec), i) for i, c in enumerate(centroids))
+    )
+    return [i for _, i in ranked[:nprobe]]

@@ -2982,3 +2982,90 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_cut"),
     )
+
+
+@register(
+    "sim_ivfpq_store_probe",
+    oracle="""
+    WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cvec FROM e WHERE vec_id < 8),
+    assigned AS (
+      SELECT e.vec_id, e.v,
+             (SELECT c.cell FROM cents c
+              ORDER BY round(list_distance(e.v, c.cvec), 9) ASC, c.cell ASC
+              LIMIT 1) AS cell
+      FROM e
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(list_zip(a.v, c.cvec), p -> p[1] - p[2]) AS r
+      FROM assigned a JOIN cents c ON c.cell = a.cell
+    ),
+    cb AS (
+      SELECT CAST(r.vec_id - 8 AS INTEGER) AS code, js.j,
+             r.r[js.j*16+1 : js.j*16+16] AS csub
+      FROM resid r CROSS JOIN js WHERE r.vec_id >= 8 AND r.vec_id < 16
+    ),
+    subs AS (
+      SELECT r.vec_id, r.cell, js.j, r.r[js.j*16+1 : js.j*16+16] AS sub
+      FROM resid r CROSS JOIN js
+    ),
+    codes AS (
+      SELECT s.vec_id, s.cell, s.j,
+        (SELECT cb.code FROM cb WHERE cb.j = s.j
+          ORDER BY round(list_distance(s.sub, cb.csub), 9) ASC, cb.code ASC
+          LIMIT 1) AS code
+      FROM subs s
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cell FROM cents c CROSS JOIN q
+      ORDER BY round(list_cosine_similarity(c.cvec, q.qv), 9) DESC, c.cell ASC
+      LIMIT 2
+    )
+    SELECT vec_id, cell,
+           max(CASE WHEN j = 0 THEN code END) AS code0,
+           max(CASE WHEN j = 1 THEN code END) AS code1,
+           max(CASE WHEN j = 2 THEN code END) AS code2,
+           max(CASE WHEN j = 3 THEN code END) AS code3
+    FROM codes WHERE cell IN (SELECT cell FROM probe)
+    GROUP BY vec_id, cell
+    """,
+)
+def sim_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ STORAGE contract made real: the encoded corpus is written
+    as parquet PARTITIONED BY cell (what "at 100 TB the probe is a
+    partition-pruned scan" means operationally), then the query's two probe
+    cells — picked by the same bounded driver math that derived the index
+    params — become a partition FILTER on the read, so Spark lists and
+    scans only 2 of 8 cell directories (PartitionFilters, pinned in
+    tests/test_plans.py). Oracle = the batch encode restricted to the
+    probed cells: storage layout and probe pruning change WHAT IS READ,
+    never what is true. Completes the IVF-PQ trilogy: query-time composite
+    (sim_ivfpq_topk), streaming ingest (stream_ivfpq_ingest), pruned store
+    (this)."""
+    import os
+
+    from ..llm.pq import (
+        derive_ivfpq_params,
+        ivfpq_encode_literal,
+        probe_cells_for_query,
+    )
+    from .sources_suite import IO_DIR
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, cb = derive_ivfpq_params(emb)
+    codes = ivfpq_encode_literal(emb, cents, cb)
+    path = os.path.join(IO_DIR, "ivfpq_codes")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    probed = probe_cells_for_query(qv, cents, nprobe=2)
+    stored = spark.read.parquet(path)
+    return stored.filter(F.col("cell").isin(probed)).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"),
+        "code0", "code1", "code2", "code3",
+    )

@@ -448,3 +448,17 @@ def test_stream_ivfpq_encoder_is_stateless_map(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Aggregate" not in plan
+
+
+def test_ivfpq_store_probe_prunes_partitions(spark, sf_dir):
+    """The cell-partitioned code store must serve the probe as a
+    PARTITION-pruned scan: the probe filter appears in PartitionFilters and
+    the scan lists only the probed cell directories."""
+    from sparkfusion.suite.llm_suite import sim_ivfpq_store_probe
+
+    import re
+
+    df = sim_ivfpq_store_probe(spark, sf_dir)
+    plan = plan_of(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1) and "IN" in m.group(1).upper(), m
