@@ -384,7 +384,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     (which shuffled the whole label set again). The sum runs in DECIMAL(38)
     so billions of 64-bit ids cannot overflow.
     """
-    half = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    # materialize the pair pipeline ONCE before symmetrizing: the union reads
+    # `half` twice, and without this checkpoint the (potentially expensive —
+    # MinHash/LSH) upstream subtree executes twice (measured 2x on
+    # dedup_minhash_clusters at sf0.1)
+    half = pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    ).localCheckpoint()
     edges = (
         half.union(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
