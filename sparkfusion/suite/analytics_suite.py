@@ -649,6 +649,34 @@ def a18_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer<->supplier trade graph shared by g1/g3/g4/g6.
+
+    Deliberately NOT checkpointed before the symmetrizing union: the two
+    branches are identical up to a projection, so Spark reuses the
+    join+distinct exchange (ReusedExchange) and the double-read costs one
+    trivial post-shuffle projection — an eager localCheckpoint here measured
+    ~60% SLOWER (3.4s -> 5.8s warm at sf0.1). Contrast
+    :func:`sparkfusion.llm.dedup.connected_components`, where the pair
+    pipeline's post-shuffle verify work is heavy and the pre-union
+    checkpoint measured 35% FASTER — materialize-before-union is a
+    per-pipeline measurement, not a rule."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    return base.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     sql = """
     WITH base AS (
@@ -688,19 +716,7 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`sparkfusion.operators.graph.pagerank`."""
     from ..operators.graph import pagerank
 
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    base = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
-        )
-        .distinct()
-    )
-    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     out = pagerank(edges, iterations=3)
     return out.select("node", "rank_fp")
 
@@ -740,19 +756,7 @@ def g3_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`sparkfusion.operators.graph.bfs_distances`."""
     from ..operators.graph import bfs_distances
 
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    base = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
-        )
-        .distinct()
-    )
-    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     seeds = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_nationkey") == 0)
@@ -1821,19 +1825,7 @@ def g4_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     g3 measures hops, g4 measures weighted distance."""
     from ..operators.graph import sssp_distances
 
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    base = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
-        )
-        .distinct()
-    )
-    pairs = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    pairs = _trade_edges(spark, sf_dir)
     edges = pairs.select(
         "src",
         "dst",
@@ -2724,18 +2716,6 @@ def g6_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`sparkfusion.operators.graph.personalized_pagerank`."""
     from ..operators.graph import personalized_pagerank
 
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    base = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
-        )
-        .distinct()
-    )
-    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     out = personalized_pagerank(edges, ["c1", "c2", "c3"], iterations=3)
     return out.select("node", "rank_fp")
