@@ -412,3 +412,44 @@ def p28_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
     )
     return as_map.select("user_id", F.explode("m").alias("event_type", "n"))
+
+
+@register(
+    "x10_observed_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f
+    FROM orders
+    """,
+)
+def x10_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-cost pipeline observability via the Observation API: metrics
+    (row count, DECIMAL-exact total, a conditional count) ride along with
+    the SAME pass that executes the pipeline — `df.observe()` attaches
+    CollectMetrics to the plan and a noop-format write drives it, so the
+    audit numbers every production job logs cost zero extra scans (vs dq1's
+    dedicated profile pass). The observed values round-trip through the
+    driver into a 1-row frame the oracle checks against a plain aggregate —
+    proving observe() sees every row exactly once. In streaming, the same
+    API surfaces per-batch metrics on QueryProgress events."""
+    from pyspark.sql import Observation
+
+    obs = Observation("pipeline_metrics")
+    orders = table(spark, sf_dir, "orders")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_f"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_price"], m["n_f"])],
+        "n_rows long, sum_price double, n_f long",
+    )
