@@ -156,6 +156,7 @@ HEADLINE = {
     "g6_personalized_pagerank": "g6_personalized_pagerank",
     "sim_ivfpq_store_probe": "sim_ivfpq_store_probe",
     "x10_observed_metrics": "x10_observed_metrics",
+    "x11_mapinarrow_stats": "x11_mapinarrow_stats",
 }
 
 REPEATS = 3

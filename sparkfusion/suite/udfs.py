@@ -356,3 +356,51 @@ def x9_udtf_analyze_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.w1, s.w2, s.w3 "
         "FROM x9_docs d, LATERAL first_words(lower(d.text), 3) s"
     )
+
+
+@register(
+    "x11_mapinarrow_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+             AS n_tokens
+    FROM documents
+    """,
+)
+def x11_mapinarrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped ``mapInArrow`` (the rawest Python batch API — RecordBatch
+    in, RecordBatch out, no pandas materialization at all): per-document
+    char and token counts via pyarrow compute kernels. Completes the Python
+    execution ladder: row UDF (x2, contract-gated) → pandas scalar/iterator
+    (x1/x5) → grouped/cogrouped pandas (x6/x7) → grouped Arrow (x8) →
+    ungrouped Arrow (this). All-integer contract (utf8_length,
+    count_substring+1 — documents are single-spaced, pinned by the oracle's
+    replace-arithmetic twin). When even kernel dispatch matters at 100 TB,
+    this path skips the pandas block-manager entirely — the cheapest
+    possible Python touchpoint, though the real answer is usually the pure
+    column expression (see text.token_count)."""
+    import pyarrow as pa
+
+    from ..session import table as _table
+
+    schema = "doc_id long, n_chars long, n_tokens long"
+
+    def stats(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.add(pc.count_substring(text, " "), 1), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "n_chars", "n_tokens"],
+            )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(stats, schema)
