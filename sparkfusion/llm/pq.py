@@ -33,7 +33,7 @@ engines and partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .ivf import euclid_r9
@@ -222,8 +222,15 @@ def ivfpq_adc_topk(
     probe = (
         cents.crossJoin(F.broadcast(q))
         .withColumn("c_cos", cosine_r9(F.col("cvec"), F.col("qv")))
-        .orderBy(F.col("c_cos").desc(), F.col("cell"))
-        .limit(nprobe)
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("c_cos").desc(), F.col("cell")
+                )
+            ),
+        )
+        .filter(F.col("probe_rank") <= nprobe)
         .select(
             "cell",
             "q_id",
@@ -247,7 +254,21 @@ def ivfpq_adc_topk(
         .groupBy("q_id", id_col)
         .agg(F.sum("qd").cast("double").alias("adist"))
     )
-    return scored.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(k)
+    # Per-q_id top-k (row_number, not a global limit) so a multi-row
+    # query_df gets k candidates per query; identical output for one query.
+    return (
+        scored.withColumn(
+            "topk_rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("adist").asc(), F.col(id_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("topk_rank") <= k)
+        .drop("topk_rank")
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+    )
 
 
 def _sub_structs(col: str, m: int, dsub: int):

@@ -347,7 +347,9 @@ def personalized_pagerank(
     source and ``teleport_fp = ((100−d)·10^scale) div (100·|S|)``.
     Non-source nodes unreached after ``iterations`` hops carry rank 0 —
     returned, not dropped, so the output is a total scoring of the node
-    set."""
+    set. The node set is src ∪ dst, so sink nodes of a directed graph
+    (dst-only) are scored too rather than silently dropping their inbound
+    mass (r8 advisor finding)."""
     one = 10**scale
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -355,7 +357,12 @@ def personalized_pagerank(
         .cache()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
-    nodes = e.select("src").distinct().withColumnRenamed("src", "node").cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
     n_src = len(sources)
     init_fp = one // n_src
     teleport_fp = ((100 - damping_pct) * one) // (100 * n_src)

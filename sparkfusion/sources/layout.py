@@ -119,17 +119,21 @@ def with_hilbert_key(
     no UDF and no shuffle."""
     if 2 * bits > 62:
         raise PlanError(f"hilbert key needs 2x{bits} bits, exceeding BIGINT")
+    reserved = {"__hx", "__hy", "__hd"}
+    clash = reserved.intersection(keep) | {out} & reserved
+    if clash:
+        raise PlanError(f"keep/out collide with hilbert working columns: {sorted(clash)}")
     cur = df.selectExpr(
         *keep,
-        f"CAST(({x_expr}) AS BIGINT) AS hx",
-        f"CAST(({y_expr}) AS BIGINT) AS hy",
-        "CAST(0 AS BIGINT) AS hd",
+        f"CAST(({x_expr}) AS BIGINT) AS __hx",
+        f"CAST(({y_expr}) AS BIGINT) AS __hy",
+        "CAST(0 AS BIGINT) AS __hd",
     )
-    for xe, ye, de in hilbert_level_exprs(bits):
+    for xe, ye, de in hilbert_level_exprs(bits, x="__hx", y="__hy", d="__hd"):
         cur = cur.selectExpr(
-            *keep, f"{xe} AS hx", f"{ye} AS hy", f"{de} AS hd"
+            *keep, f"{xe} AS __hx", f"{ye} AS __hy", f"{de} AS __hd"
         )
-    return cur.selectExpr(*keep, f"hd AS {out}")
+    return cur.selectExpr(*keep, f"__hd AS {out}")
 
 
 def write_hilbert_ordered(

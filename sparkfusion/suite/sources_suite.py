@@ -14,6 +14,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..errors import PlanError
 from ..session import table
 from ..sources import (
     get_empty_df,
@@ -683,7 +684,8 @@ def m4_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sl.repartition(32).write.mode("overwrite").parquet(path)
     n_after = compact_parquet(spark, path, target_files=2)
-    assert n_after <= 2, n_after
+    if n_after > 2:
+        raise PlanError(f"compaction left {n_after} files, expected <= 2")
     return spark.read.parquet(path)
 
 

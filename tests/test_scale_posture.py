@@ -19,20 +19,10 @@ PKG = os.path.join(os.path.dirname(__file__), "..", "sparkfusion")
 COLLECT_ALLOWED = {
     "interchange.py": "C1-C6 driver-interchange helpers: collect IS the contract",
     "suite/sources_suite.py": "s22 7-row completeness assertion; s26 bounded blob-fixture setup (~1% of docs)",
-    "suite/timeseries_suite.py": "ts6 documented bounded-entity EWMA fold",
-    "operators/quality.py": "constraint-report scalarization (bounded rows)",
-    "operators/graph.py": "convergence-count scalar per iteration",
-    "llm/dedup.py": "CC convergence scalar per round",
     "llm/text.py": "BPE trainer: 1-row TakeOrderedAndProject merge pick per round",
-    "llm/ivf.py": "k centroid rows broadcast back (k ≤ 256 by contract)",
     "llm/pq.py": "IVF-PQ param derivation: n_cells+n_codes training rows (16 by contract) shipped as plan literals",
     "operators/kmeans.py": "k×(d+1) centroid aggregates per round (k·d bounded by contract)",
-    "suite/analytics_suite.py": "mv/merge demos read back tiny committed outputs",
-    "suite/llm_suite.py": "decontam benchmark shingle set broadcast (bounded)",
-    "suite/relational_ext.py": "scalar-subquery demos (1-row aggregates)",
-    "streaming/cdc.py": "foreachBatch applies batch to snapshot (bounded batch)",
     "sources/writers.py": "compaction file-count return (os.listdir, not rows)",
-    "context.py": "reference-parity interchange (df_to_records et al)",
 }
 
 #: files allowed to call .crossJoin( — must be broadcast or documented-tiny
@@ -40,17 +30,11 @@ CROSSJOIN_ALLOWED = {
     "operators/timeseries.py": "spine × broadcast key-dim (gap fill)",
     "suite/tpch_ext.py": "broadcast 1-row scalar aggregates",
     "suite/llm_suite.py": "broadcast 1-row total / rate frames",
-    "suite/relational.py": "broadcast scalar subquery demos",
-    "suite/relational_ext.py": "broadcast scalar subquery demos",
-    "llm/similarity.py": "exact=True opt-in all-pairs path (raises otherwise)",
     "llm/pq.py": "broadcast PQ distance table",
     "suite/quality_suite.py": "broadcast profile scalars",
     "suite/timeseries_suite.py": "broadcast bounds scalars",
     "suite/analytics_suite.py": "broadcast scalar aggregates",
-    "suite/schema_ops.py": "broadcast 1-row frames",
     "suite/curation_suite.py": "broadcast scalar totals / 5-row grid frames",
-    "suite/temporal_suite.py": "broadcast calendar spine",
-    "operators/analytics.py": "broadcast step dims (funnel)",
     "llm/chunking.py": "broadcast packing offsets",
     "operators/quality.py": "1-row count aggregates combined into a report row",
     "operators/joins.py": "salted join replicates right side × broadcast salts",
@@ -126,8 +110,27 @@ def test_no_row_at_a_time_udf():
 
 
 def test_collect_allowlist_entries_still_exist():
-    """An allowlist row whose file no longer collects is stale — prune it."""
-    for key in list(COLLECT_ALLOWED) + list(CROSSJOIN_ALLOWED):
-        assert any(
-            rel.endswith(key) for _, rel in _pkg_files()
-        ), f"allowlist names a missing file: {key}"
+    """An allowlist row whose file no longer collects is stale — prune it.
+
+    Checks the file still MAKES the allowlisted call (r8 verdict: existence-only
+    checking let 16 stale rows accumulate, each a latent license for a future
+    real collect/crossJoin to land unnoticed).
+    """
+    files = list(_pkg_files())
+
+    def calls_in(key, wanted):
+        for full, rel in files:
+            if rel.endswith(key):
+                for attr, _ in _walk_calls(full):
+                    if attr in wanted:
+                        return True
+        return False
+
+    stale = []
+    for key in COLLECT_ALLOWED:
+        if not calls_in(key, ("collect", "toPandas", "toLocalIterator")):
+            stale.append(f"COLLECT_ALLOWED: {key}")
+    for key in CROSSJOIN_ALLOWED:
+        if not calls_in(key, ("crossJoin",)):
+            stale.append(f"CROSSJOIN_ALLOWED: {key}")
+    assert not stale, f"stale allowlist rows (file no longer makes the call): {stale}"
