@@ -288,10 +288,25 @@ def main() -> None:
     load_max = load_start
 
     results: dict[str, float] = {}
+    # Per-query foreign-CPU accounting (r8 verdict: a 4% run-level average
+    # hid bursts that inflated individual queries 2-4x while the run-level
+    # contended flag stayed false). Sampled around each query's timed
+    # min-of-3 window (warm-up excluded); a query whose window saw >5%
+    # foreign CPU carries its own flag in the artifact.
+    q_foreign: dict[str, float] = {}
     for bench_name, fn in to_run.items():
         try:
             _run_once(fn, spark, SF_DIR)  # warm-up (scan caching, codegen)
+            qt0, qb0 = _cpu_sample()
+            qown0 = _own_cpu()
             times = [_run_once(fn, spark, SF_DIR) for _ in range(REPEATS)]
+            qt1, qb1 = _cpu_sample()
+            qown1 = _own_cpu()
+            qspan = qt1 - qt0
+            qforeign = max(0, (qb1 - qb0) - (qown1 - qown0))
+            q_foreign[bench_name] = (
+                round(qforeign / qspan, 4) if qspan > 0 else -1.0
+            )
             # min, not median: robust against external CPU contention on a
             # shared box; reports the reproducible best case
             results[bench_name] = round(min(times), 4)
@@ -317,6 +332,9 @@ def main() -> None:
             "artifact flagged.",
             file=sys.stderr,
         )
+    contended_queries = sorted(
+        name for name, f in q_foreign.items() if f > 0.05
+    )
     artifact = {
         "metric": "suite_total_sec",
         "value": total,
@@ -328,6 +346,11 @@ def main() -> None:
         "loadavg_end": load_end,
         "foreign_cpu_frac": foreign_frac,
         "contended": contended,
+        # per-query foreign-CPU share during that query's timed window —
+        # read THESE, not the run-level boolean, before calling any single
+        # query a regression (BASELINE.md "reading a bench artifact")
+        "query_foreign_cpu": q_foreign,
+        "contended_queries": contended_queries,
     }
     # Full artifact on disk: the driver's BENCH_r{N}.json keeps only the last
     # 2000 chars of stdout (r6's head — metric/value/q1/q3/q5 — was cut off),
@@ -348,6 +371,7 @@ def main() -> None:
                 "sf": artifact["sf"],
                 "foreign_cpu_frac": foreign_frac,
                 "contended": contended,
+                "contended_queries": contended_queries,
             },
             separators=(",", ":"),
         )

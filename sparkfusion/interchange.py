@@ -21,7 +21,11 @@ T = TypeVar("T")
 def df_to_records(df: DataFrame) -> list[dict[str, Any]]:
     """DF → list of plain dicts (C1; reference zipped-iterator and
     downcast-loop deserializers, ``examples/dataframe/deserialize_to_struct.rs:45-122``).
-    Driver-side by contract — bounded result sets only."""
+    Driver-side by contract — bounded result sets only.
+
+    >>> df_to_records(spark.createDataFrame([(1, "red")], "id INT, color STRING"))
+    [{'id': 1, 'color': 'red'}]
+    """
     return [row.asDict(recursive=True) for row in df.collect()]
 
 
@@ -42,7 +46,12 @@ def df_to_typed(df: DataFrame, cls: type[T]) -> list[T]:
 def records_to_df(spark: SparkSession, records: Sequence[Any], schema=None) -> DataFrame:
     """Records → DF (C2; serde-decoder / TryFrom constructors,
     ``examples/dataframe/convert_vec_structs_to_df.rs``). Accepts dataclass
-    instances, dicts, or Rows/tuples."""
+    instances, dicts, or Rows/tuples.
+
+    >>> out = records_to_df(spark, [{"id": 7, "name": "x"}], "id INT, name STRING")
+    >>> df_to_records(out)
+    [{'id': 7, 'name': 'x'}]
+    """
     if records and dataclasses.is_dataclass(records[0]):
         records = [dataclasses.asdict(r) for r in records]
     return spark.createDataFrame(records, schema=schema)
@@ -50,14 +59,22 @@ def records_to_df(spark: SparkSession, records: Sequence[Any], schema=None) -> D
 
 def df_to_json_rows(df: DataFrame) -> list[str]:
     """DF → JSON strings (C3/S18; ``record_batches_to_json_rows``,
-    ``examples/dataframe/actions.rs:112-133``)."""
+    ``examples/dataframe/actions.rs:112-133``).
+
+    >>> df_to_json_rows(spark.createDataFrame([(1, "a")], "id INT, s STRING"))
+    ['{"id":1,"s":"a"}']
+    """
     return df.toJSON().collect()
 
 
 def scalar_at(df: DataFrame, row_idx: int, col: str):
     """Single-cell extraction (P19/C4; ``ScalarValue::try_from_array``
     wrapper, ``src/utils/scalarvalue.rs:10-12``). Collects ``row_idx + 1``
-    rows — fine for probes, not for iteration."""
+    rows — fine for probes, not for iteration.
+
+    >>> scalar_at(spark.createDataFrame([(10,), (20,)], "v INT").orderBy("v"), 1, "v")
+    20
+    """
     rows = df.take(row_idx + 1)
     if len(rows) <= row_idx:
         raise IndexError(f"scalar_at: row {row_idx} out of range")
@@ -67,14 +84,22 @@ def scalar_at(df: DataFrame, row_idx: int, col: str):
 def get_column_names(df: DataFrame) -> list[str]:
     """Column-name introspection (C5; ``get_column_names``,
     ``src/utils/dataframe.rs:131-142`` — its empty-schema ``None`` maps to
-    ``[]`` here)."""
+    ``[]`` here).
+
+    >>> get_column_names(spark.createDataFrame([(1, 2)], "a INT, b INT"))
+    ['a', 'b']
+    """
     return df.columns
 
 
 def is_empty(df: DataFrame) -> bool:
     """Emptiness probe (C6; ``is_empty``, ``src/utils/dataframe.rs:104-111``).
     Spark's ``isEmpty`` short-circuits on the first non-empty partition, the
-    same behavior as the reference's first-batch stream probe."""
+    same behavior as the reference's first-batch stream probe.
+
+    >>> is_empty(spark.range(0)), is_empty(spark.range(3))
+    (True, False)
+    """
     return df.isEmpty()
 
 
@@ -130,7 +155,14 @@ def sort_df(df: DataFrame, col: str, asc: bool = True, nulls_first: bool = True)
     """Two-flag sort matching the reference's ``col.sort(asc, nulls_first)``
     (O1/O2; ``src/utils/dataframe.rs:229``). Spark's nulls placement defaults
     are asymmetric, so both flags are always emitted explicitly
-    (SURVEY.md §7 risk 4)."""
+    (SURVEY.md §7 risk 4).
+
+    >>> df = spark.createDataFrame([(2,), (None,), (1,)], "v INT")
+    >>> [r["v"] for r in sort_df(df, "v").collect()]
+    [None, 1, 2]
+    >>> [r["v"] for r in sort_df(df, "v", asc=False, nulls_first=False).collect()]
+    [2, 1, None]
+    """
     c = F.col(col)
     if asc:
         expr: Column = c.asc_nulls_first() if nulls_first else c.asc_nulls_last()

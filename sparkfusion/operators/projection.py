@@ -22,6 +22,10 @@ def df_sql(df: DataFrame, predicate: str) -> DataFrame:
     ``src/utils/dataframe.rs:67-71`` (e.g. ``"speed > 10 and car in
     ('red','green')"``). Spark parses SQL predicate strings natively, and the
     parsed predicate participates in pushdown like any Column expression.
+
+    >>> df = spark.createDataFrame([("red", 15), ("blue", 5)], "car STRING, speed INT")
+    >>> df_sql(df, "speed > 10 and car in ('red','green')").collect()
+    [Row(car='red', speed=15)]
     """
     return df.filter(predicate)
 
@@ -32,6 +36,10 @@ def select_all_exclude(df: DataFrame, exclude: Sequence[str]) -> DataFrame:
     Reference: ``select_all_exclude`` at ``src/utils/helpers.rs:505-515`` and
     ``df.drop_columns`` at ``src/utils/dataframe.rs:413``. Unknown names are
     ignored, matching Spark's (and the reference's) drop semantics.
+
+    >>> df = spark.createDataFrame([(1, 2, 3)], "a INT, b INT, c INT")
+    >>> select_all_exclude(df, ["b", "zzz"]).columns
+    ['a', 'c']
     """
     return df.drop(*exclude)
 
@@ -41,6 +49,9 @@ def with_typed_null(df: DataFrame, name: str, data_type: str) -> DataFrame:
 
     Reference: typed-null literals ``ScalarValue::Utf8(None)`` /
     ``Int32(None)`` at ``examples/dataframe/operations.rs:128-131``.
+
+    >>> with_typed_null(spark.range(1), "note", "string").dtypes
+    [('id', 'bigint'), ('note', 'string')]
     """
     return df.withColumn(name, F.lit(None).cast(data_type))
 
@@ -57,6 +68,10 @@ def add_pk_to_df(df: DataFrame, name: str = "pk", order_by: Sequence[str] | None
     Scale note: a global ``row_number`` over one unpartitioned window is a
     single-reducer sort — correct but serial. For 100 TB assignments use
     :func:`zip_with_index` below (partition-offset arithmetic, fully parallel).
+
+    >>> df = spark.createDataFrame([("b",), ("a",)], "k STRING")
+    >>> [(r["k"], r["pk"]) for r in add_pk_to_df(df, order_by=["k"]).orderBy("pk").collect()]
+    [('a', 0), ('b', 1)]
     """
     cols = list(order_by) if order_by else df.columns
     w = Window.orderBy(*[F.col(c) for c in cols])

@@ -32,6 +32,10 @@ def df_cols_to_json(df: DataFrame, cols: Sequence[str], new_col: str, drop: bool
     from the JSON object; key order is the column order given. Spark's
     ``to_json(struct(...))`` matches both behaviors (null fields dropped,
     struct field order preserved).
+
+    >>> df = spark.createDataFrame([(1, None, "x")], "a INT, b INT, c STRING")
+    >>> df_cols_to_json(df, ["a", "b"], "j").collect()
+    [Row(c='x', j='{"a":1}')]
     """
     _require_columns(df, cols)
     out = df.withColumn(new_col, F.to_json(F.struct(*[F.col(c) for c in cols])))
@@ -44,6 +48,13 @@ def df_cols_to_struct(df: DataFrame, cols: Sequence[str], new_col: str, drop: bo
     Reference: ``df_cols_to_struct`` at ``src/utils/dataframe.rs:471-518``;
     SQL form ``struct(name as name, ...)`` noted at ``:466-467`` and
     ``examples/dataframe/operations.rs:201``.
+
+    >>> df = spark.createDataFrame([(1, 2, "x")], "a INT, b INT, c STRING")
+    >>> out = df_cols_to_struct(df, ["a", "b"], "ab")
+    >>> out.columns
+    ['c', 'ab']
+    >>> out.collect()[0]["ab"]
+    Row(a=1, b=2)
     """
     _require_columns(df, cols)
     out = df.withColumn(new_col, F.struct(*[F.col(c) for c in cols]))

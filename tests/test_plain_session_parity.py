@@ -34,20 +34,69 @@ PLAIN_SLICE = [
 ]
 
 
-def test_plain_session_slice_matches_oracle():
+# Queries the driver has NEVER sampled in any CORRECTNESS_r* artifact
+# (computed r9 from registered-names minus the union of all driver samples).
+# These are exactly the conf-sensitive class — RocksDB state store, vendored
+# protobuf runtime, warehouse/checkpoint dirs — that historically only breaks
+# under the driver's plain session (r4/r5 failure mode). Until the driver's
+# sample lottery reaches them, this subprocess run IS their driver evidence.
+NEVER_SAMPLED = [
+    "a28_pivot",
+    "a29_unpivot",
+    "boot1_bootstrap_ci",
+    "bpe3_encode_counts",
+    "dq7_table_fingerprint",
+    "dq8_benford",
+    "dsir1_importance_select",
+    "j13_salted_skew_join",
+    "mix2_temperature_sample",
+    "pack2_length_buckets",
+    "semdedup1_cluster_prune",
+    "sim_ivfpq_store_probe",
+    "stream_cdc_keep_latest",
+    "stream_ivfpq_ingest",
+    "stream_recent_events_tws",
+    "stream_session_timeout_tws",
+    "stream_stateful_counts_tws",
+    "stream_stream_left_outer",
+    "stream_user_type_counts_tws",
+    "tok1_oov_rate",
+    "tok2_vocab_sweep",
+    "ts7_acf",
+    "ts8_seasonal_decompose",
+    "ts9_rolling_median",
+    "x10_observed_metrics",
+    "x11_mapinarrow_stats",
+    "x8_arrow_user_gaps",
+    "x9_udtf_analyze_schema",
+]
+
+
+def _run_plain(queries: list[str], timeout: int = 600) -> None:
     proc = subprocess.run(
         [
             sys.executable,
             "tools/check_oracle.py",
             "/root/testdata/sf0.01",
-            *PLAIN_SLICE,
+            *queries,
             "--plain",
         ],
         cwd="/root/repo",
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=timeout,
     )
-    tail = "\n".join(proc.stdout.splitlines()[-25:])
+    tail = "\n".join(proc.stdout.splitlines()[-35:])
     assert proc.returncode == 0, f"plain-session parity failed:\n{tail}\n{proc.stderr[-2000:]}"
-    assert f"{len(PLAIN_SLICE)} passed, 0 failed" in proc.stdout, tail
+    assert f"{len(queries)} passed, 0 failed" in proc.stdout, tail
+
+
+def test_plain_session_slice_matches_oracle():
+    _run_plain(PLAIN_SLICE)
+
+
+def test_plain_session_never_driver_sampled():
+    """Fresh-process plain-session run of every query the driver has never
+    sampled (r8 verdict item 1) — streaming/tws first since they carry the
+    most session-state risk."""
+    _run_plain(NEVER_SAMPLED, timeout=1200)
