@@ -50,21 +50,25 @@ def pagerank(
     # pipeline (scan + distinct shuffle + degree agg) would re-run every
     # round. At 100 TB the edge list spills to disk serialized — still far
     # cheaper than re-deriving it per iteration.
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().cache()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
+    #
+    # Degrees are pre-joined into the edge list ONCE and the result is
+    # cached hash-partitioned on the join key (r9 A/B of the g1 drift):
+    # the cached frame's outputPartitioning survives InMemoryTableScan, so
+    # each iteration's rank join shuffles only the n-row ranks frame — the
+    # m-row edge list is never re-shuffled inside the loop. At 100 TB
+    # m >> n, so this moves the per-iteration shuffle from O(m) to O(n).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(deg, "src").repartition("src").cache()
     nodes = e.select("src").distinct().withColumnRenamed("src", "node").cache()
     n_nodes = nodes.count()  # one scalar action; N parameterizes the formula
     init_fp = one // n_nodes
     teleport_fp = ((100 - damping_pct) * one) // (100 * n_nodes)
     ranks = nodes.withColumn("rank_fp", F.lit(init_fp).cast("long"))
     for _ in range(iterations):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_fp div deg").alias("c"),
-            )
+        contrib = e_deg.join(ranks.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"),
+            F.expr("rank_fp div deg").alias("c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (
@@ -351,12 +355,11 @@ def personalized_pagerank(
     (dst-only) are scored too rather than silently dropping their inbound
     mass (r8 advisor finding)."""
     one = 10**scale
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .cache()
-    )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # same shape as pagerank(): degree pre-joined once, cached partitioned
+    # on src, so the loop shuffles only the ranks frame (O(n), not O(m))
+    e_deg = e.join(deg, "src").repartition("src").cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -372,10 +375,8 @@ def personalized_pagerank(
         F.when(is_src, F.lit(init_fp)).otherwise(F.lit(0)).cast("long"),
     )
     for _ in range(iterations):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select(F.col("dst").alias("node"), F.expr("rank_fp div deg").alias("c"))
+        contrib = e_deg.join(ranks.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), F.expr("rank_fp div deg").alias("c")
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (

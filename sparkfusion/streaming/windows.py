@@ -65,19 +65,40 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def run_stream_to_table(result: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a (finite) streaming DataFrame to completion through a memory
-    sink; returns the materialized result as a batch DataFrame."""
+    sink; returns the materialized result as a batch DataFrame.
+
+    State-partition bound: a streaming query captures
+    ``spark.sql.shuffle.partitions`` at ``.start()`` as its FIXED state
+    partition count — one state store instance (a whole RocksDB for the tws
+    family) per partition per stateful operator. The driver's plain session
+    leaves it at 200, so a tiny finite replay paid 200 RocksDB inits of
+    pure fixed cost while only |cores| could ever run at once. Bounded to
+    the session's core count here (fixed cost scales with partitions,
+    parallelism caps at cores) and restored after; a production deployment
+    sizes this to key cardinality instead (it cannot be changed after the
+    first checkpoint)."""
+    spark = result.sparkSession
+    part_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(part_key, None)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        spark.conf.set(part_key, str(spark.sparkContext.defaultParallelism))
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return result.sparkSession.table(name)
+        if prev_parts is None:
+            spark.conf.unset(part_key)
+        else:
+            spark.conf.set(part_key, prev_parts)
+    return spark.table(name)
 
 
 def tumbling_window_agg(events: DataFrame, width: str = "1 hour",
