@@ -170,6 +170,21 @@ def make_ppm(media_id: int, width: int = 8, height: int = 6) -> bytes:
     return header + body
 
 
+def _ids_spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Project the bare id column and spread it across the session's cores.
+
+    The synthetic media builders attach payloads to ids read from a SMALL
+    parquet table — often a single input split, which would run the whole
+    Python encode stage (and every same-stage decode downstream) on ONE
+    task. Shuffling the bare ids is O(n) longs — negligible — and unlocks
+    full-core parallelism for the Arrow-batched payload work (r9 A/B:
+    mm_scene_cut single-task 5.8s → multi-task, CLAUDE.md "repartition by
+    key BEFORE exploding"). Real binary corpora arrive pre-split
+    (binaryFile / parquet row groups) and never hit this path."""
+    ids = df.select(F.col(id_col).alias("media_id"))
+    return ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
+
 def ppm_media_table(df: DataFrame, id_col: str) -> DataFrame:
     """Attach a binary PPM payload per row (pandas UDF builder — binary
     generation is inherently Python; Arrow-batched)."""
@@ -179,7 +194,7 @@ def ppm_media_table(df: DataFrame, id_col: str) -> DataFrame:
     def build(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: make_ppm(int(i)))
 
-    return df.select(F.col(id_col).alias("media_id")).withColumn(
+    return _ids_spread(df, id_col).withColumn(
         "content", build(F.col("media_id"))
     )
 
@@ -354,7 +369,7 @@ def png_media_table(df: DataFrame, id_col: str) -> DataFrame:
     def build(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: make_png(int(i)))
 
-    return df.select(F.col(id_col).alias("media_id")).withColumn(
+    return _ids_spread(df, id_col).withColumn(
         "content", build(F.col("media_id"))
     )
 
@@ -511,7 +526,7 @@ def jpeg_media_table(df: DataFrame, id_col: str) -> DataFrame:
     def build(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: make_jpeg(int(i)))
 
-    return df.select(F.col(id_col).alias("media_id")).withColumn(
+    return _ids_spread(df, id_col).withColumn(
         "content", build(F.col("media_id"))
     )
 
@@ -623,7 +638,7 @@ def sine_wav_media_table(df: DataFrame, id_col: str) -> DataFrame:
     def build(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: make_sine_wav(int(i)))
 
-    return df.select(F.col(id_col).alias("media_id")).withColumn(
+    return _ids_spread(df, id_col).withColumn(
         "content", build(F.col("media_id"))
     )
 
@@ -636,7 +651,7 @@ def wav_media_table(df: DataFrame, id_col: str) -> DataFrame:
     def build(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: make_wav(int(i)))
 
-    return df.select(F.col(id_col).alias("media_id")).withColumn(
+    return _ids_spread(df, id_col).withColumn(
         "content", build(F.col("media_id"))
     )
 
@@ -765,7 +780,7 @@ def mjpeg_media_table(df: DataFrame, id_col: str) -> DataFrame:
     def build(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: make_mjpeg(int(i)))
 
-    return df.select(F.col(id_col).alias("media_id")).withColumn(
+    return _ids_spread(df, id_col).withColumn(
         "content", build(F.col("media_id"))
     )
 
@@ -900,7 +915,7 @@ def mixed_media_table(df: DataFrame, id_col: str) -> DataFrame:
 
         return ids.map(b)
 
-    return df.select(F.col(id_col).alias("media_id")).withColumn(
+    return _ids_spread(df, id_col).withColumn(
         "content", build(F.col("media_id"))
     )
 
