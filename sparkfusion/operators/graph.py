@@ -59,7 +59,8 @@ def pagerank(
     # m >> n, so this moves the per-iteration shuffle from O(m) to O(n).
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e_deg = e.join(deg, "src").repartition("src").cache()
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    e_deg = e.join(deg, "src").repartition(n_parts, "src").cache()
     nodes = e.select("src").distinct().withColumnRenamed("src", "node").cache()
     n_nodes = nodes.count()  # one scalar action; N parameterizes the formula
     init_fp = one // n_nodes
@@ -359,7 +360,8 @@ def personalized_pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # same shape as pagerank(): degree pre-joined once, cached partitioned
     # on src, so the loop shuffles only the ranks frame (O(n), not O(m))
-    e_deg = e.join(deg, "src").repartition("src").cache()
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    e_deg = e.join(deg, "src").repartition(n_parts, "src").cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -601,7 +601,12 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale AQE turns the intersections into broadcast joins against the
     full id list."""
     # four independent subtrees read (doc_id, text) — cache it once
-    # (CLAUDE.md posture: cache only frames feeding multiple subtrees)
+    # (CLAUDE.md posture: cache only frames feeding multiple subtrees).
+    # Deliberately NOT repartitioned before the cache: r11 A/B measured
+    # repartition(cores, doc_id) at 4.5s → 5.7s here (and 5.97s → 8.72s for
+    # pipeline2) — the dedup/text operators repartition internally before
+    # their heavy hashing, so the single-split scan stage only carries the
+    # cheap projection and the extra shuffle is pure cost.
     docs = table(spark, sf_dir, "documents").select("doc_id", "text").cache()
     qual = (
         docs.select("doc_id", text.quality_score("text").alias("q"))
