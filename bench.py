@@ -303,7 +303,12 @@ def main() -> None:
             qt1, qb1 = _cpu_sample()
             qown1 = _own_cpu()
             qspan = qt1 - qt0
-            qforeign = max(0, (qb1 - qb0) - (qown1 - qown0))
+            # own-CPU delta can go NEGATIVE when a descendant (Spark python
+            # worker) exits between samples — its jiffies leave the walked
+            # tree. Unclamped that inflates "foreign" past the whole busy
+            # window (r11 artifact: tok2 read 8.07 as a *fraction*). Clamp
+            # to the busy delta: still conservative (can only false-flag).
+            qforeign = min(max(0, qb1 - qb0), max(0, (qb1 - qb0) - (qown1 - qown0)))
             q_foreign[bench_name] = (
                 round(qforeign / qspan, 4) if qspan > 0 else -1.0
             )
