@@ -1,0 +1,137 @@
+"""Distributable total-order primitives: global rank and ordered cumulative
+sums without a single-reducer window.
+
+``RANK() OVER (ORDER BY v)`` / ``SUM(x) OVER (ORDER BY v)`` with no
+PARTITION BY move every row to ONE partition in Spark (WindowExec warns
+"No Partition Defined"). The rank statistics family (Mann-Whitney, KS) and
+cumulative-distribution work genuinely need a total order, so these helpers
+implement it the scale-correct way — the same two-pass partition-offset
+scheme as ``operators.projection.zip_with_index_df`` and
+``llm.text.pack_sequences``:
+
+1. ``repartitionByRange`` on the order key — each reducer owns a contiguous
+   key range (sampled boundaries, fully parallel), and because the range
+   partitioner assigns BY KEY, tie groups can never straddle partitions;
+2. per-partition rank/cumsum with an ordinary partitioned window;
+3. per-partition totals (one row per partition) prefix-summed on the driver
+   -side tiny frame via a window over #partitions rows, broadcast back.
+
+The only unpartitioned window left is over the #partitions-row totals frame.
+Reference parity: the reference has no window engine beyond per-key frames
+(SURVEY.md §2.6); this module backs the statistics extension queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import PlanError
+
+
+def _offsets(tagged: DataFrame, totals_cols: dict[str, str]) -> DataFrame:
+    """Prefix-sum per-partition totals: input ``tagged`` must carry __pid.
+    Returns one row per partition with ``__off_<name>`` columns — the sum of
+    every EARLIER partition's total for that column."""
+    aggs = [F.sum(src).alias(f"__tot_{name}") for name, src in totals_cols.items()]
+    totals = tagged.groupBy("__pid").agg(*aggs)
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    out = totals
+    for name in totals_cols:
+        out = out.withColumn(
+            f"__off_{name}",
+            F.coalesce(F.sum(f"__tot_{name}").over(w), F.lit(0)),
+        )
+    return out.select("__pid", *[f"__off_{n}" for n in totals_cols])
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    out: str = "rank",
+    ascending: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``RANK() OVER (ORDER BY order_col)`` (1-based, min-rank ties) with no
+    single-reducer window.
+
+    Correctness of the stitch: the range partitioner routes equal keys to
+    the SAME partition, so a tie group is always local — per-partition
+    ``F.rank()`` plus the count of rows in earlier partitions IS the global
+    min-rank. Shape: one range shuffle + one partitioned window + a
+    broadcast join against the #partitions-row offsets frame.
+    """
+    if "__pid" in df.columns or out in df.columns:
+        raise PlanError(f"global_rank: column collision on __pid/{out}")
+    key = F.col(order_col) if ascending else F.col(order_col).desc()
+    ranged = (
+        df.repartitionByRange(num_partitions, key)
+        if num_partitions
+        else df.repartitionByRange(key)
+    )
+    tagged = ranged.withColumn("__pid", F.spark_partition_id())
+    offs = _offsets(
+        tagged.select("__pid").withColumn("__one", F.lit(1)), {"rows": "__one"}
+    )
+    w = Window.partitionBy("__pid").orderBy(
+        F.col(order_col) if ascending else F.col(order_col).desc()
+    )
+    return (
+        tagged.withColumn("__lrank", F.rank().over(w))
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(out, (F.col("__lrank") + F.col("__off_rows")).cast("long"))
+        .drop("__pid", "__lrank", "__off_rows")
+    )
+
+
+def ranged_cumsum(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running totals ``SUM(c) OVER (ORDER BY order_col)`` for each
+    ``c`` in ``sum_cols``, appended as ``cum_<c>`` — distributable CDF /
+    cumulative-ledger primitive.
+
+    Requires ``order_col`` values to be UNIQUE per row (pre-aggregate by the
+    key first, as a CDF does): with duplicates, SQL's default RANGE frame
+    includes all peers while the within-partition ROWS pass here would not.
+    Enforced lazily — a duplicate raises mid-plan via a raise_error guard,
+    costing nothing extra (checked on the same window pass).
+    """
+    for c in ("__pid", *(f"cum_{c}" for c in sum_cols)):
+        if c in df.columns:
+            raise PlanError(f"ranged_cumsum: column collision on {c}")
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        if num_partitions
+        else df.repartitionByRange(F.col(order_col))
+    )
+    tagged = ranged.withColumn("__pid", F.spark_partition_id())
+    offs = _offsets(tagged, {c: c for c in sum_cols})
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_dup = Window.partitionBy("__pid", order_col)
+    out = tagged.withColumn(
+        "__keydup",
+        F.when(
+            F.count(F.lit(1)).over(w_dup) > 1,
+            F.raise_error(
+                F.lit(f"ranged_cumsum: duplicate {order_col} values — pre-aggregate first")
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.sum(c).over(w))
+    out = out.join(F.broadcast(offs), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", (F.col(f"cum_{c}") + F.col(f"__off_{c}") + F.col("__keydup")).cast("long")
+        )
+    return out.drop("__pid", "__keydup", *[f"__off_{c}" for c in sum_cols])

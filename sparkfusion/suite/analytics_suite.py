@@ -2101,18 +2101,19 @@ def st3_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried as the INTEGER 2·avg_rank = 2·rank_min + ties − 1, so the rank
     sum, U₁ and U₂ (reported ×2) never touch a float — U₁+U₂ = 2·n₁·n₂ by
     identity, which the oracle verifies for free. Shape: one filter scan,
-    one global rank window (at 100 TB: the two-level partition-offset rank
-    of p13b — rank is distributable because only ORDER BY value matters),
-    one conditional aggregation."""
+    one DISTRIBUTABLE global rank (``operators.ranks.global_rank`` —
+    range-partition + per-partition rank + broadcast offsets, no
+    single-reducer window; ties stay local because the range partitioner
+    routes equal keys to one partition), one conditional aggregation."""
+    from pyspark.sql import Window
+
+    from ..operators.ranks import global_rank
+
     ev = events_with_ts(spark, sf_dir).filter(
         F.col("event_type").isin("view", "purchase")
     ).select("event_type", "value")
-    from pyspark.sql import Window
-
-    r = ev.select(
-        "event_type",
-        F.rank().over(Window.orderBy("value")).alias("rmin"),
-        F.count(F.lit(1)).over(Window.partitionBy("value")).alias("cnt"),
+    r = global_rank(ev, "value", out="rmin").withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("value"))
     )
     agg = r.agg(
         F.sum(
@@ -2176,14 +2177,16 @@ def st4_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator n₁·n₂, so the max runs over the exact integer
     |cum₁·n₂ − cum₂·n₁| and the single division happens once at the end
     (round-9). Shape: one groupBy(value) collapses the scan to distinct
-    values, one ordered cumulative window over those (at 100 TB: value
-    range-partitioning + per-partition cumsum + broadcast offsets — the
-    pack_training_sequences pattern), one max aggregate."""
+    values, then the DISTRIBUTABLE ordered cumsum
+    (``operators.ranks.ranged_cumsum``: value range-partitioning +
+    per-partition cumsum + broadcast offsets — the pack_training_sequences
+    pattern, now an operator instead of a single-reducer window), one max
+    aggregate."""
+    from ..operators.ranks import ranged_cumsum
+
     ev = events_with_ts(spark, sf_dir).filter(
         F.col("event_type").isin("view", "purchase")
     ).select("event_type", "value")
-    from pyspark.sql import Window
-
     n = ev.agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
@@ -2196,10 +2199,10 @@ def st4_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c2"
         ),
     )
-    cum = pv.select(
+    cum = ranged_cumsum(pv, "value", ["c1", "c2"]).select(
         "value",
-        F.sum("c1").over(Window.orderBy("value")).alias("f1"),
-        F.sum("c2").over(Window.orderBy("value")).alias("f2"),
+        F.col("cum_c1").alias("f1"),
+        F.col("cum_c2").alias("f2"),
     )
     return (
         cum.crossJoin(F.broadcast(n))
