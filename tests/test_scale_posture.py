@@ -44,6 +44,21 @@ CROSSJOIN_ALLOWED = {
 }
 
 
+#: files allowed to build an UNPARTITIONED ordered window (Window.orderBy
+#: with no partitionBy) — every entry must state why the windowed frame is
+#: bounded or why the serial form is the documented contract. The scale
+#: alternative for genuine total orders is operators/ranks.py.
+GLOBAL_WINDOW_ALLOWED = {
+    "operators/ranks.py": "the offsets frame: one row per partition by construction",
+    "operators/projection.py": "add_pk documented-serial (scale variant zip_with_index_df); zip_with_index_df/add_column windows run over #partitions-row count frames or reference-parity ordinals",
+    "operators/timeseries.py": "rolling trend over the period-cardinality bucket frame (docstring-bounded)",
+    "llm/text.py": "pack_sequences offsets frame: one row per partition",
+    "suite/curation_suite.py": "boot1 ranks B bootstrap replicate means (B<=32); tok2 ranks the vocab frame (corpus-collapsed, docstring-bounded)",
+    "suite/analytics_suite.py": "rfm1 NTILE over customer aggregate (100 TB path documented: approx_percentile breakpoints); pop1 lag over the day frame; abc1 pareto cumsum over part aggregate (bounded rollups)",
+    "suite/llm_suite.py": "qf1 sweep over ~10 threshold buckets; ret1 re-ranks two limit(100) frames",
+}
+
+
 def _walk_calls(path):
     with open(path) as f:
         tree = ast.parse(f.read())
@@ -84,6 +99,39 @@ def test_no_undocumented_crossjoin():
             if attr == "crossJoin":
                 bad.append(f"{rel}:{line}")
     assert not bad, f"crossJoin outside the allowlist: {bad}"
+
+
+def _global_window_sites(full):
+    """Call sites of ``Window.orderBy(...)`` — an ordered window with no
+    partition spec, i.e. the single-reducer form."""
+    with open(full) as f:
+        tree = ast.parse(f.read())
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "orderBy"
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "Window"
+        ):
+            yield node.lineno
+
+
+def test_no_undocumented_global_window():
+    """WindowExec with no partition spec moves ALL rows to one task — the
+    quiet scale-killer (the driver log literally warns about it). Genuine
+    total orders go through operators/ranks.py; everything else needs a
+    justified bounded-frame allowlist row."""
+    bad = []
+    for full, rel in _pkg_files():
+        if any(rel.endswith(k) for k in GLOBAL_WINDOW_ALLOWED):
+            continue
+        for line in _global_window_sites(full):
+            bad.append(f"{rel}:{line}")
+    assert not bad, (
+        "unpartitioned Window.orderBy outside the allowlist — use "
+        f"operators/ranks.py or justify the bounded frame: {bad}"
+    )
 
 
 def test_no_row_at_a_time_udf():
@@ -133,4 +181,12 @@ def test_collect_allowlist_entries_still_exist():
     for key in CROSSJOIN_ALLOWED:
         if not calls_in(key, ("crossJoin",)):
             stale.append(f"CROSSJOIN_ALLOWED: {key}")
+    for key in GLOBAL_WINDOW_ALLOWED:
+        hit = False
+        for full, rel in files:
+            if rel.endswith(key) and any(True for _ in _global_window_sites(full)):
+                hit = True
+                break
+        if not hit:
+            stale.append(f"GLOBAL_WINDOW_ALLOWED: {key}")
     assert not stale, f"stale allowlist rows (file no longer makes the call): {stale}"
