@@ -183,9 +183,13 @@ def bfs_distances(
     nodes absent from the edge list still appear at dist 0 (isolated
     sources), unreached nodes are absent.
     """
+    # cached hash-partitioned on the per-round join key (same rationale as
+    # pagerank's e_deg): the frontier join then shuffles only the frontier
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .repartition(n_parts, "src")
         .cache()
     )
     visited = (
@@ -245,6 +249,9 @@ def sssp_distances(
         )
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))  # parallel edges: only the lightest matters
+        # hash-partitioned on the per-round join key (pagerank e_deg
+        # rationale): each relaxation round shuffles only the frontier
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
         .cache()
     )
     dist = (
