@@ -157,6 +157,7 @@ HEADLINE = {
     "sim_ivfpq_store_probe": "sim_ivfpq_store_probe",
     "x10_observed_metrics": "x10_observed_metrics",
     "x11_mapinarrow_stats": "x11_mapinarrow_stats",
+    "a32_global_rank": "a32_global_rank",
 }
 
 REPEATS = 3

@@ -2722,3 +2722,27 @@ def g6_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _trade_edges(spark, sf_dir)
     out = personalized_pagerank(edges, ["c1", "c2", "c3"], iterations=3)
     return out.select("node", "rank_fp")
+
+
+@register(
+    "a32_global_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(RANK() OVER (ORDER BY c_nationkey) AS BIGINT) AS nation_rank
+    FROM customer
+    """,
+)
+def a32_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributable total-order rank as a first-class query —
+    ``RANK() OVER (ORDER BY c_nationkey)`` over every customer, with heavy
+    ties (25 nations ⇒ thousands of customers per rank value), computed by
+    :func:`sparkfusion.operators.ranks.global_rank`: range-partition (equal
+    keys can never straddle partitions), per-partition rank, broadcast
+    partition-offset stitch. No row of customer data passes through a
+    single-reducer window; the one unpartitioned window in the plan runs on
+    the #partitions-row offsets frame. st3_mann_whitney consumes the same
+    operator for its rank statistic."""
+    from ..operators.ranks import global_rank
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return global_rank(cust, "c_nationkey", out="nation_rank")
