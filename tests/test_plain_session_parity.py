@@ -42,6 +42,7 @@ PLAIN_SLICE = [
 # sample lottery reaches them, this subprocess run IS their driver evidence.
 NEVER_SAMPLED = [
     "a28_pivot",
+    "a32_global_rank",  # added r11 (local round), never driver-sampled yet
     "a29_unpivot",
     "boot1_bootstrap_ci",
     "bpe3_encode_counts",
