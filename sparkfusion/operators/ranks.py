@@ -49,34 +49,42 @@ def _offsets(tagged: DataFrame, totals_cols: dict[str, str]) -> DataFrame:
 
 def global_rank(
     df: DataFrame,
-    order_col: str,
+    order_col: str | Sequence[str],
     out: str = "rank",
-    ascending: bool = True,
+    ascending: bool | Sequence[bool] = True,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """``RANK() OVER (ORDER BY order_col)`` (1-based, min-rank ties) with no
-    single-reducer window.
+    """``RANK() OVER (ORDER BY order_col...)`` (1-based, min-rank ties) with
+    no single-reducer window. Multi-column orders take a sequence of names
+    plus a matching (or scalar) ``ascending``.
 
-    Correctness of the stitch: the range partitioner routes equal keys to
-    the SAME partition, so a tie group is always local — per-partition
-    ``F.rank()`` plus the count of rows in earlier partitions IS the global
-    min-rank. Shape: one range shuffle + one partitioned window + a
-    broadcast join against the #partitions-row offsets frame.
+    Correctness of the stitch: the range partitioner routes equal key TUPLES
+    to the SAME partition, so a tie group (equal on every order column) is
+    always local — per-partition ``F.rank()`` plus the count of rows in
+    earlier partitions IS the global min-rank. Shape: one range shuffle +
+    one partitioned window + a broadcast join against the #partitions-row
+    offsets frame.
     """
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    asc = (
+        [ascending] * len(cols) if isinstance(ascending, bool) else list(ascending)
+    )
+    if len(asc) != len(cols):
+        raise PlanError("global_rank: ascending list must match order_col list")
     if "__pid" in df.columns or out in df.columns:
         raise PlanError(f"global_rank: column collision on __pid/{out}")
-    key = F.col(order_col) if ascending else F.col(order_col).desc()
+    keys = [F.col(c) if a else F.col(c).desc() for c, a in zip(cols, asc)]
     ranged = (
-        df.repartitionByRange(num_partitions, key)
+        df.repartitionByRange(num_partitions, *keys)
         if num_partitions
-        else df.repartitionByRange(key)
+        else df.repartitionByRange(*keys)
     )
     tagged = ranged.withColumn("__pid", F.spark_partition_id())
     offs = _offsets(
         tagged.select("__pid").withColumn("__one", F.lit(1)), {"rows": "__one"}
     )
     w = Window.partitionBy("__pid").orderBy(
-        F.col(order_col) if ascending else F.col(order_col).desc()
+        *[F.col(c) if a else F.col(c).desc() for c, a in zip(cols, asc)]
     )
     return (
         tagged.withColumn("__lrank", F.rank().over(w))

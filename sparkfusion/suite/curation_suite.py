@@ -494,13 +494,16 @@ def tok2_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.repartition("doc_id").select(
         "doc_id", F.explode(text.words(F.lower(F.col("text")))).alias("word")
     )
-    vocab = (
-        w.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(Window.orderBy(F.col("c").desc(), "word")),
-        )
+    from ..operators.ranks import global_rank
+
+    # frequency rank via the distributable global_rank (unique (c, word)
+    # composite ⇒ rank == row_number); the vocab frame no longer funnels
+    # through a single-reducer window at any corpus size
+    vocab = global_rank(
+        w.groupBy("word").agg(F.count(F.lit(1)).alias("c")),
+        ["c", "word"],
+        ascending=[False, True],
+        out="rnk",
     )
     tot = vocab.agg(F.sum("c").alias("n_tok"))
     sizes = spark.createDataFrame(

@@ -53,7 +53,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "operators/projection.py": "add_pk documented-serial (scale variant zip_with_index_df); zip_with_index_df/add_column windows run over #partitions-row count frames or reference-parity ordinals",
     "operators/timeseries.py": "rolling trend over the period-cardinality bucket frame (docstring-bounded)",
     "llm/text.py": "pack_sequences offsets frame: one row per partition",
-    "suite/curation_suite.py": "boot1 ranks B bootstrap replicate means (B<=32); tok2 ranks the vocab frame (corpus-collapsed, docstring-bounded)",
+    "suite/curation_suite.py": "boot1 ranks B bootstrap replicate means (B<=32; tok2's vocab rank moved to operators/ranks.global_rank in r11)",
     "suite/analytics_suite.py": "rfm1 NTILE over customer aggregate (100 TB path documented: approx_percentile breakpoints); pop1 lag over the day frame; abc1 pareto cumsum over part aggregate (bounded rollups)",
     "suite/llm_suite.py": "qf1 sweep over ~10 threshold buckets; ret1 re-ranks two limit(100) frames",
 }
