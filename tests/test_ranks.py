@@ -48,6 +48,24 @@ def test_global_rank_descending(spark):
     assert got == want
 
 
+def test_global_rank_multi_column(spark):
+    df = _vals_df(spark).withColumn("g", F.col("id") % 3)
+    got = {
+        (r["id"], r["rank"])
+        for r in global_rank(
+            df, ["v", "g"], ascending=[False, True], num_partitions=4
+        ).collect()
+    }
+    want = {
+        (r["id"], r["rank"])
+        for r in df.withColumn(
+            "rank",
+            F.rank().over(Window.orderBy(F.col("v").desc(), "g")).cast("long"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_ranged_cumsum_matches_window(spark):
     df = _vals_df(spark).groupBy("v").agg(
         F.count(F.lit(1)).alias("c"), F.sum("id").alias("s")
