@@ -225,14 +225,21 @@ def pack_sequences(
     from pyspark.sql import DataFrame, Window
 
     assert isinstance(df, DataFrame)
-    ranged = (
-        df.repartitionByRange(num_partitions, F.col(id_col))
-        if num_partitions
-        else df.repartitionByRange(F.col(id_col))
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, F.col(id_col))
+    # localCheckpoint: totals and the main branch both read `tagged` —
+    # without one materialization each re-executes the range exchange and
+    # AQE may coalesce them to different partition counts, making
+    # spark_partition_id() disagree between branches (the r11 ranks.py
+    # sf1 bug class); the checkpointed frame is the compact (id, n_tokens)
+    # projection, cheap at any scale.
+    tagged = (
+        ranged.select(
+            F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    tagged = ranged.select(
-        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
-    ).withColumn("__pid", F.spark_partition_id())
     totals = tagged.groupBy("__pid").agg(F.sum("n_tokens").alias("__ptot"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(

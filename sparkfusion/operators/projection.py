@@ -116,8 +116,14 @@ def zip_with_index_df(df: DataFrame, name: str = "pk") -> DataFrame:
     partition layout, so they are stable only for a deterministic source scan;
     sort first or use :func:`add_pk_to_df` for an order-defined key.
     """
-    tagged = df.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__mid", F.monotonically_increasing_id()
+    # localCheckpoint: counts and the main branch both read `tagged`; if the
+    # input contains a non-user-specified shuffle, AQE can coalesce the two
+    # re-executions differently and spark_partition_id()/__mid disagree
+    # between branches (the r11 ranks.py sf1 bug class) — materialize once.
+    tagged = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
     )
     counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

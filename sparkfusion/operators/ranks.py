@@ -74,12 +74,19 @@ def global_rank(
     if "__pid" in df.columns or out in df.columns:
         raise PlanError(f"global_rank: column collision on __pid/{out}")
     keys = [F.col(c) if a else F.col(c).desc() for c, a in zip(cols, asc)]
-    ranged = (
-        df.repartitionByRange(num_partitions, *keys)
-        if num_partitions
-        else df.repartitionByRange(*keys)
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *keys)
+    # localCheckpoint: the offsets subtree and the main subtree BOTH read
+    # `tagged`; without materialization each re-executes the range exchange,
+    # and AQE may coalesce the two executions to DIFFERENT partition counts —
+    # spark_partition_id() then disagrees between branches and the __pid
+    # join silently drops rows (caught by the r11 sf1 sweep on st3: Spark
+    # lost 41% of events). Explicit numPartitions alone also disables AQE
+    # coalescing, but one materialization is both safer and cheaper than
+    # running the exchange twice.
+    tagged = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
     )
-    tagged = ranged.withColumn("__pid", F.spark_partition_id())
     offs = _offsets(
         tagged.select("__pid").withColumn("__one", F.lit(1)), {"rows": "__one"}
     )
@@ -113,12 +120,12 @@ def ranged_cumsum(
     for c in ("__pid", *(f"cum_{c}" for c in sum_cols)):
         if c in df.columns:
             raise PlanError(f"ranged_cumsum: column collision on {c}")
-    ranged = (
-        df.repartitionByRange(num_partitions, F.col(order_col))
-        if num_partitions
-        else df.repartitionByRange(F.col(order_col))
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, F.col(order_col))
+    # same single-evaluation discipline as global_rank (see comment there)
+    tagged = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
     )
-    tagged = ranged.withColumn("__pid", F.spark_partition_id())
     offs = _offsets(tagged, {c: c for c in sum_cols})
     w = (
         Window.partitionBy("__pid")
