@@ -150,3 +150,67 @@ def ranged_cumsum(
             f"cum_{c}", (F.col(f"cum_{c}") + F.col(f"__off_{c}") + F.col("__keydup")).cast("long")
         )
     return out.drop("__pid", "__keydup", *[f"__off_{c}" for c in sum_cols])
+
+
+def global_ntile(
+    df: DataFrame,
+    order_col: str | Sequence[str],
+    n_tiles: int,
+    out: str = "tile",
+    ascending: bool | Sequence[bool] = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(n_tiles) OVER (ORDER BY order_col...)`` without a
+    single-reducer window — equi-depth bucketing over a total order (the
+    RFM-quartile / decile-report primitive).
+
+    The order columns must form a UNIQUE composite per row (as SQL NTILE
+    determinism requires anyway — add a key tiebreaker); then the global
+    position is per-partition ``row_number`` plus the partition offset, and
+    SQL's NTILE is a closed-form function of (position, n, n_tiles): with
+    ``q, r = divmod(n, n_tiles)`` the first ``r`` tiles hold ``q+1`` rows —
+    ``tile = (pos-1) div (q+1) + 1`` inside the first ``r*(q+1)`` positions,
+    else ``r + 1 + (pos - r*(q+1) - 1) div q``. Shape: one range shuffle,
+    one partitioned window, broadcast offsets, broadcast 1-row total.
+    """
+    if n_tiles < 1:
+        raise PlanError(f"global_ntile: n_tiles must be >= 1, got {n_tiles}")
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    asc = (
+        [ascending] * len(cols) if isinstance(ascending, bool) else list(ascending)
+    )
+    if len(asc) != len(cols):
+        raise PlanError("global_ntile: ascending list must match order_col list")
+    if "__pid" in df.columns or out in df.columns:
+        raise PlanError(f"global_ntile: column collision on __pid/{out}")
+    keys = [F.col(c) if a else F.col(c).desc() for c, a in zip(cols, asc)]
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *keys)
+    # single-evaluation discipline — see global_rank
+    tagged = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
+    offs = _offsets(
+        tagged.select("__pid").withColumn("__one", F.lit(1)), {"rows": "__one"}
+    )
+    total = tagged.agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("__pid").orderBy(
+        *[F.col(c) if a else F.col(c).desc() for c, a in zip(cols, asc)]
+    )
+    pos = F.col("__lpos") + F.col("__off_rows")
+    k = F.lit(n_tiles)
+    q = F.expr(f"__n div {n_tiles}")
+    r = F.col("__n") % k
+    boundary = r * (q + 1)
+    tile = F.when(
+        pos <= boundary, F.expr(f"(__lpos + __off_rows - 1) div (__n div {n_tiles} + 1) + 1")
+    ).otherwise(
+        r + 1 + F.expr(f"(__lpos + __off_rows - (__n % {n_tiles}) * (__n div {n_tiles} + 1) - 1) div (__n div {n_tiles})")
+    )
+    return (
+        tagged.withColumn("__lpos", F.row_number().over(w))
+        .join(F.broadcast(offs), "__pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn(out, tile.cast("int"))
+        .drop("__pid", "__lpos", "__off_rows", "__n")
+    )

@@ -1043,11 +1043,13 @@ def gap1_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rfm1_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency/frequency/monetary quartiles per
     customer — the classic marketing-mart rollup. DECIMAL money sums;
-    deterministic (metric DESC, custkey) NTILE orders. The three global
-    NTILEs each serialize on one reducer over the CUSTOMER-level aggregate
-    (not the fact table) — at 100 TB swap them for approx_percentile
-    breakpoints (a21) exactly as a16 documents for equi-depth bucketing."""
-    from pyspark.sql import Window
+    deterministic (metric DESC, custkey) NTILE orders. The three NTILEs go
+    through :func:`sparkfusion.operators.ranks.global_ntile` (range
+    partition + partition-offset position + the closed-form NTILE formula)
+    — no customer row passes a single-reducer window at any scale; the
+    approx_percentile breakpoint alternative (a21/a16) remains the choice
+    when approximate tile boundaries are acceptable."""
+    from ..operators.ranks import global_ntile
 
     orders = table(spark, sf_dir, "orders")
     base = orders.groupBy("o_custkey").agg(
@@ -1055,17 +1057,18 @@ def rfm1_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
     )
-    wr = Window.orderBy(F.col("last_us").desc(), "o_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-    return base.select(
-        "o_custkey",
-        "last_us",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(wr).alias("r_quartile"),
-        F.ntile(4).over(wf).alias("f_quartile"),
-        F.ntile(4).over(wm).alias("m_quartile"),
+    out = global_ntile(
+        base, ["last_us", "o_custkey"], 4, out="r_quartile", ascending=[False, True]
+    )
+    out = global_ntile(
+        out, ["frequency", "o_custkey"], 4, out="f_quartile", ascending=[False, True]
+    )
+    out = global_ntile(
+        out, ["monetary", "o_custkey"], 4, out="m_quartile", ascending=[False, True]
+    )
+    return out.select(
+        "o_custkey", "last_us", "frequency", "monetary",
+        "r_quartile", "f_quartile", "m_quartile",
     )
 
 

@@ -95,6 +95,27 @@ def test_ranged_cumsum_rejects_duplicate_keys(spark):
         ranged_cumsum(df, "v", ["id"], num_partitions=4).collect()
 
 
+def test_global_ntile_matches_window(spark):
+    from sparkfusion.operators.ranks import global_ntile
+
+    df = _vals_df(spark)  # 13 rows; (v, id) is a unique composite
+    for k in (1, 2, 4, 5, 13, 20):  # incl. n % k != 0 and k > n
+        got = {
+            (r["id"], r["tile"])
+            for r in global_ntile(
+                df, ["v", "id"], k, ascending=[False, True], num_partitions=4
+            ).collect()
+        }
+        want = {
+            (r["id"], r["tile"])
+            for r in df.withColumn(
+                "tile",
+                F.ntile(k).over(Window.orderBy(F.col("v").desc(), "id")),
+            ).collect()
+        }
+        assert got == want, f"k={k}"
+
+
 def test_column_collision_raises(spark):
     df = _vals_df(spark).withColumn("rank", F.lit(1))
     with pytest.raises(PlanError):

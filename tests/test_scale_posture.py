@@ -41,6 +41,7 @@ CROSSJOIN_ALLOWED = {
     "llm/ivf.py": "broadcast centroid table (k ≤ 256) and query vectors",
     "llm/text.py": "broadcast 1-row corpus totals (PMI normalizers)",
     "operators/graph.py": "broadcast 1-row count aggregates (triangle report)",
+    "operators/ranks.py": "global_ntile broadcasts the 1-row total-count frame",
 }
 
 
@@ -54,7 +55,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "operators/timeseries.py": "rolling trend over the period-cardinality bucket frame (docstring-bounded)",
     "llm/text.py": "pack_sequences offsets frame: one row per partition",
     "suite/curation_suite.py": "boot1 ranks B bootstrap replicate means (B<=32; tok2's vocab rank moved to operators/ranks.global_rank in r11)",
-    "suite/analytics_suite.py": "rfm1 NTILE over customer aggregate (100 TB path documented: approx_percentile breakpoints); pop1 lag over the day frame; abc1 pareto cumsum over part aggregate (bounded rollups)",
+    "suite/analytics_suite.py": "pop1 lag over the day frame; abc1 pareto cumsum over part aggregate (bounded rollups; rfm1's NTILEs moved to operators/ranks.global_ntile in r11)",
     "suite/llm_suite.py": "qf1 sweep over ~10 threshold buckets; ret1 re-ranks two limit(100) frames",
 }
 
