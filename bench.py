@@ -162,6 +162,12 @@ HEADLINE = {
 
 REPEATS = 3
 
+#: queries exercising the in-process moto S3 endpoint — its object store
+#: grows monotonically across reps (uuid-prefixed writes into one bucket),
+#: so LIST-backed reads drift upward within a run (s27 r8→r9 post-mortem).
+#: Reset the store OUTSIDE the timed window so every rep sees identical state.
+S3_STATE_QUERIES = {"s24_s3_native_roundtrip", "s27_s3_stream_sink_roundtrip"}
+
 
 def _loadavg() -> float:
     """1-minute load average — recorded in the output JSON so a contended run
@@ -246,7 +252,9 @@ def _extra_benches():
     return {"dedup_minhash_xx": dedup_minhash_xx}
 
 
-def _run_once(fn, spark, sf_dir: str) -> float:
+def _run_once(fn, spark, sf_dir: str, pre=None) -> float:
+    if pre is not None:
+        pre()  # fixture isolation, excluded from the timed window
     t0 = time.time()
     df = fn(spark, sf_dir)
     # force full execution of every operator in the plan without collecting
@@ -296,11 +304,16 @@ def main() -> None:
     # foreign CPU carries its own flag in the artifact.
     q_foreign: dict[str, float] = {}
     for bench_name, fn in to_run.items():
+        pre = None
+        if bench_name in S3_STATE_QUERIES:
+            from sparkfusion.sources.s3local import reset_local_s3
+
+            pre = reset_local_s3
         try:
-            _run_once(fn, spark, SF_DIR)  # warm-up (scan caching, codegen)
+            _run_once(fn, spark, SF_DIR, pre=pre)  # warm-up (scan caching, codegen)
             qt0, qb0 = _cpu_sample()
             qown0 = _own_cpu()
-            times = [_run_once(fn, spark, SF_DIR) for _ in range(REPEATS)]
+            times = [_run_once(fn, spark, SF_DIR, pre=pre) for _ in range(REPEATS)]
             qt1, qb1 = _cpu_sample()
             qown1 = _own_cpu()
             qspan = qt1 - qt0

@@ -61,7 +61,10 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_parts = edges.sparkSession.sparkContext.defaultParallelism
     e_deg = e.join(deg, "src").repartition(n_parts, "src").cache()
-    nodes = e.select("src").distinct().withColumnRenamed("src", "node").cache()
+    # nodes reads the CACHED e_deg (same src set: every src in e has a
+    # degree), so the scan+distinct edge-build pipeline runs exactly once —
+    # nodes.count() below populates both caches in one pass.
+    nodes = e_deg.select("src").distinct().withColumnRenamed("src", "node").cache()
     n_nodes = nodes.count()  # one scalar action; N parameterizes the formula
     init_fp = one // n_nodes
     teleport_fp = ((100 - damping_pct) * one) // (100 * n_nodes)

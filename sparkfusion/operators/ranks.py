@@ -30,6 +30,18 @@ from pyspark.sql import functions as F
 
 from ..errors import PlanError
 
+# Internal working columns materialized by these primitives. Every public
+# entry point guards ALL of them: an input frame already carrying e.g.
+# __off_rows or __lrank would join ambiguously against the offsets frame and
+# produce silently wrong ranks rather than an error.
+_INTERNAL_COLS = ("__pid", "__lrank", "__lpos", "__off_rows", "__one", "__n", "__keydup")
+
+
+def _guard_collisions(df: DataFrame, fn: str, *extra: str) -> None:
+    clash = [c for c in (*_INTERNAL_COLS, *extra) if c in df.columns]
+    if clash:
+        raise PlanError(f"{fn}: column collision on {', '.join(clash)}")
+
 
 def _offsets(tagged: DataFrame, totals_cols: dict[str, str]) -> DataFrame:
     """Prefix-sum per-partition totals: input ``tagged`` must carry __pid.
@@ -71,8 +83,7 @@ def global_rank(
     )
     if len(asc) != len(cols):
         raise PlanError("global_rank: ascending list must match order_col list")
-    if "__pid" in df.columns or out in df.columns:
-        raise PlanError(f"global_rank: column collision on __pid/{out}")
+    _guard_collisions(df, "global_rank", out)
     keys = [F.col(c) if a else F.col(c).desc() for c, a in zip(cols, asc)]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_parts, *keys)
@@ -116,10 +127,14 @@ def ranged_cumsum(
     includes all peers while the within-partition ROWS pass here would not.
     Enforced lazily — a duplicate raises mid-plan via a raise_error guard,
     costing nothing extra (checked on the same window pass).
+
+    Output types follow SQL SUM: integral inputs come back as BIGINT,
+    fractional/decimal inputs keep SUM's natural widened type (no lossy
+    cast — `cum_<c>` of a DOUBLE column is DOUBLE).
     """
-    for c in ("__pid", *(f"cum_{c}" for c in sum_cols)):
-        if c in df.columns:
-            raise PlanError(f"ranged_cumsum: column collision on {c}")
+    _guard_collisions(df, "ranged_cumsum", *(f"cum_{c}" for c in sum_cols))
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(df.dtypes)
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_parts, F.col(order_col))
     # same single-evaluation discipline as global_rank (see comment there)
@@ -146,9 +161,10 @@ def ranged_cumsum(
         out = out.withColumn(f"cum_{c}", F.sum(c).over(w))
     out = out.join(F.broadcast(offs), "__pid")
     for c in sum_cols:
-        out = out.withColumn(
-            f"cum_{c}", (F.col(f"cum_{c}") + F.col(f"__off_{c}") + F.col("__keydup")).cast("long")
-        )
+        stitched = F.col(f"cum_{c}") + F.col(f"__off_{c}") + F.col("__keydup")
+        if dtypes.get(c) in integral:
+            stitched = stitched.cast("long")
+        out = out.withColumn(f"cum_{c}", stitched)
     return out.drop("__pid", "__keydup", *[f"__off_{c}" for c in sum_cols])
 
 
@@ -181,8 +197,7 @@ def global_ntile(
     )
     if len(asc) != len(cols):
         raise PlanError("global_ntile: ascending list must match order_col list")
-    if "__pid" in df.columns or out in df.columns:
-        raise PlanError(f"global_ntile: column collision on __pid/{out}")
+    _guard_collisions(df, "global_ntile", out)
     keys = [F.col(c) if a else F.col(c).desc() for c, a in zip(cols, asc)]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_parts, *keys)

@@ -76,7 +76,14 @@ def run_stream_to_table(result: DataFrame, output_mode: str = "complete") -> Dat
     the session's core count here (fixed cost scales with partitions,
     parallelism caps at cores) and restored after; a production deployment
     sizes this to key cardinality instead (it cannot be changed after the
-    first checkpoint)."""
+    first checkpoint).
+
+    Concurrency caveat: the bound mutates the SESSION-global conf for the
+    stream's lifetime, so any batch query issued concurrently on the same
+    session inherits the reduced shuffle-partition count. The suite and the
+    driver run queries strictly sequentially (one query per call), which
+    this relies on; a concurrent deployment should run the stream on its
+    own ``spark.newSession()`` clone instead."""
     spark = result.sparkSession
     part_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(part_key, None)

@@ -88,11 +88,26 @@ def test_ranged_cumsum_matches_window(spark):
 
 def test_ranged_cumsum_rejects_duplicate_keys(spark):
     df = _vals_df(spark)  # v has duplicates
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import PySparkException
-
-    with pytest.raises((Py4JJavaError, PySparkException, Exception)):
+    with pytest.raises(Exception, match="duplicate"):
         ranged_cumsum(df, "v", ["id"], num_partitions=4).collect()
+
+
+def test_ranged_cumsum_preserves_fractional_type(spark):
+    """DOUBLE inputs must come back as DOUBLE (no silent truncation to long);
+    integral inputs follow SQL SUM and come back BIGINT."""
+    df = _vals_df(spark).groupBy("v").agg(
+        (F.sum("id") / 2.0).alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    out = ranged_cumsum(df, "v", ["d", "c"], num_partitions=4)
+    dt = dict(out.dtypes)
+    assert dt["cum_d"] == "double" and dt["cum_c"] == "bigint"
+    w = Window.orderBy("v")
+    got = {(r["v"], r["cum_d"]) for r in out.collect()}
+    want = {
+        (r["v"], r["cum_d"])
+        for r in df.select("v", F.sum("d").over(w).alias("cum_d")).collect()
+    }
+    assert got == want
 
 
 def test_global_ntile_matches_window(spark):
@@ -122,6 +137,17 @@ def test_column_collision_raises(spark):
         global_rank(df, "v")
 
 
+@pytest.mark.parametrize("col", ["__pid", "__off_rows", "__lrank", "__one", "__n"])
+def test_internal_column_collision_raises(spark, col):
+    """Any internal working column on the input would join ambiguously
+    against the offsets frame — must be rejected, not silently mis-ranked."""
+    df = _vals_df(spark).withColumn(col, F.lit(1))
+    with pytest.raises(PlanError, match="collision"):
+        global_rank(df, "v")
+    with pytest.raises(PlanError, match="collision"):
+        ranged_cumsum(df, "v", ["id"])
+
+
 def test_no_single_partition_window_in_plan(spark):
     """The whole point: the row-data window must be partitioned by __pid.
     The plan's only unpartitioned window may touch the #partitions-row
@@ -129,8 +155,12 @@ def test_no_single_partition_window_in_plan(spark):
     df = _vals_df(spark)
     plan = global_rank(df, "v", num_partitions=4)._jdf.queryExecution().executedPlan().toString()
     # every Window over the row data carries the __pid partition spec
-    import re
-
-    windows = [l for l in plan.splitlines() if "Window" in l and "windowspecdefinition" in l.lower() or l.strip().startswith("Window")]
+    windows = [
+        l
+        for l in plan.splitlines()
+        if ("Window" in l and "windowspecdefinition" in l.lower())
+        or l.strip().startswith("Window")
+    ]
     row_windows = [l for l in windows if "__lrank" in l or "rank" in l]
+    assert row_windows, plan  # the filter must actually match the rank window
     assert all("__pid" in l for l in row_windows), plan

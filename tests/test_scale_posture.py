@@ -18,7 +18,7 @@ PKG = os.path.join(os.path.dirname(__file__), "..", "sparkfusion")
 #: files where .collect()/.toPandas() IS the documented semantics
 COLLECT_ALLOWED = {
     "interchange.py": "C1-C6 driver-interchange helpers: collect IS the contract",
-    "suite/sources_suite.py": "s22 7-row completeness assertion; s26 bounded blob-fixture setup (~1% of docs)",
+    "suite/sources_suite.py": "s22 7-row completeness assertion (s26's blob fixture moved to a distributed foreachPartition sidecar in r12)",
     "llm/text.py": "BPE trainer: 1-row TakeOrderedAndProject merge pick per round",
     "llm/pq.py": "IVF-PQ param derivation: n_cells+n_codes training rows (16 by contract) shipped as plan literals",
     "operators/kmeans.py": "k×(d+1) centroid aggregates per round (k·d bounded by contract)",

@@ -65,6 +65,29 @@ def test_read_batch_arrow_table(spark):
     assert sorted(r.x for r in df.collect()) == [1, 2]
 
 
+def test_read_batch_large_utf8_widens_to_string(spark):
+    """SURVEY §1.3 documented widening: Arrow ``large_string`` (the
+    reference's LargeUtf8 — ``tests/api/helpers_tests.rs:228`` appends a
+    LargeStringArray column next to a plain StringArray) lands as Spark
+    ``StringType``, same as ``string`` — Spark has no 32/64-bit-offset
+    string split. Values must survive the widening byte-for-byte."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "car": pa.array(["green", "red"], type=pa.string()),
+            "col1": pa.array(["foo", "foo"], type=pa.string()),
+            "col2": pa.array(["bar", "baz"], type=pa.large_string()),
+        }
+    )
+    assert t.schema.field("col2").type == pa.large_string()
+    df = read_batch(spark, t)
+    dt = dict(df.dtypes)
+    assert dt["col1"] == "string" and dt["col2"] == "string"
+    rows = sorted((r.car, r.col1, r.col2) for r in df.collect())
+    assert rows == [("green", "foo", "bar"), ("red", "foo", "baz")]
+
+
 def test_csv_no_header_naming(spark, tmp_path):
     p = str(tmp_path / "nh_csv")
     spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string").write.mode(

@@ -214,9 +214,20 @@ def main() -> int:
     if json_out:
         import json
 
+        # Dual-stamp (README "Artifact numbering"): the local artifact
+        # counter historically runs two ahead of the driver round; embedding
+        # both makes the filename quirk harmless. Overridable per run via env.
+        driver_round = int(os.environ.get("SPARK_GRAFT_DRIVER_ROUND", "10"))
         with open(json_out, "w") as f:
             json.dump(
-                {"sf_dir": sf_dir, "passed": n_pass, "failed": n_fail, "queries": results},
+                {
+                    "sf_dir": sf_dir,
+                    "driver_round": driver_round,
+                    "local_round": driver_round + 2,
+                    "passed": n_pass,
+                    "failed": n_fail,
+                    "queries": results,
+                },
                 f,
                 indent=1,
             )
