@@ -155,6 +155,9 @@ def weighted_word_cosine_join(
                 F.lit(float(inv_scale)) / F.sqrt(F.col("df").cast("double"))
             ).cast("long").alias("iw"),
         )
+        # df_counts feeds BOTH sides' weighting joins; without materialization
+        # each consumer re-runs the two distinct-explode pipelines under it
+        .localCheckpoint(eager=False)
     )
 
     def side(rel: DataFrame, idc: str) -> DataFrame:
@@ -163,7 +166,14 @@ def weighted_word_cosine_join(
             idc, "word", (F.col("tf") * F.col("iw")).alias("w")
         )
 
-    lv, rv = side(lw, "lid"), side(rw, "rid")
+    # each weighted postings frame feeds TWO subtrees (its norm aggregate and
+    # the dot-product join); the r10 plan audit found the er2 executed plan
+    # carried 12 copies of the tokenize+explode pipeline with zero
+    # ReusedExchange — materializing lv/rv (and df_counts above) cuts it to
+    # one evaluation per relation (A/B'd solo at sf0.1: 3.40s → see
+    # BASELINE.md round-12 notes)
+    lv = side(lw, "lid").localCheckpoint(eager=False)
+    rv = side(rw, "rid").localCheckpoint(eager=False)
     ln = lv.groupBy("lid").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nl")
     )

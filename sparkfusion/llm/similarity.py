@@ -554,7 +554,11 @@ def semdedup(
         .distinct()
         .withColumn("dup", F.lit(True))
     )
-    return asg.join(dups, "vec_id", "left").select(
+    # final verdict rows come from the MATERIALIZED side, not asg: joining
+    # asg directly would re-run the k·d-literal argmin over every point a
+    # third time (side's inner join on vec_id keeps exactly asg's rows, so
+    # the result is identical) — r10 A/B of the semdedup1 cost
+    return side.select("vec_id", "cid").join(dups, "vec_id", "left").select(
         "vec_id", "cid", F.col("dup").isNull().alias("keep")
     )
 
