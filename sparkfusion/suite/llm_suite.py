@@ -2552,6 +2552,10 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+        # the ≤|sources|²-cell matrix feeds BOTH the grand total and the
+        # final projection — materialize it so the banded MinHash pipeline
+        # underneath runs once, not twice (r10 A/B, same shape as er2)
+        .localCheckpoint(eager=False)
     )
     tot = m.agg(F.sum("n_pairs").alias("total"))
     return m.crossJoin(F.broadcast(tot)).select(
