@@ -22,9 +22,10 @@ Construction (documented so scaling results are interpretable):
   within-copy angles are exactly preserved; cross-copy cosines decorrelate
   (rotation autocorrelation of i.i.d.-ish vectors is ~0), for the same
   reason as above.
-- ``events.ts`` is parquet TIMESTAMP(NANOS) in the source; it round-trips
-  through the session's nanosAsLong read as epoch-nano int64 (the suite's
-  ``events_with_ts`` handles either physical type identically).
+- ``events.ts``'s parquet physical type follows whatever the driver last
+  generated (TIMESTAMP(NANOS) in some rounds, timestamp[us] in others — the
+  r4 post-mortem); the copy is written back with the arrived type and the
+  suite's ``events_with_ts`` branches on the arrived dtype either way.
 
 Output is written under the repo (.localdata/ is gitignored); the driver's
 /root/testdata is never touched.
