@@ -493,10 +493,11 @@ def semdedup(
     df: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    k: int = 8,
+    k: int | None = None,
     iterations: int = 2,
     threshold: float = 0.8,
     scale: int = 6,
+    target_cluster_size: int = 256,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): k-means
     cluster the corpus embeddings, then search for near-duplicates only
@@ -506,9 +507,17 @@ def semdedup(
     This is the scalable middle ground between exact dedup (misses
     paraphrases) and global all-pairs cosine (O(n²)): clustering first makes
     the candidate join an EQUI-join on cluster id, so the pair space is
-    Σ|cluster|² instead of n² — at 100 TB you pick k ∝ n / target_cluster_size
-    (the paper uses k≈110k for 5B embeddings) and each cluster's pair block
-    fits one task. Same bucket-then-join posture as the MinHash/LSH families.
+    Σ|cluster|² instead of n² — BUT only if k grows with the corpus. With
+    ``k=None`` (the default) k is derived as ``ceil(n / target_cluster_size)``
+    so expected pair work stays LINEAR (n · target_cluster_size / 2); a
+    pinned k makes the within-cluster join quadratic again, which is exactly
+    what the r12 sf1 sweep measured (k=8 at 10× data → 11.5× wall). The
+    paper's own posture is the same (k≈110k for 5B embeddings,
+    arXiv:2303.09540 §3). k is capped at 4096 here because assignment embeds
+    the k·d centroid table as a literal map-only expression
+    (:func:`~sparkfusion.operators.kmeans._argmin_struct`); past that,
+    switch assignment to a broadcast-join argmin. Same bucket-then-join
+    posture as the MinHash/LSH families.
 
     Determinism: clustering is :func:`sparkfusion.operators.kmeans`'s
     quantized-integer Lloyd's (bit-reproducible trajectory, SQL-replayable),
@@ -519,6 +528,9 @@ def semdedup(
     """
     from ..operators.kmeans import _argmin_struct, lloyd_centroids, quantize_points
 
+    if k is None:
+        n = df.count()
+        k = max(2, min(4096, -(-n // target_cluster_size)))
     pts = quantize_points(df, id_col, emb_col, scale)
     cents = lloyd_centroids(pts, k, iterations)
     asg = pts.withColumn("m", _argmin_struct(cents)).select(

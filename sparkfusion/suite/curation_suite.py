@@ -53,9 +53,14 @@ def semdedup1_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     searched only WITHIN clusters (equi-join on cluster id — Σ|c|² pairs,
     never n²) and every point with a lower-id cluster-mate at cosine ≥ 0.3
     is dropped. The 100 TB posture is the paper's own: k grows ∝ corpus so
-    per-cluster pair blocks stay bounded. Oracle replays the full Lloyd's
-    trajectory via the shared unrolled CTE chain, then the same min-id
-    keeper rule. See :func:`sparkfusion.llm.similarity.semdedup`."""
+    per-cluster pair blocks stay bounded — the LIBRARY default (``k=None``)
+    derives k = ceil(n / 256) for exactly that reason (the r12 sf1 sweep
+    measured pinned-k going quadratic: 10× data → 11.5× wall). THIS suite
+    entry pins k=8 because the oracle's unrolled Lloyd's CTE chain is a
+    static SQL string — it verifies the trajectory bit-for-bit, which needs
+    a compile-time k. Oracle replays the full Lloyd's trajectory via the
+    shared unrolled CTE chain, then the same min-id keeper rule. See
+    :func:`sparkfusion.llm.similarity.semdedup`."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.semdedup(
         emb, "vec_id", "embedding", k=8, iterations=2,

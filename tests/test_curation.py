@@ -74,6 +74,37 @@ def test_semdedup_rejects_trivial_and_is_deterministic(spark, sf_dir):
     ]
 
 
+def test_semdedup_auto_k_matches_explicit_and_scales(spark, sf_dir):
+    """``k=None`` derives k = ceil(n / target_cluster_size) (clamped to
+    [2, 4096]) and produces the identical result to passing that k
+    explicitly — the auto-scaling path is a parameter derivation, not a
+    different algorithm. This is the linear-pair-work posture: a pinned k
+    makes the within-cluster join quadratic in the corpus (r12 sf1 sweep:
+    k=8 at 10× data → 11.5× wall)."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    tgt = 100
+    expect_k = max(2, min(4096, -(-n // tgt)))
+    assert expect_k > 2  # the derivation must actually engage at test SF
+
+    auto = sorted(
+        semdedup(
+            emb, iterations=1, threshold=0.3, target_cluster_size=tgt
+        ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    explicit = sorted(
+        semdedup(emb, k=expect_k, iterations=1, threshold=0.3).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    assert [(r["vec_id"], r["cid"], r["keep"]) for r in auto] == [
+        (r["vec_id"], r["cid"], r["keep"]) for r in explicit
+    ]
+    # derived k really bounds cluster ids (occupancy is NOT asserted —
+    # min-id init + 1 round legitimately leaves clusters empty)
+    assert max(r["cid"] for r in auto) < expect_k
+
+
 # ---------------------------------------------------------------------------
 # BPE encode
 # ---------------------------------------------------------------------------
