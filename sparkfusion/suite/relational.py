@@ -3,8 +3,18 @@ set-ops, subqueries (SURVEY.md §2.2-2.7, §4 CTE/subquery rows).
 
 Numeric determinism: every money aggregate is computed in DECIMAL (exact, so
 Spark's parallel partial-agg order cannot flip low-order float bits vs the
-oracle's sequential sum) and only cast to DOUBLE at the end — the
-decimal→double conversion is deterministic and identical in both engines.
+oracle's sequential sum). A final cast to DOUBLE is engine-identical ONLY
+while the sum's scaled integer (value · 10^scale) stays below 2^53: Spark
+converts via BigDecimal.doubleValue (correctly rounded in one step), DuckDB
+via scaled-int128 → double → ÷10^scale (TWO roundings — off by 1 ULP past
+2^53; the r12 sf1 sweep caught q1's scale-6 sum_charge doing exactly that
+at 6M rows: exact 43579985256.939670 → DuckDB ...939674, correctly rounded
+is ...93967). Emitting DECIMAL instead doesn't help the oracle check:
+DuckDB's pandas fetch coerces DECIMAL to float64 through the same 2-step
+conversion. Rule: ROUND wide-scale money sums to scale 2 (exact decimal
+rounding, identical both engines) BEFORE the double cast — a scale-2
+scaled int stays < 2^53 up through ~9e13 absolute (sf1000 here); past
+that envelope only a string-typed emission would stay comparable.
 """
 
 from __future__ import annotations
@@ -31,8 +41,8 @@ SELECT
   l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
   COUNT(*) AS count_order
@@ -66,22 +76,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(5,2)")).alias("_sum_qty"),
-            F.sum(ep).alias("_sum_base"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # the scale-4/-6 sums are ROUNDED to money scale 2 BEFORE the
+            # double cast: a scale-2 scaled int stays < 2^53 through ~9e13
+            # absolute, so the conversion is a single correctly-rounded
+            # division in both engines — unrounded, DuckDB double-rounds
+            # past 2^53 (module docstring; the r12 sf1 sweep caught
+            # sum_charge at 6M rows)
+            F.sum(F.col("l_quantity").cast("decimal(5,2)")).alias("sum_qty"),
+            F.sum(ep).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
     return agg.select(
         "l_returnflag",
         "l_linestatus",
-        F.col("_sum_qty").cast("double").alias("sum_qty"),
-        F.col("_sum_base").cast("double").alias("sum_base_price"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
         "sum_disc_price",
         "sum_charge",
-        (F.col("_sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
-        (F.col("_sum_base").cast("double") / F.col("count_order")).alias("avg_price"),
+        # avgs are per-group intensive: numerator scaled ints stay << 2^53
+        # through sf1000, so the double conversion is engine-identical
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price").cast("double") / F.col("count_order")).alias("avg_price"),
         "count_order",
     )
 
