@@ -59,14 +59,18 @@ def cosine_r9_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Colum
     return F.round(dot(a, b) / norm_a / norm_b, 9)
 
 
-def sign_bucket(emb: Column, bits: int = 4) -> Column:
-    """Deterministic LSH bucket id from the sign bits of the first ``bits``
-    dimensions. A stand-in for random-hyperplane LSH that both engines can
-    evaluate identically; production would hash projections onto stored
-    random planes through the same column contract."""
+def sign_bucket(emb: Column, bits: int = 4, offset: int = 0) -> Column:
+    """Deterministic LSH bucket id from the sign bits of ``bits`` dimensions
+    starting at ``offset``. A stand-in for random-hyperplane LSH that both
+    engines can evaluate identically; production would hash projections onto
+    stored random planes through the same column contract. ``offset`` lets
+    multi-band callers derive independent bucket functions from disjoint
+    dimension slices (band i → offset i·bits)."""
     out = F.lit(0)
     for d in range(bits):
-        out = out + F.when(F.get(emb, d) > 0, F.lit(1 << d)).otherwise(F.lit(0))
+        out = out + F.when(F.get(emb, offset + d) > 0, F.lit(1 << d)).otherwise(
+            F.lit(0)
+        )
     return out
 
 
@@ -347,23 +351,37 @@ def cosine_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.4,
-    bits: int = 4,
+    bits: int | None = 4,
     exact: bool = False,
+    bands: int = 1,
+    target_bucket_size: int = 256,
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ threshold.
 
     Default (``bits>0``): sign-bucket LSH — pairs must share a bucket
     (equi-join), the 100 TB path; shuffle is linear in rows, candidate count
-    ∝ Σ bucket², never all-pairs.
+    ∝ Σ bucket², never all-pairs. A PINNED ``bits`` makes that Σ bucket²
+    quadratic in the corpus (2^bits buckets each growing ∝ n — the r12 sf1
+    sweep measured 15× wall at 10× data for bits=4); ``bits=None`` derives
+    ``bits = ceil(log2(n / target_bucket_size))`` (clamped to [1, 24]) so
+    expected bucket population — and with it expected pair work per row —
+    stays constant as the corpus grows.
+
+    Finer buckets trade recall for cost (near-neighbors straddling a sign
+    boundary land in different buckets). ``bands > 1`` buys the recall back
+    the standard LSH way: band i buckets on the DISJOINT dimension slice
+    ``[i·bits, (i+1)·bits)``, candidates are the union over bands (a pair
+    collides if it agrees on ANY band), deduplicated, then verified against
+    the exact cosine once. Requires ``bands·bits ≤ dim``.
 
     ``exact=True``: all-pairs O(n²) theta-join — verification/toy scale
     ONLY (this is the plan shape the repo bans at scale, so it is opt-in;
-    ``bits`` is ignored). Raises if ``exact=False`` and ``bits < 1`` so no
-    caller can reach the cartesian form by accident.
+    ``bits``/``bands`` are ignored). Raises if ``exact=False`` and
+    ``bits < 1`` so no caller can reach the cartesian form by accident.
 
     Returns (id_a, id_b, cos), id_a < id_b.
     """
-    if not exact and bits < 1:
+    if not exact and bits is not None and bits < 1:
         raise PlanError(
             "bits must be >= 1 for the LSH path; pass exact=True to opt in "
             "to the all-pairs O(n^2) join (toy scale / verification only)"
@@ -380,6 +398,49 @@ def cosine_pairs(
     )
     if exact:
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
+        return (
+            joined.withColumn(
+                "cos",
+                cosine_r9_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
+            )
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+
+    if bits is None:
+        import math
+
+        n = df.count()
+        bits = max(1, min(24, math.ceil(math.log2(max(2.0, n / target_bucket_size)))))
+    if bands < 1:
+        raise PlanError(f"bands must be >= 1, got {bands}")
+    if bands > 1:
+        dim = df.select(F.size(emb_col).alias("d")).first()["d"]
+        if bands * bits > dim:
+            raise PlanError(
+                f"bands*bits = {bands * bits} exceeds embedding dim {dim}; "
+                "disjoint-slice banding needs bands*bits <= dim"
+            )
+        slim = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
+        cands: DataFrame | None = None
+        for band in range(bands):
+            ba = slim.select(
+                F.col("id").alias("id_a"),
+                sign_bucket(F.col("e"), bits, band * bits).alias("bucket"),
+            )
+            bb = slim.select(
+                F.col("id").alias("id_b"),
+                sign_bucket(F.col("e"), bits, band * bits).alias("bucket"),
+            )
+            c = (
+                ba.join(bb, "bucket")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+            cands = c if cands is None else cands.unionByName(c)
+        # dedup candidates BEFORE the verify join so a pair colliding on
+        # several bands pays the exact-cosine fold once, not ``bands`` times
+        joined = cands.distinct().join(a, "id_a").join(b, "id_b")
     else:
         a = a.withColumn("bucket", sign_bucket(F.col("ea"), bits))
         b = b.withColumn("bucket", sign_bucket(F.col("eb"), bits))

@@ -651,7 +651,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path: equi-join on bucket, never all-pairs). The exact all-pairs
     form (``bits=0``) is retained as a pytest-only recall reference — see
     tests/test_llm.py — and is deliberately NOT registered in the suite.
-    Double-precision sequential fold matches DuckDB bit-for-bit."""
+    Double-precision sequential fold matches DuckDB bit-for-bit. ``bits=4``
+    is PINNED here because the oracle SQL is static; the library default
+    (``bits=None``) derives bits from the corpus so bucket population stays
+    constant — pinned bits went quadratic in the r12 sf1 sweep (15× wall at
+    10× data; auto-bits 7.5× faster there, A/B in BASELINE.md)."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.45, bits=4)
 
@@ -676,7 +680,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup with sign-bucket LSH candidate pruning — the 100 TB
     path (pairs only form within a bucket: equi-join, ~1/2^bits of the pair
-    space scanned; recall < 1 vs the exact form by design)."""
+    space scanned; recall < 1 vs the exact form by design). ``bits=4`` pinned
+    for the static oracle; the library auto-scales bits and can buy recall
+    back with multi-band unions (see dedup_embedding_cosine's docstring)."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4, bits=4)
 

@@ -172,6 +172,47 @@ def test_cosine_pairs_banded_recall_vs_exact(spark, sf_dir):
     assert len(banded) <= len(exact)
 
 
+def test_cosine_pairs_auto_bits_and_multiband(spark, sf_dir):
+    """``bits=None`` derives bits = ceil(log2(n / target_bucket_size)) and
+    matches the explicit-bits result exactly (parameter derivation, not a
+    different algorithm — the linear-pair-work posture from the r12 sf1
+    sweep). ``bands>1`` unions candidates from disjoint dimension slices:
+    recall is monotone in bands, every surviving pair is exact-subset with
+    identical cosines, and overflowing the embedding dim raises."""
+    import math
+
+    from sparkfusion.errors import PlanError
+    from sparkfusion.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    tgt = 100
+    expect_bits = max(1, min(24, math.ceil(math.log2(max(2.0, n / tgt)))))
+
+    def pairset(**kw):
+        return {
+            (r.id_a, r.id_b): r.cos
+            for r in similarity.cosine_pairs(
+                emb, "vec_id", "embedding", 0.45, **kw
+            ).collect()
+        }
+
+    auto = pairset(bits=None, target_bucket_size=tgt)
+    explicit = pairset(bits=expect_bits)
+    assert auto == explicit
+
+    exact = pairset(exact=True)
+    one_band = pairset(bits=8)
+    two_band = pairset(bits=8, bands=2)
+    assert set(one_band) <= set(two_band) <= set(exact)
+    assert all(exact[k] == v for k, v in two_band.items())
+
+    with pytest.raises(PlanError, match="exceeds embedding dim"):
+        similarity.cosine_pairs(
+            emb, "vec_id", "embedding", 0.45, bits=40, bands=2
+        ).collect()
+
+
 def test_connected_components_chain_triangle_singleton(spark):
     # chain 1-2-3 (transitive: 3 must reach 1 through 2), triangle 10-11-12,
     # isolated pair 20-21; all collapse to min-id components
