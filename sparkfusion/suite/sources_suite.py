@@ -576,11 +576,26 @@ def s26_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver memory with it. Deterministic per-doc filenames make the
     # distributed write collision-free and idempotent; local mode / a shared
     # filesystem is the same requirement binaryFile itself has.
+    # The marker keys on the documents parquet's (mtime, size) as well as
+    # the sf_dir: the driver regenerates /root/testdata IN PLACE between
+    # rounds (r12 observed), and an sf_dir-only key would silently pin
+    # blobs from the previous data vintage.
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        vintage = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:  # directory-shaped parquet (e.g. the sf1 build)
+        sizes = sorted(
+            (f, os.path.getsize(os.path.join(src, f)))
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+        vintage = f"{sf_dir}|{sizes}"
     prev = None
     if os.path.exists(marker):
         with open(marker) as f:
             prev = f.read()
-    if prev != sf_dir:
+    if prev != vintage:
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
 
@@ -591,7 +606,7 @@ def s26_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         docs.foreachPartition(_write_blobs)
         with open(marker, "w") as f:
-            f.write(sf_dir)
+            f.write(vintage)
     bf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")  # exclude the _SF_MARKER sidecar
