@@ -351,7 +351,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.4,
-    bits: int | None = 4,
+    bits: int | None = None,
     exact: bool = False,
     bands: int = 1,
     target_bucket_size: int = 256,
