@@ -5,7 +5,12 @@ a coarse quantizer (seeded KMeans over a sample) partitions the corpus into
 cells; a query probes only the ``nprobe`` nearest cells, scanning
 ``~nprobe/k`` of the data. This is the classic IVF-Flat layout: at 100 TB the
 assigned corpus is written partitioned by ``cell`` so a probe is a partition-
-pruned scan, and the centroid table (k rows) broadcasts.
+pruned scan, and the centroid table (k rows) broadcasts. ``k`` is
+caller-chosen and MUST grow with the corpus (the FAISS rule of thumb is
+k ≈ √n, keeping per-probe scan cost √n instead of linear — the same
+pinned-constant-goes-superlinear class the r12 sf1 sweep caught in
+semdedup/cosine_pairs; the suite's small fixed k exists only for the
+deterministic oracle).
 
 KMeans is iterative → not SQL-expressible; the suite query is registered
 rows-only (the driver's weaker check), while recall vs the exact scan is
