@@ -117,7 +117,8 @@ def negative_pairs(
     df: DataFrame,
     id_col: str,
     k: int = 4,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
+    pool_factor: int = 8,
 ) -> DataFrame:
     """Deterministic pseudo-random negative-pair mining for contrastive
     training: each anchor document gets ``k`` negatives drawn uniformly-ish
@@ -130,15 +131,27 @@ def negative_pairs(
     cross join), then keep the ``k`` candidates with the smallest
     ``md5(anchor·candidate)`` per anchor (row_number window, anchor
     partition). Candidate pools are disjoint from the anchor's own bucket, so
-    a pair can never be a self-pair. At 100 TB, ``n_buckets`` scales as
-    ``n / (4k)`` to keep the per-bucket join quadratic bounded at ~O(n·k)
-    output with O(k²)-ish per-bucket work; the join shuffles on the bucket
-    key and the window on the anchor id.
+    a pair can never be a self-pair. A PINNED ``n_buckets`` makes the
+    bucket join quadratic in the corpus (each of the fixed buckets grows
+    ∝ n — the r12 sf1 sweep measured n_buckets=32 at 11s solo for 50k
+    docs); the default ``n_buckets=None`` derives
+    ``n_buckets = max(2, n // (pool_factor · k))`` so each anchor sees an
+    expected ``pool_factor · k`` candidates regardless of corpus size —
+    O(n·k·pool_factor) total work, linear. ``pool_factor=8`` keeps the
+    probability of an anchor drawing fewer than ``k`` negatives
+    (hash-variance bucket shortfall) negligible; the join shuffles on the
+    bucket key and the window on the anchor id.
     """
-    if n_buckets < 2:
-        raise PlanError(f"negative_pairs: n_buckets must be >= 2, got {n_buckets}")
     if k < 1:
         raise PlanError(f"negative_pairs: k must be >= 1, got {k}")
+    if n_buckets is None:
+        if pool_factor < 1:
+            raise PlanError(
+                f"negative_pairs: pool_factor must be >= 1, got {pool_factor}"
+            )
+        n_buckets = max(2, df.count() // (pool_factor * k))
+    if n_buckets < 2:
+        raise PlanError(f"negative_pairs: n_buckets must be >= 2, got {n_buckets}")
     from pyspark.sql import Window
 
     bucket = (

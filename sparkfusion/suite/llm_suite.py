@@ -1482,9 +1482,12 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neg_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training negative mining: 4 deterministic pseudo-random
     negatives per anchor via md5 bucket-pairing — an equi-join (never a cross
-    join), self-pair-free, reproducible across engines/partitionings. See
-    :func:`sparkfusion.llm.chunking.negative_pairs` for the 100 TB bucket
-    sizing."""
+    join), self-pair-free, reproducible across engines/partitionings.
+    ``n_buckets=32`` is PINNED here for the static oracle; the library
+    default derives n_buckets from the corpus so per-anchor candidate pools
+    stay constant (pinned buckets measured 15.6× slower at sf1 — the r12
+    pinned-constant class; A/B in BASELINE.md). See
+    :func:`sparkfusion.llm.chunking.negative_pairs`."""
     from ..llm.chunking import negative_pairs
 
     docs = table(spark, sf_dir, "documents")

@@ -494,6 +494,17 @@ def test_negative_pairs_properties(spark, sf_dir):
     with _pytest.raises(ValueError):
         negative_pairs(docs, "doc_id", n_buckets=1)
 
+    # auto-derived n_buckets (the linear-work default; r12 sf1 catch:
+    # pinned buckets go quadratic) equals the explicit derivation exactly
+    n = docs.count()
+    expect_b = max(2, n // (8 * 4))
+    auto = {(r["anchor_id"], r["neg_id"], r["rk"]) for r in
+            negative_pairs(docs, "doc_id", k=4).collect()}
+    explicit = {(r["anchor_id"], r["neg_id"], r["rk"]) for r in
+                negative_pairs(docs, "doc_id", k=4, n_buckets=expect_b).collect()}
+    assert auto == explicit
+    assert len({a for a, _, _ in auto}) > 0
+
 
 def test_label_centroids_exact_vs_numpy(spark, sf_dir):
     import numpy as np
