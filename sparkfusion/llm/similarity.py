@@ -574,11 +574,13 @@ def semdedup(
     pinned k makes the within-cluster join quadratic again, which is exactly
     what the r12 sf1 sweep measured (k=8 at 10× data → 11.5× wall). The
     paper's own posture is the same (k≈110k for 5B embeddings,
-    arXiv:2303.09540 §3). k is capped at 4096 here because assignment embeds
-    the k·d centroid table as a literal map-only expression
-    (:func:`~sparkfusion.operators.kmeans._argmin_struct`); past that,
-    switch assignment to a broadcast-join argmin. Same bucket-then-join
-    posture as the MinHash/LSH families.
+    arXiv:2303.09540 §3). Assignment switches form with k
+    (:func:`~sparkfusion.operators.kmeans.assign_quantized`): a literal
+    map-only expression up to k=128, an exact Arrow-batched numpy argmin
+    above (the r12 200k-point probe measured the k=782 literal plan at
+    ~390s where the batch path is seconds); the 4096 cap bounds the
+    task-closure centroid table. Same bucket-then-join posture as the
+    MinHash/LSH families.
 
     Determinism: clustering is :func:`sparkfusion.operators.kmeans`'s
     quantized-integer Lloyd's (bit-reproducible trajectory, SQL-replayable),
@@ -587,16 +589,14 @@ def semdedup(
 
     Returns one row per input: ``(vec_id, cid, keep)``.
     """
-    from ..operators.kmeans import _argmin_struct, lloyd_centroids, quantize_points
+    from ..operators.kmeans import assign_quantized, lloyd_centroids, quantize_points
 
     if k is None:
         n = df.count()
         k = max(2, min(4096, -(-n // target_cluster_size)))
     pts = quantize_points(df, id_col, emb_col, scale)
     cents = lloyd_centroids(pts, k, iterations)
-    asg = pts.withColumn("m", _argmin_struct(cents)).select(
-        "vec_id", F.col("m.cid").alias("cid")
-    )
+    asg = assign_quantized(pts, cents).select("vec_id", "cid")
 
     emb = df.select(
         F.col(id_col).alias("vec_id"),

@@ -66,6 +66,64 @@ def _argmin_struct(centroids: list[list[int]]) -> F.Column:
     )
 
 
+#: above this k, the literal-argmin expression (k·d literal leaves,
+#: interpreted per row) is replaced by the exact numpy batch argmin — the
+#: r12 stress probe measured the k=782 literal plan at ~390s for 200k
+#: points where the batch path is seconds. 128 keeps every suite/oracle
+#: query (k ≤ 16) on the expression path unchanged.
+_LITERAL_ARGMIN_MAX_K = 128
+
+
+def assign_quantized(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Assign each ``(vec_id, xq)`` row to its nearest centroid; returns the
+    input columns plus ``cid`` (int) and ``dist`` (long, exact squared
+    distance), tie-broken on the LOWER cid.
+
+    k ≤ ``_LITERAL_ARGMIN_MAX_K``: the map-only literal-argmin expression
+    (:func:`_argmin_struct` — no shuffle, whole-stage codegen).
+
+    Larger k: an Arrow-batched numpy argmin — ``dist = |x|² + |c|² − 2·x·c``
+    via one int64 matmul per batch (EXACT: component products are bounded by
+    the quantization contract far below 2⁶³, and numpy integer matmul does
+    not round). ``np.argmin`` returns the first minimum, which IS the
+    lower-cid tie-break. The centroid table (k·d ints) ships in the task
+    closure — the same bounded-driver-state contract as the literal path;
+    the pass stays map-only with no shuffle either way.
+    """
+    if len(cents) <= _LITERAL_ARGMIN_MAX_K:
+        m = _argmin_struct(cents)
+        return (
+            pts.withColumn("__m", m)
+            .withColumn("cid", F.col("__m.cid"))
+            .withColumn("dist", F.col("__m.d"))
+            .drop("__m")
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pts.schema.fields
+    ) + ", cid int, dist long"
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+            xn = (X * X).sum(axis=1)
+            d2 = xn[:, None] + cn[None, :] - 2 * (X @ C.T)
+            cid = d2.argmin(axis=1)
+            out = pdf.copy()
+            out["cid"] = cid.astype("int32")
+            out["dist"] = d2[np.arange(len(cid)), cid]
+            yield out
+
+    return pts.mapInPandas(_assign, out_schema)
+
+
 def quantize_points(
     df: DataFrame, id_col: str, emb_col: str, scale: int
 ) -> DataFrame:
@@ -98,9 +156,9 @@ def lloyd_centroids(
     d = len(cents[0])
 
     for _ in range(iterations):
-        assigned = pts.withColumn("m", _argmin_struct(cents))
+        assigned = assign_quantized(pts, cents)
         aggs = (
-            assigned.groupBy(F.col("m.cid").alias("cid"))
+            assigned.groupBy("cid")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 *[F.sum(F.col("xq")[i]).alias(f"s{i}") for i in range(d)],
@@ -135,12 +193,12 @@ def kmeans_quantized(
     pts = quantize_points(df, id_col, emb_col, scale)
     cents = lloyd_centroids(pts, k, iterations)
 
-    final = pts.withColumn("m", _argmin_struct(cents))
-    stats = final.groupBy(F.col("m.cid").alias("cid")).agg(
+    final = assign_quantized(pts, cents)
+    stats = final.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_points"),
         # exact DECIMAL(38,0) accumulation (no 64-bit overflow at 1e9 rows),
         # emitted as BIGINT — test-scale inertia is far below 2^63
-        F.sum(F.col("m.d").cast("decimal(38,0)")).cast("long").alias("inertia"),
+        F.sum(F.col("dist").cast("decimal(38,0)")).cast("long").alias("inertia"),
     )
     spark = df.sparkSession
     fingerprints = spark.createDataFrame(

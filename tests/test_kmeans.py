@@ -67,3 +67,34 @@ def test_empty_cluster_carries_previous_centroid(spark):
     # clusters 1 and 2 start at the same point; the lower cid wins both
     # members, cluster 2 is empty and is simply absent from the report
     assert got[0] == 1 and got[1] == 2 and 2 not in got
+
+
+def test_numpy_argmin_path_matches_literal_expression(spark, sf_dir):
+    """assign_quantized switches to the Arrow-batched numpy argmin above
+    k=128 (the r12 200k-point probe: the k=782 literal plan took ~390s
+    where the batch path is seconds). Both paths must produce the identical
+    assignment — exact int64 distances, first-minimum == lower-cid
+    tie-break — so the Lloyd's trajectory is path-invariant."""
+    from sparkfusion.operators import kmeans as km
+    from sparkfusion.session import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(400)
+    pts = km.quantize_points(emb, "vec_id", "embedding", 6)
+    cents = [list(r["xq"]) for r in pts.orderBy("vec_id").limit(150).collect()]
+    assert len(cents) == 150  # > _LITERAL_ARGMIN_MAX_K -> numpy path
+
+    via_numpy = {
+        r["vec_id"]: (r["cid"], r["dist"])
+        for r in km.assign_quantized(pts, cents).collect()
+    }
+    lit = pts.withColumn("__m", km._argmin_struct(cents))
+    via_literal = {
+        r["vec_id"]: (r["__m"]["cid"], r["__m"]["d"]) for r in lit.collect()
+    }
+    assert via_numpy == via_literal
+
+    # duplicate centroids: equidistant ties must resolve to the LOWER cid
+    # on the numpy path too (np.argmin first-occurrence semantics)
+    dup = [cents[0]] * 130
+    got = {r["vec_id"]: r["cid"] for r in km.assign_quantized(pts, dup).collect()}
+    assert set(got.values()) == {0}
