@@ -141,6 +141,10 @@ def negative_pairs(
     probability of an anchor drawing fewer than ``k`` negatives
     (hash-variance bucket shortfall) negligible; the join shuffles on the
     bucket key and the window on the anchor id.
+
+    Laziness caveat: the ``n_buckets=None`` default triggers ONE eager
+    ``df.count()`` action at plan-build time (the derivation needs n); pass
+    an explicit ``n_buckets`` to keep the call fully lazy.
     """
     if k < 1:
         raise PlanError(f"negative_pairs: k must be >= 1, got {k}")

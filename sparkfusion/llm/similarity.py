@@ -379,6 +379,10 @@ def cosine_pairs(
     ``bits``/``bands`` are ignored). Raises if ``exact=False`` and
     ``bits < 1`` so no caller can reach the cartesian form by accident.
 
+    Laziness caveat: the ``bits=None`` default triggers ONE eager
+    ``df.count()`` action at plan-build time (the derivation needs n); pass
+    explicit ``bits`` to keep the call fully lazy.
+
     Returns (id_a, id_b, cos), id_a < id_b.
     """
     if not exact and bits is not None and bits < 1:
@@ -415,7 +419,22 @@ def cosine_pairs(
     if bands < 1:
         raise PlanError(f"bands must be >= 1, got {bands}")
     if bands > 1:
-        dim = df.select(F.size(emb_col).alias("d")).first()["d"]
+        dim_row = df.select(F.size(emb_col).alias("d")).first()
+        if dim_row is None:  # empty input: no pairs, and no dim to validate
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            id_type = df.schema[id_col].dataType
+            return df.sparkSession.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("id_a", id_type),
+                        StructField("id_b", id_type),
+                        StructField("cos", DoubleType()),
+                    ]
+                ),
+            )
+        dim = dim_row["d"]
         if bands * bits > dim:
             raise PlanError(
                 f"bands*bits = {bands * bits} exceeds embedding dim {dim}; "
@@ -559,6 +578,7 @@ def semdedup(
     threshold: float = 0.8,
     scale: int = 6,
     target_cluster_size: int = 256,
+    two_level: bool = False,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): k-means
     cluster the corpus embeddings, then search for near-duplicates only
@@ -582,21 +602,69 @@ def semdedup(
     task-closure centroid table. Same bucket-then-join posture as the
     MinHash/LSH families.
 
+    ``two_level=True`` lifts the flat path's k ≤ 4096 cap by composing the
+    existing IVF coarse/fine machinery: a coarse quantized Lloyd's over
+    k1 = ⌈√k⌉ cells, then per-cell sub-clustering into k2 = ⌈k/k1⌉ via
+    :func:`~sparkfusion.operators.kmeans.sub_cluster_cells` (one cell = one
+    ``applyInPandas`` group, zero driver-side centroid state) —
+    ``cid = cell·k2 + sub``. Effective cluster ceiling becomes 4096² ≈
+    16.7M (n ≈ 4.3B docs at the default cluster size). When the derived k
+    is small (≤ the literal-argmin threshold) the flat path is already
+    map-only-cheap and ``two_level`` falls back to it, so the two modes are
+    output-identical at small n (pinned by pytest).
+
+    With ``k=None`` the derivation triggers ONE eager count action (on the
+    already-checkpointed quantized frame, so the source is not re-read).
+    If the flat path's derived k hits the 4096 cap, per-cluster size grows
+    ∝ n again — a ``PlanWarning`` points at ``two_level=True``.
+
     Determinism: clustering is :func:`sparkfusion.operators.kmeans`'s
-    quantized-integer Lloyd's (bit-reproducible trajectory, SQL-replayable),
-    cosines are the round-9 double fold, keeper choice is min-id within the
+    quantized-integer Lloyd's (bit-reproducible trajectory, SQL-replayable;
+    the per-cell fine level keeps the same integer contract, and cells are
+    processed whole so the trajectory is partitioning-invariant), cosines
+    are the round-9 double fold, keeper choice is min-id within the
     ≥-threshold neighbor relation — all engine- and partitioning-invariant.
 
     Returns one row per input: ``(vec_id, cid, keep)``.
     """
-    from ..operators.kmeans import assign_quantized, lloyd_centroids, quantize_points
+    from ..operators.kmeans import (
+        _LITERAL_ARGMIN_MAX_K,
+        assign_quantized,
+        lloyd_centroids,
+        quantize_points,
+        sub_cluster_cells,
+    )
 
-    if k is None:
-        n = df.count()
-        k = max(2, min(4096, -(-n // target_cluster_size)))
     pts = quantize_points(df, id_col, emb_col, scale)
-    cents = lloyd_centroids(pts, k, iterations)
-    asg = assign_quantized(pts, cents).select("vec_id", "cid")
+    if k is None:
+        n = pts.count()  # materializes the checkpoint every path below reads
+        k = max(2, -(-n // target_cluster_size))
+    if two_level and k > _LITERAL_ARGMIN_MAX_K:
+        import math
+
+        k1 = min(4096, math.ceil(math.sqrt(k)))
+        k2 = min(4096, -(-k // k1))
+        coarse_cents = lloyd_centroids(pts, k1, iterations)
+        coarse = assign_quantized(pts, coarse_cents).select(
+            "vec_id", "xq", F.col("cid").alias("cell")
+        )
+        asg = sub_cluster_cells(coarse, k2, iterations).select(
+            "vec_id",
+            (F.col("cell").cast("long") * k2 + F.col("sub")).cast("long").alias("cid"),
+        )
+    else:
+        if k > 4096:
+            import warnings
+
+            warnings.warn(
+                f"semdedup: derived k={k} exceeds the flat-path cap 4096; "
+                f"clamping (per-cluster size grows with the corpus — "
+                f"pass two_level=True for the hierarchical path)",
+                stacklevel=2,
+            )
+            k = 4096
+        cents = lloyd_centroids(pts, k, iterations)
+        asg = assign_quantized(pts, cents).select("vec_id", "cid")
 
     emb = df.select(
         F.col(id_col).alias("vec_id"),

@@ -174,6 +174,61 @@ def lloyd_centroids(
     return cents
 
 
+def sub_cluster_cells(
+    coarse: DataFrame, k2: int, iterations: int, cell_col: str = "cell"
+) -> DataFrame:
+    """Per-cell quantized Lloyd's — the FINE level of two-level clustering
+    (IVF coarse/fine composition, same pattern as llm/pq.py's residual PQ):
+    ``coarse`` carries ``(vec_id, xq, <cell_col>)`` from a coarse
+    :func:`assign_quantized` pass; each cell's points are sub-clustered
+    independently into ≤ ``k2`` clusters and the result is
+    ``(vec_id, <cell_col>, sub)`` with ``sub ∈ [0, k2)``.
+
+    Scale shape: one shuffle on the cell key, then every cell is ONE
+    ``applyInPandas`` group — the coarse level bounds the per-task point
+    count at ~n/k1, and driver state is zero (centroids live and die inside
+    the task). This is what lifts the flat path's k ≤ 4096 broadcast-
+    centroid cap: total effective clusters k1·k2 ≤ 4096², far past any
+    corpus where k = n/256 matters.
+
+    Determinism (same contract as the flat integer Lloyd's above, so the
+    trajectory is partitioning- and engine-invariant): points sort by
+    vec_id; init is the k2 smallest-id vectors of the cell; distances are
+    exact int64 (``|x|² + |c|² − 2·x·c`` — products bounded far below 2⁶³
+    by the quantization contract, and numpy integer matmul is exact);
+    ``np.argmin`` first-minimum IS the lower-sub-cid tie-break; updates are
+    the same sign-split truncating integer mean; empty sub-clusters keep
+    their previous centroid."""
+    import numpy as np
+
+    out_schema = f"vec_id long, {cell_col} int, sub int"
+
+    def _sub(pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+        k_eff = min(k2, len(pdf))
+        C = X[:k_eff].copy()
+        xn = (X * X).sum(axis=1)
+        sub = np.zeros(len(pdf), dtype=np.int64)
+        for it in range(iterations + 1):  # final pass assigns under final C
+            cn = (C * C).sum(axis=1)
+            d2 = xn[:, None] + cn[None, :] - 2 * (X @ C.T)
+            sub = d2.argmin(axis=1)
+            if it == iterations:
+                break
+            for c in range(k_eff):  # empty clusters keep previous centroid
+                m = sub == c
+                n_c = int(m.sum())
+                if n_c:
+                    s = X[m].sum(axis=0)
+                    C[c] = np.where(s < 0, -((-s) // n_c), s // n_c)
+        out = pdf[["vec_id", cell_col]].copy()
+        out["sub"] = sub.astype("int32")
+        return out
+
+    return coarse.groupBy(cell_col).applyInPandas(_sub, out_schema)
+
+
 def kmeans_quantized(
     df: DataFrame,
     id_col: str = "vec_id",

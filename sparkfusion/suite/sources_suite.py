@@ -30,6 +30,29 @@ from . import register
 IO_DIR = "/tmp/sparkfusion_io"
 
 
+def _parquet_vintage(sf_dir: str, name: str) -> str:
+    """Staleness key for a parquet table under ``sf_dir`` — changes whenever
+    the table's bytes could have (mtime_ns + size), for marker-keyed sidecar
+    fixtures (s26 blobs). ``os.stat()`` on a DIRECTORY succeeds (returning
+    the dirent's own stat, size 4096), so the directory-shaped layout (e.g.
+    the sf1 build) is detected explicitly with ``isdir`` — an in-place
+    regeneration that rewrites part files under identical names leaves the
+    directory mtime unchanged, and a stat-of-directory key would silently
+    pin stale fixture blobs (r12 advice). Flat-file layout keys on the
+    file's own (mtime_ns, size)."""
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(src):
+        parts = sorted(
+            (f, os.path.getsize(p), os.stat(p).st_mtime_ns)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+            for p in [os.path.join(src, f)]
+        )
+        return f"{sf_dir}|{parts}"
+    st = os.stat(src)
+    return f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+
+
 @register(
     "s1_s3_csv_roundtrip",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
@@ -580,17 +603,7 @@ def s26_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sf_dir: the driver regenerates /root/testdata IN PLACE between
     # rounds (r12 observed), and an sf_dir-only key would silently pin
     # blobs from the previous data vintage.
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        vintage = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
-    except OSError:  # directory-shaped parquet (e.g. the sf1 build)
-        sizes = sorted(
-            (f, os.path.getsize(os.path.join(src, f)))
-            for f in os.listdir(src)
-            if f.endswith(".parquet")
-        )
-        vintage = f"{sf_dir}|{sizes}"
+    vintage = _parquet_vintage(sf_dir, "documents")
     prev = None
     if os.path.exists(marker):
         with open(marker) as f:

@@ -208,3 +208,65 @@ def test_dsir_selects_target_like_docs(spark, sf_dir):
     counts = {r["lang"]: r["n"] for r in top.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert sum(counts.values()) == 100
     assert counts.get("en", 0) > 50
+
+
+def test_semdedup_two_level_falls_back_at_small_k(spark, sf_dir):
+    """two_level=True with small derived/explicit k must be output-identical
+    to the flat path (it falls back below the literal-argmin threshold), so
+    suite entries and small-corpus users see one behavior."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = sorted(
+        semdedup(emb, k=6, iterations=1, threshold=0.3).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    two = sorted(
+        semdedup(emb, k=6, iterations=1, threshold=0.3, two_level=True).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    assert [(r["vec_id"], r["cid"], r["keep"]) for r in flat] == [
+        (r["vec_id"], r["cid"], r["keep"]) for r in two
+    ]
+
+
+def test_semdedup_two_level_hierarchical_soundness(spark, sf_dir):
+    """Force the hierarchical path (k > literal-argmin threshold): output is
+    one row per input, deterministic under repartitioning, every cluster
+    keeps its min-id member, and bit-identical embedding pairs that share a
+    cluster are deduped (higher id dropped)."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    res = semdedup(emb, k=200, iterations=1, threshold=0.3, two_level=True)
+    rows = sorted(res.collect(), key=lambda r: r["vec_id"])
+    assert len(rows) == n
+
+    rows_b = sorted(
+        semdedup(
+            emb.repartition(13), k=200, iterations=1, threshold=0.3, two_level=True
+        ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    assert [(r["vec_id"], r["cid"], r["keep"]) for r in rows] == [
+        (r["vec_id"], r["cid"], r["keep"]) for r in rows_b
+    ]
+
+    # min-id member of every cluster is kept
+    best = {}
+    for r in rows:
+        if r["cid"] not in best or r["vec_id"] < best[r["cid"]][0]:
+            best[r["cid"]] = (r["vec_id"], r["keep"])
+    assert all(keep for _, keep in best.values())
+
+
+def test_semdedup_flat_cap_warns(spark):
+    """Explicit/derived k past the flat-path cap must warn and clamp, naming
+    the two_level escape hatch (r12 advice: caps must not engage silently)."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        semdedup(df, k=5000, iterations=0, threshold=0.9).collect()
+    assert any("two_level" in str(x.message) for x in w)

@@ -98,3 +98,49 @@ def test_numpy_argmin_path_matches_literal_expression(spark, sf_dir):
     dup = [cents[0]] * 130
     got = {r["vec_id"]: r["cid"] for r in km.assign_quantized(pts, dup).collect()}
     assert set(got.values()) == {0}
+
+
+def test_sub_cluster_cells_deterministic_and_partition_invariant(spark, sf_dir):
+    """The fine level of two-level clustering must be a pure function of the
+    cell contents: same (vec_id, xq, cell) rows -> same (cell, sub) labels
+    regardless of input partitioning, and sub ids stay inside [0, k2)."""
+    from sparkfusion.operators import kmeans as km
+    from sparkfusion.session import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(300)
+    pts = km.quantize_points(emb, "vec_id", "embedding", 6)
+    cents = km.lloyd_centroids(pts, 5, 1)
+    coarse = km.assign_quantized(pts, cents).select(
+        "vec_id", "xq", F.col("cid").alias("cell")
+    )
+    k2 = 7
+    a = {
+        (r["vec_id"]): (r["cell"], r["sub"])
+        for r in km.sub_cluster_cells(coarse, k2, 2).collect()
+    }
+    b = {
+        (r["vec_id"]): (r["cell"], r["sub"])
+        for r in km.sub_cluster_cells(coarse.repartition(11), k2, 2).collect()
+    }
+    assert a == b
+    assert len(a) == 300
+    assert all(0 <= sub < k2 for _, sub in a.values())
+    # identical points always land in the same (cell, sub): pick a cell and
+    # check each point's sub equals the argmin against its cell's final
+    # centroids implicitly via duplicate embeddings below
+
+
+def test_sub_cluster_cells_duplicates_share_sub(spark):
+    """Bit-identical embeddings can never split across sub-clusters."""
+    from sparkfusion.operators import kmeans as km
+
+    rows = [(i, [float(i % 3), float((i * 2) % 3)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pts = km.quantize_points(df, "vec_id", "embedding", 6)
+    coarse = pts.withColumn("cell", (F.col("vec_id") % 2).cast("int"))
+    out = km.sub_cluster_cells(coarse, 4, 2).collect()
+    label = {}
+    for r in out:
+        key = (r["cell"], r["vec_id"] % 3)  # same residue -> same embedding
+        label.setdefault(key, r["sub"])
+        assert label[key] == r["sub"]

@@ -892,3 +892,16 @@ def test_rrf_fuse_prefers_ids_ranked_by_both(spark):
     assert abs(one[1] - round(1 / 61, 9)) < 1e-9
     assert abs(one[4] - round(1 / 62, 9)) < 1e-9
     assert len(out) == 5
+
+
+def test_cosine_pairs_banded_empty_input(spark):
+    """bands>1 on an EMPTY frame must return an empty pair frame (schema
+    intact), not TypeError on the missing dim probe row (r12 advice)."""
+    from sparkfusion.llm import similarity
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = similarity.cosine_pairs(
+        empty, "vec_id", "embedding", 0.4, bits=2, bands=2
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cos"]

@@ -193,3 +193,38 @@ def test_corrupt_record_quarantine_captures_bad_rows(spark, sf_dir):
     rows = [r["_corrupt"] for r in q.collect()]
     assert len(rows) == n_bad
     assert all(r.startswith("x") for r in rows)  # raw poisoned text preserved
+
+
+def test_parquet_vintage_directory_layout(tmp_path):
+    """The s26 blob-fixture staleness key must track PART-FILE changes for a
+    directory-shaped parquet table: rewriting a part file under the same
+    name (in-place regeneration) must change the vintage even though the
+    directory's own mtime/size stat does not (r12 advice — os.stat on a
+    directory succeeds, so the old except-OSError branch was dead)."""
+    import os
+    import time
+
+    from sparkfusion.suite.sources_suite import _parquet_vintage
+
+    sf = tmp_path / "sfX"
+    d = sf / "documents.parquet"
+    d.mkdir(parents=True)
+    p = d / "part-000.parquet"
+    p.write_bytes(b"aaaa")
+    v1 = _parquet_vintage(str(sf), "documents")
+    dir_stat = os.stat(d).st_mtime_ns
+    time.sleep(0.01)
+    p.write_bytes(b"bbbb")  # same name, same size, newer mtime
+    os.utime(d, ns=(dir_stat, dir_stat))  # pin the DIRECTORY stat unchanged
+    v2 = _parquet_vintage(str(sf), "documents")
+    assert v1 != v2
+
+    # flat-file layout still keys on the file's own (mtime_ns, size)
+    flat = tmp_path / "sfY"
+    flat.mkdir()
+    f = flat / "documents.parquet"
+    f.write_bytes(b"cccc")
+    u1 = _parquet_vintage(str(flat), "documents")
+    time.sleep(0.01)
+    f.write_bytes(b"dddd")
+    assert _parquet_vintage(str(flat), "documents") != u1
