@@ -27,19 +27,61 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB, None → rows-only check
     doc: str = ""
+    # sf_dir -> SQL, for oracles whose embedded constants the LIBRARY derives
+    # from the corpus size (semdedup k, LSH bits, negative-pair buckets):
+    # resolved at oracle_sql() call time against the sf the driver compares
+    # at, so the driver-checked path IS the auto-deriving default path.
+    oracle_fn: Callable[[str], str] | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: the driver's correctness gate compares at sf0.01; local sweeps at other
+#: SFs (tools/check_oracle.py) override via this env var BEFORE calling
+#: oracle_sql() so derived-constant oracles re-derive for that corpus.
+ORACLE_SF_ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
+_DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
-    """Decorator: add a query to the suite registry."""
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    oracle_fn: Callable[[str], str] | None = None,
+):
+    """Decorator: add a query to the suite registry. Pass ``oracle`` for a
+    static SQL string, or ``oracle_fn`` (sf_dir → SQL) when the SQL embeds a
+    corpus-size-derived constant."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            oracle_fn=oracle_fn,
+        )
         return fn
 
     return deco
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count of a star table from parquet FOOTER metadata — no Spark, no
+    scan; used by derived-constant oracle generators (and by query builders
+    that must agree with them bit-for-bit)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
 
 
 def queries() -> dict[str, QueryFn]:
@@ -49,7 +91,16 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    import os
+
+    sf_dir = os.environ.get(ORACLE_SF_ENV, _DRIVER_SF_DIR)
+    out: dict[str, str] = {}
+    for name, spec in REGISTRY.items():
+        if spec.oracle_fn is not None:
+            out[name] = spec.oracle_fn(sf_dir)
+        elif spec.oracle is not None:
+            out[name] = spec.oracle
+    return out
 
 
 _LOADED = False

@@ -68,6 +68,58 @@ def semdedup1_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_auto_oracle(sf_dir: str) -> str:
+    """Oracle for the AUTO-K semdedup entry: derives k exactly like the
+    library default (k = max(2, ceil(n / target_cluster_size)) from the
+    embeddings row count — parquet footer metadata, no scan) and unrolls the
+    Lloyd's CTE chain for THAT k. Different sf → different derived k →
+    different SQL, which is the point (r10 verdict #4): the driver-checked
+    path is the auto-deriving library path, not a pinned twin."""
+    from . import table_rows
+
+    n = table_rows(sf_dir, "embeddings")
+    k = max(2, -(-n // _SEMDEDUP_AUTO_TCS))
+    return (
+        _kmeans_ctes(k=k, iterations=2, scale_pow=6)
+        + f""",
+    asg AS (SELECT vec_id, cid FROM af),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(ea.emb, eb.emb), 9)
+            >= {_SEMDEDUP_THRESHOLD}
+    )
+    SELECT s.vec_id, s.cid, (d.vec_id IS NULL) AS keep
+    FROM asg s LEFT JOIN dup d ON d.vec_id = s.vec_id
+    """
+    )
+
+
+_SEMDEDUP_AUTO_TCS = 64
+
+
+@register("semdedup2_auto_k", oracle_fn=_semdedup_auto_oracle)
+def semdedup2_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through the LIBRARY DEFAULT auto-k path (``k=None`` →
+    k = ceil(n / target_cluster_size), the scale-with-corpus posture): the
+    oracle SQL is GENERATED at oracle_sql() time with the same derivation
+    from the same parquet footer count, so what the driver verifies is the
+    deriving path itself — at sf0.01 (n=500, tcs=64) k=8 and at sf0.1
+    (n=2000) k=32, and both must stay green (r10 verdict #4). Same
+    cluster-then-pair plan as ``semdedup1_cluster_prune``; Spark's derived
+    k counts the checkpointed quantized frame, bit-equal to the footer
+    count the oracle uses."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(
+        emb, "vec_id", "embedding", iterations=2,
+        threshold=_SEMDEDUP_THRESHOLD, scale=6,
+        target_cluster_size=_SEMDEDUP_AUTO_TCS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR-style importance weighting
 # ---------------------------------------------------------------------------

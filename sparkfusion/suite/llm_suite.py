@@ -660,6 +660,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.45, bits=4)
 
 
+def _sign_bucket_sql(bits: int, col: str = "embedding") -> str:
+    """DuckDB twin of :func:`sparkfusion.llm.similarity.sign_bucket` for the
+    first ``bits`` dimensions (1-based array indexing, weight 2^i)."""
+    return "\n           + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+
+
+def _cosine_auto_oracle(sf_dir: str) -> str:
+    """Oracle for the AUTO-BITS cosine-pair entry: derives bits exactly like
+    the library default (ceil(log2(n / target_bucket_size)), clamped to
+    [1, 24]) from the embeddings footer row count and generates the
+    sign-bucket SQL for THAT width — sf0.01 (n=500) → 1 bit, sf0.1
+    (n=2000) → 3 bits (r10 verdict #4: the driver checks the deriving
+    path, not a pinned twin)."""
+    import math
+
+    from . import table_rows
+
+    n = table_rows(sf_dir, "embeddings")
+    bits = max(1, min(24, math.ceil(math.log2(max(2.0, n / 256)))))
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             {_sign_bucket_sql(bits)} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) AS cos
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) >= 0.45
+    """
+
+
+@register("dedup_cosine_auto_bits", oracle_fn=_cosine_auto_oracle)
+def dedup_cosine_auto_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs through the LIBRARY DEFAULT
+    ``bits=None`` auto-derivation (bucket width scales with the corpus so
+    Σ bucket² stays linear — the r12 pinned-bits quadratic fix). The oracle
+    is generated at oracle_sql() time with the same derivation from the
+    same parquet footer count, so the driver-verified path IS the deriving
+    default, with different derived widths at each sf. Candidate recall at
+    the derived width is what the library ships; the multi-band recovery
+    knob is exercised separately (tests/test_llm.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, bits=None,
+        target_bucket_size=256,
+    )
+
+
 @register(
     "dedup_embedding_lsh",
     oracle="""
@@ -1492,6 +1544,47 @@ def neg_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return negative_pairs(docs, "doc_id", k=4, n_buckets=32)
+
+
+def _neg_pair_auto_oracle(sf_dir: str) -> str:
+    """Oracle for the AUTO-BUCKETS negative-pair entry: derives n_buckets
+    exactly like the library default (max(2, n // (pool_factor·k))) from the
+    documents footer row count — sf0.01 (n=500) → 15 buckets, sf0.1
+    (n=5000) → 156 (r10 verdict #4)."""
+    from . import table_rows
+
+    n = table_rows(sf_dir, "documents")
+    nb = max(2, n // (8 * 4))
+    return f"""
+    WITH b AS (
+      SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {nb} AS bkt
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+             md5(CAST(a.doc_id AS VARCHAR) || '_' || CAST(c.doc_id AS VARCHAR)) AS pair_h
+      FROM b a JOIN b c ON c.bkt = (a.bkt + 1) % {nb}
+    )
+    SELECT anchor_id, neg_id, rk FROM (
+      SELECT anchor_id, neg_id,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY pair_h, neg_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 4
+    """
+
+
+@register("neg_pair_auto_buckets", oracle_fn=_neg_pair_auto_oracle)
+def neg_pair_auto_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-pair mining through the LIBRARY DEFAULT ``n_buckets=None``
+    derivation (buckets scale with the corpus so per-anchor candidate pools
+    stay constant — the r12 pinned-buckets n²/32 fix). The oracle is
+    generated at oracle_sql() time with the same derivation from the same
+    parquet footer count, so the driver-verified path IS the deriving
+    default. See :func:`sparkfusion.llm.chunking.negative_pairs`."""
+    from ..llm.chunking import negative_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return negative_pairs(docs, "doc_id", k=4, n_buckets=None, pool_factor=8)
 
 
 @register(

@@ -145,3 +145,24 @@ def test_matching_query_writes_no_dump(spark, tmp_path, monkeypatch):
     )
     assert co.main() == 0
     assert not os.path.exists(str(tmp_path / "none"))
+
+
+def test_derived_constant_oracles_follow_sf_dir(monkeypatch):
+    """The three auto-derived entries (r10 verdict #4) must generate
+    DIFFERENT oracle SQL per sf_dir — the embedded constant re-derives from
+    that corpus's footer row count — and default to the driver's sf0.01."""
+    from sparkfusion import suite
+
+    monkeypatch.delenv(suite.ORACLE_SF_ENV, raising=False)
+    small = suite.oracle_sql()
+    monkeypatch.setenv(suite.ORACLE_SF_ENV, "/root/testdata/sf0.1")
+    big = suite.oracle_sql()
+    for name in ("semdedup2_auto_k", "dedup_cosine_auto_bits", "neg_pair_auto_buckets"):
+        assert small[name] != big[name], name
+    # static oracles are unaffected by the env var
+    assert small["q1_pricing_summary"] == big["q1_pricing_summary"]
+    # derived values at the driver sf: k=8 (n=500/tcs64), 1 bit, 15 buckets
+    assert "LIMIT 8" in small["semdedup2_auto_k"]
+    assert "% 15" in small["neg_pair_auto_buckets"]
+    assert "embedding[2]" not in small["dedup_cosine_auto_bits"]
+    assert "embedding[3]" in big["dedup_cosine_auto_bits"]

@@ -118,10 +118,14 @@ def main() -> int:
     only = set(args[1:])
     results: dict[str, dict] = {}
 
+    import os
+
+    # derived-constant oracles (semdedup k, LSH bits, negative-pair buckets)
+    # re-derive for THIS sf_dir's corpus — must be set before oracle_sql()
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as e
     from sparkfusion.session import STAR_TABLES, get_session
-
-    import os
 
     if plain:
         # mirror the external driver: its own SparkSession, no sparkfusion
