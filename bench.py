@@ -162,6 +162,51 @@ HEADLINE = {
 
 REPEATS = 3
 
+#: Structured Streaming queries: their wall time is dominated by per-query
+#: FIXED cost (stream startup, one RocksDB/HDFS state-store instance per
+#: shuffle partition per stateful operator, memory-sink setup) that does not
+#: scale with data — 7 of the bench's top-10 costs, drowning real movement
+#: (a 20% state-logic regression reads as ~3%). Each gets a TRIGGER-ZERO
+#: startup measurement: the same query against 0-row parquet twins of the
+#: star tables (same schemas, incl. events.ts's physical type), so exactly
+#: one empty micro-batch pays the fixed cost and no data work happens. The
+#: artifact reports wall AND net-of-startup; BASELINE.md records the
+#: judging rule (regressions are judged on NET for these queries).
+STREAM_QUERIES = {
+    "stream_tumbling",
+    "stream_stateful_counts_tws",
+    "stream_recent_events_tws",
+    "stream_session_timeout_tws",
+    "stream_cdc_keep_latest",
+    "stream_ivfpq_ingest",
+    "s27_s3_stream_sink_roundtrip",
+}
+
+
+def _empty_sf_dir(sf_dir: str) -> str:
+    """Temp dir of 0-row parquet files with the SAME arrow schemas as
+    ``sf_dir``'s tables (physical types preserved — the events.ts vintage
+    rule), for trigger-zero streaming startup runs."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from sparkfusion.session import STAR_TABLES
+
+    d = tempfile.mkdtemp(prefix="sparkfusion_empty_sf_")
+    for t in STAR_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            part = next(
+                f for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+            )
+            schema = pq.read_schema(os.path.join(path, part))
+        else:
+            schema = pq.read_schema(path)
+        pq.write_table(schema.empty_table(), os.path.join(d, f"{t}.parquet"))
+    return d
+
+
 #: queries exercising the in-process moto S3 endpoint — its object store
 #: grows monotonically across reps (uuid-prefixed writes into one bucket),
 #: so LIST-backed reads drift upward within a run (s27 r8→r9 post-mortem).
@@ -297,6 +342,8 @@ def main() -> None:
     load_max = load_start
 
     results: dict[str, float] = {}
+    stream_startup: dict[str, float] = {}
+    empty_dir = None
     # Per-query foreign-CPU accounting (r8 verdict: a 4% run-level average
     # hid bursts that inflated individual queries 2-4x while the run-level
     # contended flag stayed false). Sampled around each query's timed
@@ -329,12 +376,35 @@ def main() -> None:
             # min, not median: robust against external CPU contention on a
             # shared box; reports the reproducible best case
             results[bench_name] = round(min(times), 4)
+            if bench_name in STREAM_QUERIES:
+                # trigger-zero startup: same query, 0-row inputs — fixed
+                # cost only. Measured min-of-REPEATS right after the timed
+                # window so both see the same box state.
+                try:
+                    if empty_dir is None:
+                        empty_dir = _empty_sf_dir(SF_DIR)
+                    _run_once(fn, spark, empty_dir, pre=pre)
+                    stimes = [
+                        _run_once(fn, spark, empty_dir, pre=pre)
+                        for _ in range(REPEATS)
+                    ]
+                    stream_startup[bench_name] = round(min(stimes), 4)
+                except Exception as ex:
+                    print(
+                        f"bench startup-probe error {bench_name}: {ex}",
+                        file=sys.stderr,
+                    )
+                    stream_startup[bench_name] = -1.0
         except Exception as ex:  # a broken query must not sink the whole bench
             print(f"bench error {bench_name}: {ex}", file=sys.stderr)
             results[bench_name] = -1.0
         load_max = max(load_max, _loadavg())
     total = round(sum(t for t in results.values() if t > 0), 4)
     load_end = _loadavg()
+    if empty_dir is not None:
+        import shutil
+
+        shutil.rmtree(empty_dir, ignore_errors=True)
 
     cpu_total1, cpu_busy1 = _cpu_sample()
     own1 = _own_cpu()
@@ -354,6 +424,13 @@ def main() -> None:
     contended_queries = sorted(
         name for name, f in q_foreign.items() if f > 0.05
     )
+    # net-of-startup for streaming queries: wall minus the trigger-zero
+    # fixed cost — the column that actually moves with state-logic changes
+    net_of_startup = {
+        name: round(max(0.0, results[name] - s), 4)
+        for name, s in stream_startup.items()
+        if s >= 0 and results.get(name, -1) > 0
+    }
     artifact = {
         "metric": "suite_total_sec",
         "value": total,
@@ -370,6 +447,10 @@ def main() -> None:
         # query a regression (BASELINE.md "reading a bench artifact")
         "query_foreign_cpu": q_foreign,
         "contended_queries": contended_queries,
+        # streaming fixed-cost accounting (see STREAM_QUERIES doc):
+        # wall stays in "queries"; judge state-logic movement on the net
+        "stream_startup_sec": stream_startup,
+        "queries_net_of_startup": net_of_startup,
     }
     # Full artifact on disk: the driver's BENCH_r{N}.json keeps only the last
     # 2000 chars of stdout (r6's head — metric/value/q1/q3/q5 — was cut off),
@@ -391,6 +472,9 @@ def main() -> None:
                 "foreign_cpu_frac": foreign_frac,
                 "contended": contended,
                 "contended_queries": contended_queries,
+                "stream_startup_sec": {
+                    k: round(v, 3) for k, v in stream_startup.items()
+                },
             },
             separators=(",", ":"),
         )

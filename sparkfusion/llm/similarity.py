@@ -604,14 +604,17 @@ def semdedup(
 
     ``two_level=True`` lifts the flat path's k ≤ 4096 cap by composing the
     existing IVF coarse/fine machinery: a coarse quantized Lloyd's over
-    k1 = ⌈√k⌉ cells, then per-cell sub-clustering into k2 = ⌈k/k1⌉ via
+    k1 = ⌈√k⌉ cells, then per-cell sub-clustering via
     :func:`~sparkfusion.operators.kmeans.sub_cluster_cells` (one cell = one
-    ``applyInPandas`` group, zero driver-side centroid state) —
-    ``cid = cell·k2 + sub``. Effective cluster ceiling becomes 4096² ≈
-    16.7M (n ≈ 4.3B docs at the default cluster size). When the derived k
-    is small (≤ the literal-argmin threshold) the flat path is already
-    map-only-cheap and ``two_level`` falls back to it, so the two modes are
-    output-identical at small n (pinned by pytest).
+    ``applyInPandas`` group, zero driver-side centroid state) with the
+    sub-cluster count derived PER CELL as ⌈|cell|/target⌉ — coarse cells
+    are skewed, and a fixed per-cell count would make pair work quadratic
+    in that skew (r13 probe) — ``cid = cell·2³¹ + sub``. Effective cluster
+    ceiling becomes ~4096·|cell|, far past any corpus where k = n/256
+    matters. When the derived k is small (≤ the literal-argmin threshold)
+    the flat path is already map-only-cheap and ``two_level`` falls back to
+    it, so the two modes are output-identical at small n (pinned by
+    pytest).
 
     With ``k=None`` the derivation triggers ONE eager count action (on the
     already-checkpointed quantized frame, so the source is not re-read).
@@ -636,21 +639,35 @@ def semdedup(
     )
 
     pts = quantize_points(df, id_col, emb_col, scale)
+    n = None
     if k is None:
         n = pts.count()  # materializes the checkpoint every path below reads
         k = max(2, -(-n // target_cluster_size))
     if two_level and k > _LITERAL_ARGMIN_MAX_K:
         import math
 
+        if n is None:
+            n = pts.count()
         k1 = min(4096, math.ceil(math.sqrt(k)))
-        k2 = min(4096, -(-k // k1))
-        coarse_cents = lloyd_centroids(pts, k1, iterations)
-        coarse = assign_quantized(pts, coarse_cents).select(
+        # fine level derives its count PER CELL from the cell's own size
+        # (coarse cells are skewed; a fixed k2 would make per-cell pair
+        # work |cell|^2/k2 — the r13 probe measured sum(|c|^2) at 2.5x the
+        # flat path's before this). tcs_eff reproduces the requested total
+        # cluster count for explicit k too.
+        tcs_eff = max(1, -(-n // k))
+        # force_numpy: no SQL-replay constraint here (two_level only engages
+        # past the suite's pinned-k range) and the batch argmin is identical
+        # by the pinned path-invariance — skips ~3s/pass of interpreted
+        # literal expression at probe scale
+        coarse_cents = lloyd_centroids(pts, k1, iterations, force_numpy=True)
+        coarse = assign_quantized(pts, coarse_cents, force_numpy=True).select(
             "vec_id", "xq", F.col("cid").alias("cell")
         )
-        asg = sub_cluster_cells(coarse, k2, iterations).select(
+        asg = sub_cluster_cells(
+            coarse, iterations=iterations, target_size=tcs_eff
+        ).select(
             "vec_id",
-            (F.col("cell").cast("long") * k2 + F.col("sub")).cast("long").alias("cid"),
+            ((F.col("cell").cast("long") * (1 << 31)) + F.col("sub")).alias("cid"),
         )
     else:
         if k > 4096:

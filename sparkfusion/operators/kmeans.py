@@ -74,7 +74,9 @@ def _argmin_struct(centroids: list[list[int]]) -> F.Column:
 _LITERAL_ARGMIN_MAX_K = 128
 
 
-def assign_quantized(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
+def assign_quantized(
+    pts: DataFrame, cents: list[list[int]], force_numpy: bool = False
+) -> DataFrame:
     """Assign each ``(vec_id, xq)`` row to its nearest centroid; returns the
     input columns plus ``cid`` (int) and ``dist`` (long, exact squared
     distance), tie-broken on the LOWER cid.
@@ -89,8 +91,14 @@ def assign_quantized(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
     lower-cid tie-break. The centroid table (k·d ints) ships in the task
     closure — the same bounded-driver-state contract as the literal path;
     the pass stays map-only with no shuffle either way.
+
+    ``force_numpy=True`` takes the batch path at ANY k. The two paths are
+    output-identical (pytest-pinned path invariance), so callers with no
+    SQL-replay constraint — semdedup's two-level coarse pass — can skip the
+    interpreted k·d-literal expression, which the r13 probe measured at
+    ~3s/pass for k=28 over 200k rows where the batch path is sub-second.
     """
-    if len(cents) <= _LITERAL_ARGMIN_MAX_K:
+    if not force_numpy and len(cents) <= _LITERAL_ARGMIN_MAX_K:
         m = _argmin_struct(cents)
         return (
             pts.withColumn("__m", m)
@@ -142,7 +150,7 @@ def quantize_points(
 
 
 def lloyd_centroids(
-    pts: DataFrame, k: int, iterations: int
+    pts: DataFrame, k: int, iterations: int, force_numpy: bool = False
 ) -> list[list[int]]:
     """``iterations`` rounds of quantized Lloyd's over a ``(vec_id, xq)``
     frame, initialized from the ``k`` vectors with the smallest ids
@@ -156,7 +164,7 @@ def lloyd_centroids(
     d = len(cents[0])
 
     for _ in range(iterations):
-        assigned = assign_quantized(pts, cents)
+        assigned = assign_quantized(pts, cents, force_numpy=force_numpy)
         aggs = (
             assigned.groupBy("cid")
             .agg(
@@ -175,41 +183,61 @@ def lloyd_centroids(
 
 
 def sub_cluster_cells(
-    coarse: DataFrame, k2: int, iterations: int, cell_col: str = "cell"
+    coarse: DataFrame,
+    k2: int | None = None,
+    iterations: int = 2,
+    cell_col: str = "cell",
+    target_size: int | None = None,
 ) -> DataFrame:
     """Per-cell quantized Lloyd's — the FINE level of two-level clustering
     (IVF coarse/fine composition, same pattern as llm/pq.py's residual PQ):
     ``coarse`` carries ``(vec_id, xq, <cell_col>)`` from a coarse
     :func:`assign_quantized` pass; each cell's points are sub-clustered
-    independently into ≤ ``k2`` clusters and the result is
-    ``(vec_id, <cell_col>, sub)`` with ``sub ∈ [0, k2)``.
+    independently and the result is ``(vec_id, <cell_col>, sub)``.
+
+    Exactly one of ``k2`` (fixed sub-cluster count per cell) or
+    ``target_size`` must be given. ``target_size`` derives the count PER
+    CELL as ``ceil(|cell| / target_size)`` — the scale-with-corpus rule
+    applied at cell granularity. This matters because coarse Lloyd's cells
+    are SKEWED (the r13 200k probe measured max cell 2.8× the mean): a
+    fixed k2 makes per-cell pair work |cell|²/k2 — quadratic in the skew —
+    and Σ|c|² came out 2.5× the flat path's. Per-cell derivation keeps
+    every sub-cluster near ``target_size`` no matter how lopsided the
+    coarse level is, so downstream pair joins stay linear.
 
     Scale shape: one shuffle on the cell key, then every cell is ONE
     ``applyInPandas`` group — the coarse level bounds the per-task point
     count at ~n/k1, and driver state is zero (centroids live and die inside
     the task). This is what lifts the flat path's k ≤ 4096 broadcast-
-    centroid cap: total effective clusters k1·k2 ≤ 4096², far past any
-    corpus where k = n/256 matters.
+    centroid cap: effective clusters k1 · max(k2_c), far past any corpus
+    where k = n/256 matters.
 
     Determinism (same contract as the flat integer Lloyd's above, so the
     trajectory is partitioning- and engine-invariant): points sort by
-    vec_id; init is the k2 smallest-id vectors of the cell; distances are
-    exact int64 (``|x|² + |c|² − 2·x·c`` — products bounded far below 2⁶³
-    by the quantization contract, and numpy integer matmul is exact);
-    ``np.argmin`` first-minimum IS the lower-sub-cid tie-break; updates are
-    the same sign-split truncating integer mean; empty sub-clusters keep
-    their previous centroid."""
+    vec_id; init is the k evenly-spaced-by-rank vectors of the sorted cell
+    (spread beats a min-id block — same probe, 40% lower max cluster);
+    distances are exact int64 (``|x|² + |c|² − 2·x·c`` — products bounded
+    far below 2⁶³ by the quantization contract, and numpy integer matmul
+    is exact); ``np.argmin`` first-minimum IS the lower-sub-cid tie-break;
+    updates are the same sign-split truncating integer mean; empty
+    sub-clusters keep their previous centroid."""
     import numpy as np
 
+    from ..errors import PlanError
+
+    if (k2 is None) == (target_size is None):
+        raise PlanError("sub_cluster_cells: pass exactly one of k2/target_size")
     out_schema = f"vec_id long, {cell_col} int, sub int"
 
     def _sub(pdf):
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
-        k_eff = min(k2, len(pdf))
-        C = X[:k_eff].copy()
+        n_c = len(pdf)
+        k_local = k2 if k2 is not None else -(-n_c // target_size)
+        k_eff = max(1, min(k_local, n_c))
+        C = X[np.linspace(0, n_c - 1, k_eff).astype(np.int64)].copy()
         xn = (X * X).sum(axis=1)
-        sub = np.zeros(len(pdf), dtype=np.int64)
+        sub = np.zeros(n_c, dtype=np.int64)
         for it in range(iterations + 1):  # final pass assigns under final C
             cn = (C * C).sum(axis=1)
             d2 = xn[:, None] + cn[None, :] - 2 * (X @ C.T)
@@ -218,10 +246,10 @@ def sub_cluster_cells(
                 break
             for c in range(k_eff):  # empty clusters keep previous centroid
                 m = sub == c
-                n_c = int(m.sum())
-                if n_c:
+                m_n = int(m.sum())
+                if m_n:
                     s = X[m].sum(axis=0)
-                    C[c] = np.where(s < 0, -((-s) // n_c), s // n_c)
+                    C[c] = np.where(s < 0, -((-s) // m_n), s // m_n)
         out = pdf[["vec_id", cell_col]].copy()
         out["sub"] = sub.astype("int32")
         return out
