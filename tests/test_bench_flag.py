@@ -31,3 +31,25 @@ def test_loadavg_fallback_when_sampling_failed():
     # /proc/stat unavailable → fall back to the loadavg heuristic
     assert b._is_contended(foreign_frac=-1.0, load_start=2.5)
     assert not b._is_contended(foreign_frac=-1.0, load_start=0.5)
+
+
+def test_empty_sf_dir_preserves_schemas(tmp_path, monkeypatch):
+    """The trigger-zero streaming startup runs (BASELINE.md r13 rule) read
+    0-row twins that must carry the SAME arrow schemas as the source tables
+    — especially events.ts's physical type (the r4 vintage lesson)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import bench
+
+    d = bench._empty_sf_dir("/root/testdata/sf0.001")
+    try:
+        for t in ("events", "lineitem", "documents"):
+            src = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+            twin = pq.read_schema(f"{d}/{t}.parquet")
+            assert twin.names == src.names
+            assert [f.type for f in twin] == [f.type for f in src], t
+            assert pq.read_metadata(f"{d}/{t}.parquet").num_rows == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
