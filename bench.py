@@ -183,10 +183,14 @@ STREAM_QUERIES = {
 }
 
 
-def _empty_sf_dir(sf_dir: str) -> str:
-    """Temp dir of 0-row parquet files with the SAME arrow schemas as
-    ``sf_dir``'s tables (physical types preserved — the events.ts vintage
-    rule), for trigger-zero streaming startup runs."""
+def _empty_sf_dir(sf_dir: str, rows: int = 16) -> str:
+    """Temp dir of ``rows``-row HEAD slices of ``sf_dir``'s tables with the
+    SAME arrow schemas (physical types preserved — the events.ts vintage
+    rule), for trigger-zero streaming startup runs. Not literally 0 rows:
+    two streams need seed rows to build at all (the IVF-PQ ingest trains
+    its codebook from ids [0,16); the S3 stream round-trip reads back its
+    own sink and needs ≥1 object) — 16 rows is still pure fixed cost
+    against sf0.1's 200k events."""
     import tempfile
 
     import pyarrow.parquet as pq
@@ -200,10 +204,12 @@ def _empty_sf_dir(sf_dir: str) -> str:
             part = next(
                 f for f in sorted(os.listdir(path)) if f.endswith(".parquet")
             )
-            schema = pq.read_schema(os.path.join(path, part))
-        else:
-            schema = pq.read_schema(path)
-        pq.write_table(schema.empty_table(), os.path.join(d, f"{t}.parquet"))
+            path = os.path.join(path, part)
+        pf = pq.ParquetFile(path)
+        head = next(pf.iter_batches(batch_size=rows))
+        import pyarrow as pa
+
+        pq.write_table(pa.Table.from_batches([head]), os.path.join(d, f"{t}.parquet"))
     return d
 
 

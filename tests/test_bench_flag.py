@@ -35,8 +35,8 @@ def test_loadavg_fallback_when_sampling_failed():
 
 def test_empty_sf_dir_preserves_schemas(tmp_path, monkeypatch):
     """The trigger-zero streaming startup runs (BASELINE.md r13 rule) read
-    0-row twins that must carry the SAME arrow schemas as the source tables
-    — especially events.ts's physical type (the r4 vintage lesson)."""
+    16-row head twins that must carry the SAME arrow schemas as the source
+    tables — especially events.ts's physical type (the r4 vintage lesson)."""
     import shutil
 
     import pyarrow.parquet as pq
@@ -50,6 +50,6 @@ def test_empty_sf_dir_preserves_schemas(tmp_path, monkeypatch):
             twin = pq.read_schema(f"{d}/{t}.parquet")
             assert twin.names == src.names
             assert [f.type for f in twin] == [f.type for f in src], t
-            assert pq.read_metadata(f"{d}/{t}.parquet").num_rows == 0
+            assert pq.read_metadata(f"{d}/{t}.parquet").num_rows == 16
     finally:
         shutil.rmtree(d, ignore_errors=True)
