@@ -44,7 +44,13 @@ PLAIN_SLICE = [
 # ways only a fresh PLAIN session exposes (the r4/r5 failure mode). These
 # run every round regardless of sampling history; any NEW query lands here
 # until a driver round has sampled it (regeneration rule: round rhythm).
-NEVER_SAMPLED: list[str] = []  # recomputed r12 (driver r10): empty
+NEVER_SAMPLED: list[str] = [  # recomputed r13 (driver r11): the r13-new set
+    "j10_range_join_agg",
+    "j11_overlap_agg",
+    "semdedup2_auto_k",
+    "dedup_cosine_auto_bits",
+    "neg_pair_auto_buckets",
+]
 
 CONF_RISK_STANDING = [
     "stream_cdc_keep_latest",
