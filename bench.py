@@ -158,6 +158,11 @@ HEADLINE = {
     "x10_observed_metrics": "x10_observed_metrics",
     "x11_mapinarrow_stats": "x11_mapinarrow_stats",
     "a32_global_rank": "a32_global_rank",
+    "j10_range_join_agg": "j10_range_join_agg",
+    "j11_overlap_agg": "j11_overlap_agg",
+    "semdedup2_auto_k": "semdedup2_auto_k",
+    "dedup_cosine_auto_bits": "dedup_cosine_auto_bits",
+    "neg_pair_auto_buckets": "neg_pair_auto_buckets",
 }
 
 REPEATS = 3
