@@ -78,7 +78,11 @@ def _semdedup_auto_oracle(sf_dir: str) -> str:
     from . import table_rows
 
     n = table_rows(sf_dir, "embeddings")
-    k = max(2, -(-n // _SEMDEDUP_AUTO_TCS))
+    # mirror the library FLAT path exactly, including its 4096 cap (the
+    # entry runs two_level=False, which warns+clamps past the cap — only
+    # reachable past ~262k embeddings ≈ sf100, but the formulas must agree
+    # at every sf by construction, not by luck)
+    k = min(4096, max(2, -(-n // _SEMDEDUP_AUTO_TCS)))
     return (
         _kmeans_ctes(k=k, iterations=2, scale_pow=6)
         + f""",
