@@ -69,9 +69,14 @@ def _argmin_struct(centroids: list[list[int]]) -> F.Column:
 #: above this k, the literal-argmin expression (k·d literal leaves,
 #: interpreted per row) is replaced by the exact numpy batch argmin — the
 #: r12 stress probe measured the k=782 literal plan at ~390s for 200k
-#: points where the batch path is seconds. 128 keeps every suite/oracle
-#: query (k ≤ 16) on the expression path unchanged.
-_LITERAL_ARGMIN_MAX_K = 128
+#: points where the batch path is seconds, and the r13 A/B found the
+#: interpretation penalty bites far earlier: k=32 over 2,000 rows ran the
+#: whole semdedup 4.3× slower on the literal path (8.4s vs 1.9s solo
+#: min-of-3 — the k·d struct-array expression overflows whole-stage
+#: codegen and falls back to interpreted eval). 16 keeps every suite/
+#: oracle query (k ≤ 16) on the expression path unchanged; results are
+#: path-invariant either way (pytest-pinned).
+_LITERAL_ARGMIN_MAX_K = 16
 
 
 def assign_quantized(
