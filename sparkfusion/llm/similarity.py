@@ -460,14 +460,27 @@ def cosine_pairs(
         # dedup candidates BEFORE the verify join so a pair colliding on
         # several bands pays the exact-cosine fold once, not ``bands`` times
         joined = cands.distinct().join(a, "id_a").join(b, "id_b")
-    else:
-        a = a.withColumn("bucket", sign_bucket(F.col("ea"), bits))
-        b = b.withColumn("bucket", sign_bucket(F.col("eb"), bits))
-        joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    return (
-        joined.withColumn(
-            "cos", cosine_r9_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+        return (
+            joined.withColumn(
+                "cos",
+                cosine_r9_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
+            )
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
         )
+    # single-band default: grouped vectorized verify per bucket — the same
+    # bucket-equi semantics as the a⋈b self-join it replaces, bit-identical
+    # cosines (within_group_pairs_np parity contract; r13 A/B 4.2× on the
+    # semdedup shape), with O(n·d) transfer instead of O(pairs·d)
+    side = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("e"),
+        norm(F.col(emb_col)).alias("nrm"),
+        sign_bucket(F.col(emb_col), bits).alias("bucket"),
+    )
+    return (
+        within_group_pairs_np(side, group_col="bucket", threshold=threshold)
+        .withColumn("cos", F.round(F.col("cos_raw"), 9))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -567,6 +580,86 @@ def gram_matrix(
             F.sum(F.col("part_q").cast("decimal(38,0)")).cast("double").alias("dot_q")
         )
     )
+
+
+def within_group_pairs_np(
+    side: DataFrame,
+    group_col: str = "cid",
+    id_col: str = "vec_id",
+    emb_col: str = "e",
+    norm_col: str = "nrm",
+    threshold: float = 0.8,
+    row_block: int = 2048,
+) -> DataFrame:
+    """Within-group near-pair candidates ``(id_a, id_b, cos_raw)`` with
+    ``id_a < id_b`` and ``cos_raw ≥ threshold − 1e-9`` — the vectorized form
+    of the bucket/cluster self-join + cosine-fold verify that dominates
+    embedding-dedup cost.
+
+    Why not the expression fold: the equi-self-join ships BOTH embeddings
+    across the exchange PER PAIR (O(pairs·d) shuffle bytes) and
+    ``F.aggregate``'s lambda fold runs interpreted per pair (the r13 A/B
+    measured a 64-dim fold at ~6µs/pair). This operator groups by
+    ``group_col`` instead (``applyInPandas``, one group per task — transfer
+    is O(n·d), each vector ships once) and accumulates all pairwise dots as
+    ``d`` sequential vectorized outer products.
+
+    BIT PARITY with the expression path (pytest-pinned, and the reason this
+    is safe under the oracle): the accumulation order per pair is exactly
+    ``((0 + a₀·b₀) + a₁·b₁) + …`` in double — numpy elementwise multiply
+    and add are separate IEEE ops (no FMA fusion), float32→double casts are
+    exact, and the two norm divisions apply in the same (a-then-b) order.
+    The 9-decimal HALF_UP round is NOT applied here — callers round in
+    Spark (``F.round(cos_raw, 9)``) so the JVM's BigDecimal semantics stay
+    authoritative; the ``−1e-9`` emission margin is a superset of every
+    pair whose rounded cosine can clear ``threshold`` (rounding moves a
+    value by ≤ 5e-10).
+
+    Scale shape: one shuffle on the group key; per-task memory is
+    ``row_block·|group|`` doubles (the row-block loop bounds it for the
+    large groups a pinned-k caller can produce); survivors-only output.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = side.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_raw double"
+    margin = threshold - 1e-9
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []})
+        X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        nrm = pdf[norm_col].to_numpy().astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        d = X.shape[1]
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, m, row_block):
+            hi = min(lo + row_block, m)
+            # rows lo:hi vs ALL columns; keep only i < k afterwards
+            acc = np.zeros((hi - lo, m), dtype=np.float64)
+            for j in range(d):  # sequential per-dim fold == F.aggregate order
+                acc += np.outer(X[lo:hi, j], X[:, j])
+            cos = (acc / nrm[lo:hi, None]) / nrm[None, :]
+            ii, kk = np.nonzero(cos >= margin)
+            keep = (ii + lo) < kk  # id_a < id_b (ids sorted by construction)
+            ii, kk = ii[keep], kk[keep]
+            out_a.append(ids[ii + lo])
+            out_b.append(ids[kk])
+            out_c.append(cos[ii, kk])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+                "cos_raw": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
+    return side.select(group_col, id_col, emb_col, norm_col).groupBy(
+        group_col
+    ).applyInPandas(_pairs, out_schema)
 
 
 def semdedup(
@@ -688,25 +781,18 @@ def semdedup(
         F.col(emb_col).alias("e"),
         norm(F.col(emb_col)).alias("nrm"),
     )
-    # materialize (assignment ⋈ embedding+norm) ONCE: both sides of the
-    # within-cluster self-join reuse it, so the k·d-literal argmin and the
-    # norm fold run one time per row, not two (localCheckpoint, not cache —
-    # the CacheManager-leak rule; eager=False, the self-join materializes it)
+    # materialize (assignment ⋈ embedding+norm) ONCE: the grouped pair pass
+    # and the final verdict rows both read it, so the argmin and the norm
+    # fold run one time per row, not two (localCheckpoint, not cache —
+    # the CacheManager-leak rule; eager=False, the pair pass materializes it)
     side = asg.join(emb, "vec_id").localCheckpoint(eager=False)
-    a = side.select(
-        F.col("vec_id").alias("id_a"), "cid",
-        F.col("e").alias("ea"), F.col("nrm").alias("na"),
-    )
-    b = side.select(
-        F.col("vec_id").alias("id_b"), "cid",
-        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
-    )
+    # within-cluster pairs via the grouped vectorized verify — bit-identical
+    # to the cid-self-join + expression fold it replaces (r13 A/B: 4.2×,
+    # exact pair-set and cosine parity; see within_group_pairs_np). The
+    # 9-decimal round stays in Spark so the JVM HALF_UP is authoritative.
     dups = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos", cosine_r9_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
-        )
+        within_group_pairs_np(side, threshold=threshold)
+        .withColumn("cos", F.round(F.col("cos_raw"), 9))
         .filter(F.col("cos") >= threshold)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()

@@ -905,3 +905,47 @@ def test_cosine_pairs_banded_empty_input(spark):
     )
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cos"]
+
+
+def test_within_group_pairs_np_bit_parity(spark, sf_dir):
+    """The grouped vectorized verify must reproduce the bucket-self-join +
+    expression-fold path EXACTLY: same surviving pair set, bit-equal rounded
+    cosines (the r13 4.2x replacement is only safe under the oracle because
+    of this). Covers both the raw margin emission and the Spark-side
+    HALF_UP round."""
+    from sparkfusion.llm.similarity import (
+        cosine_r9_pre,
+        norm,
+        sign_bucket,
+        within_group_pairs_np,
+    )
+
+    from sparkfusion.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    side = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("e"),
+        norm(F.col("embedding")).alias("nrm"),
+        sign_bucket(F.col("embedding"), 3).alias("bucket"),
+    )
+    thresh = 0.3
+    a = side.select(F.col("vec_id").alias("id_a"), "bucket",
+                    F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = side.select(F.col("vec_id").alias("id_b"), "bucket",
+                    F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    via_join = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_r9_pre(F.col("ea"), F.col("eb"),
+                                         F.col("na"), F.col("nb")))
+        .filter(F.col("cos") >= thresh).collect()
+    }
+    via_group = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in within_group_pairs_np(side, group_col="bucket", threshold=thresh)
+        .withColumn("cos", F.round(F.col("cos_raw"), 9))
+        .filter(F.col("cos") >= thresh).collect()
+    }
+    assert via_join == via_group  # keys AND float values exactly equal
+    assert len(via_group) > 50  # non-trivial at test SF
