@@ -615,9 +615,31 @@ def within_group_pairs_np(
     pair whose rounded cosine can clear ``threshold`` (rounding moves a
     value by ≤ 5e-10).
 
-    Scale shape: one shuffle on the group key; per-task memory is
-    ``row_block·|group|`` doubles (the row-block loop bounds it for the
-    large groups a pinned-k caller can produce); survivors-only output.
+    Scale shape: one shuffle on the group key; per-task memory is bounded by
+    the per-block accumulator ``row_block_eff·|group|`` doubles, where
+    ``row_block_eff = min(row_block, budget // |group|)`` — the block height
+    SHRINKS as the group grows (pinned-bits callers can produce groups ∝ n,
+    and a fixed block height would make the accumulator O(row_block·n), a
+    memory shape the streamed self-join this replaces did not have; r14
+    advice). Survivors-only output.
+
+    Zero-norm / duplicate-id parity with the join+fold path it replaced
+    (r14 advice, both pinned by pytest):
+
+    - a zero-norm embedding makes the cosine undefined. The replaced
+      expression path under Spark 4 ANSI raises ``DIVIDE_BY_ZERO``; a numpy
+      division would instead produce NaN, which the pandas→Arrow transit
+      coerces to NULL — i.e. the pair would be dropped SILENTLY, the one
+      outcome that is parity with neither engine. The kernel therefore
+      validates norms up front and raises a named ``PlanError`` (exact
+      parity with the expression path it replaced; callers with zero-norm
+      rows must filter or epsilon-floor them explicitly). The candidate
+      test is still ``~(cos < margin)`` so any residual non-finite never
+      silently drops.
+    - the ``id_a < id_b`` guard compares VALUES, not positions: with
+      duplicate ids the positions are distinct but the join path's
+      ``a.id < b.id`` excludes the pair, so a positional test would emit a
+      spurious self-pair.
     """
     import numpy as np
     import pandas as pd
@@ -625,6 +647,10 @@ def within_group_pairs_np(
     id_type = side.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cos_raw double"
     margin = threshold - 1e-9
+    # per-task accumulator budget: 2^24 doubles = 128 MiB — far under the
+    # executor-memory-per-core envelope, and still thousands of rows per
+    # block for any group the bucketed callers produce
+    acc_budget = 1 << 24
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -633,18 +659,29 @@ def within_group_pairs_np(
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []})
         X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
         nrm = pdf[norm_col].to_numpy().astype(np.float64)
+        if not (nrm > 0).all():  # NaN norms also fail this test
+            from ..errors import PlanError
+
+            bad = pdf[id_col].to_numpy()[~(nrm > 0)][:5]
+            raise PlanError(
+                f"within_group_pairs_np: non-positive/NaN norm for ids "
+                f"{list(bad)} — cosine undefined (the expression path this "
+                f"replaces raises DIVIDE_BY_ZERO under ANSI); filter or "
+                f"epsilon-floor zero-norm embeddings upstream"
+            )
         ids = pdf[id_col].to_numpy()
         d = X.shape[1]
+        block = min(row_block, max(16, acc_budget // m))  # floor keeps progress
         out_a, out_b, out_c = [], [], []
-        for lo in range(0, m, row_block):
-            hi = min(lo + row_block, m)
-            # rows lo:hi vs ALL columns; keep only i < k afterwards
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            # rows lo:hi vs ALL columns; keep only id_a < id_b afterwards
             acc = np.zeros((hi - lo, m), dtype=np.float64)
             for j in range(d):  # sequential per-dim fold == F.aggregate order
                 acc += np.outer(X[lo:hi, j], X[:, j])
             cos = (acc / nrm[lo:hi, None]) / nrm[None, :]
-            ii, kk = np.nonzero(cos >= margin)
-            keep = (ii + lo) < kk  # id_a < id_b (ids sorted by construction)
+            ii, kk = np.nonzero(~(cos < margin))  # NaN survives (see doc)
+            keep = ids[ii + lo] < ids[kk]  # VALUE guard: dup ids never pair
             ii, kk = ii[keep], kk[keep]
             out_a.append(ids[ii + lo])
             out_b.append(ids[kk])
@@ -671,7 +708,7 @@ def semdedup(
     threshold: float = 0.8,
     scale: int = 6,
     target_cluster_size: int = 256,
-    two_level: bool = False,
+    two_level: bool | None = None,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): k-means
     cluster the corpus embeddings, then search for near-duplicates only
@@ -695,7 +732,7 @@ def semdedup(
     task-closure centroid table. Same bucket-then-join posture as the
     MinHash/LSH families.
 
-    ``two_level=True`` lifts the flat path's k ≤ 4096 cap by composing the
+    ``two_level`` lifts the flat path's k ≤ 4096 cap by composing the
     existing IVF coarse/fine machinery: a coarse quantized Lloyd's over
     k1 = ⌈√k⌉ cells, then per-cell sub-clustering via
     :func:`~sparkfusion.operators.kmeans.sub_cluster_cells` (one cell = one
@@ -709,10 +746,20 @@ def semdedup(
     it, so the two modes are output-identical at small n (pinned by
     pytest).
 
+    ``two_level=None`` (the DEFAULT) auto-escalates: the flat path below the
+    k ≤ 4096 cap (identical output to an explicit ``two_level=False``,
+    pinned by pytest), the hierarchical path at derived k > 4096 — the r13
+    500k probe measured flat-at-cap going superlinear (76.0s) where
+    two_level stays linear (41.9s), so the library default must take the
+    linear path rather than warn+clamp (r13 verdict #1; the warn is
+    retired). An EXPLICIT ``two_level=False`` past the cap raises
+    ``PlanError``: a clamped k grows per-cluster size ∝ n — the quadratic
+    regime the scale-with-corpus rule (CLAUDE.md) forbids a default OR an
+    explicit silent path to enter. Callers who genuinely want flat pass an
+    explicit ``k ≤ 4096``.
+
     With ``k=None`` the derivation triggers ONE eager count action (on the
     already-checkpointed quantized frame, so the source is not re-read).
-    If the flat path's derived k hits the 4096 cap, per-cluster size grows
-    ∝ n again — a ``PlanWarning`` points at ``two_level=True``.
 
     Determinism: clustering is :func:`sparkfusion.operators.kmeans`'s
     quantized-integer Lloyd's (bit-reproducible trajectory, SQL-replayable;
@@ -724,6 +771,7 @@ def semdedup(
     Returns one row per input: ``(vec_id, cid, keep)``.
     """
     from ..operators.kmeans import (
+        _FLAT_ARGMIN_MAX_K,
         _LITERAL_ARGMIN_MAX_K,
         assign_quantized,
         lloyd_centroids,
@@ -736,12 +784,14 @@ def semdedup(
     if k is None:
         n = pts.count()  # materializes the checkpoint every path below reads
         k = max(2, -(-n // target_cluster_size))
+    if two_level is None:
+        two_level = k > _FLAT_ARGMIN_MAX_K  # auto-escalate past the flat cap
     if two_level and k > _LITERAL_ARGMIN_MAX_K:
         import math
 
         if n is None:
             n = pts.count()
-        k1 = min(4096, math.ceil(math.sqrt(k)))
+        k1 = min(_FLAT_ARGMIN_MAX_K, math.ceil(math.sqrt(k)))
         # fine level derives its count PER CELL from the cell's own size
         # (coarse cells are skewed; a fixed k2 would make per-cell pair
         # work |cell|^2/k2 — the r13 probe measured sum(|c|^2) at 2.5x the
@@ -763,16 +813,17 @@ def semdedup(
             ((F.col("cell").cast("long") * (1 << 31)) + F.col("sub")).alias("cid"),
         )
     else:
-        if k > 4096:
-            import warnings
+        if k > _FLAT_ARGMIN_MAX_K:
+            from ..errors import PlanError
 
-            warnings.warn(
-                f"semdedup: derived k={k} exceeds the flat-path cap 4096; "
-                f"clamping (per-cluster size grows with the corpus — "
-                f"pass two_level=True for the hierarchical path)",
-                stacklevel=2,
+            raise PlanError(
+                f"semdedup: derived k={k} exceeds the flat-path cap "
+                f"{_FLAT_ARGMIN_MAX_K} and two_level=False was passed "
+                f"explicitly — a clamped k makes per-cluster size grow with "
+                f"the corpus (quadratic pair work). Drop two_level (the "
+                f"default auto-escalates to the hierarchical path) or pass "
+                f"an explicit k ≤ {_FLAT_ARGMIN_MAX_K}."
             )
-            k = 4096
         cents = lloyd_centroids(pts, k, iterations)
         asg = assign_quantized(pts, cents).select("vec_id", "cid")
 

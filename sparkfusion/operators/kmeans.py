@@ -78,6 +78,71 @@ def _argmin_struct(centroids: list[list[int]]) -> F.Column:
 #: path-invariant either way (pytest-pinned).
 _LITERAL_ARGMIN_MAX_K = 16
 
+#: above this k, the FLAT clustering path stops being viable: the centroid
+#: table (k·d ints) ships in every task closure and the driver collects
+#: k×(d+1) aggregate cells per Lloyd's round — both bounded-by-contract only
+#: while k is bounded. Past this, semdedup auto-escalates to the two-level
+#: coarse/fine composition (zero driver centroid state at the fine level);
+#: an EXPLICIT two_level=False past the cap raises rather than silently
+#: clamping, because a clamped k makes per-cluster size grow ∝ n again —
+#: the quadratic door the scale-with-corpus rule exists to close.
+_FLAT_ARGMIN_MAX_K = 4096
+
+
+def check_quantization_envelope(d: int, scale: int, max_abs: float) -> None:
+    """Raise ``PlanError`` unless the exact-int64 distance arithmetic is
+    overflow-safe for ``d``-dimensional vectors with ``|x_i| ≤ max_abs``
+    quantized at ``10^scale``.
+
+    The numpy paths compute ``dist = |x|² + |c|² − 2·x·c`` where every term
+    is a sum of ``d`` products of quantized components ``|xq| ≤ Q =
+    ceil(10^scale · max_abs)``; centroids are integer means of points so they
+    obey the same bound. The worst intermediate is ``|x|² + |c|² + 2·|x·c|
+    ≤ 4·d·Q²``, which must stay below 2⁶³. Headroom shrinks LINEARLY with d:
+    at scale=6 the unit-norm bound (max_abs=1) leaves 1.4e5× headroom at
+    d=64 but only 1.2e4× at d=768 and ~2.9e3× at d=4096 — still safe, but a
+    caller feeding unnormalized features (max|x| ~ 50+) at production dims
+    crosses the line, which this check turns from silent wraparound into a
+    named error (r13 verdict #2; probe table in BASELINE.md)."""
+    from ..errors import PlanError
+
+    q = int(10**scale * max_abs) + 1
+    worst = 4 * d * q * q
+    if worst >= 2**63:
+        raise PlanError(
+            f"quantization envelope overflow: 4·d·Q² = {worst:.3e} ≥ 2^63 for "
+            f"d={d}, scale={scale}, max|x|={max_abs} — reduce scale (safe "
+            f"scale here: {_safe_scale(d, max_abs)}) or normalize inputs"
+        )
+
+
+def _safe_scale(d: int, max_abs: float) -> int:
+    """Largest ``scale`` that passes :func:`check_quantization_envelope`."""
+    import math
+
+    # 4·d·(10^s·max_abs)² < 2^63  ⇒  s < (63·log10(2) − log10(4d))/2 − log10(max_abs)
+    return int((63 * math.log10(2) - math.log10(4 * d)) / 2 - math.log10(max_abs))
+
+
+def _guard_int64_distances(X, c_absmax: int) -> None:
+    """Runtime twin of :func:`check_quantization_envelope`, applied to the
+    ACTUAL quantized batch inside the numpy distance kernels: the worst
+    intermediate ``|x|² + |c|² + 2·|x·c|`` is bounded by ``2·d·(Q_x² + Q_c·Q_x)
+    + d·Q_c²`` ≤ ``4·d·max(Q_x,Q_c)²``; one O(n·d) abs-max per batch is noise
+    next to the matmul it protects, and turns silent int64 wraparound at
+    production dims (d=768+, unnormalized features) into a named error."""
+    import numpy as np
+
+    q = max(int(np.abs(X).max(initial=0)), c_absmax)
+    d = X.shape[1]
+    if 4 * d * q * q >= 2**63:
+        from ..errors import PlanError
+
+        raise PlanError(
+            f"int64 distance overflow: observed max|xq|={q} at d={d} — "
+            f"4·d·Q² ≥ 2^63; lower `scale` (see check_quantization_envelope)"
+        )
+
 
 def assign_quantized(
     pts: DataFrame, cents: list[list[int]], force_numpy: bool = False
@@ -117,6 +182,7 @@ def assign_quantized(
 
     C = np.asarray(cents, dtype=np.int64)
     cn = (C * C).sum(axis=1)
+    c_absmax = int(np.abs(C).max()) if C.size else 0
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in pts.schema.fields
     ) + ", cid int, dist long"
@@ -126,6 +192,7 @@ def assign_quantized(
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+            _guard_int64_distances(X, c_absmax)
             xn = (X * X).sum(axis=1)
             d2 = xn[:, None] + cn[None, :] - 2 * (X @ C.T)
             cid = d2.argmin(axis=1)
@@ -232,11 +299,18 @@ def sub_cluster_cells(
 
     if (k2 is None) == (target_size is None):
         raise PlanError("sub_cluster_cells: pass exactly one of k2/target_size")
-    out_schema = f"vec_id long, {cell_col} int, sub int"
+    # derive the passthrough column types from the input schema — semdedup
+    # accepts arbitrary id types, and a hardcoded `vec_id long` would
+    # silently coerce (or fail) non-long ids that the flat path preserves
+    # (r14 advice)
+    id_type = coarse.schema["vec_id"].dataType.simpleString()
+    cell_type = coarse.schema[cell_col].dataType.simpleString()
+    out_schema = f"vec_id {id_type}, {cell_col} {cell_type}, sub int"
 
     def _sub(pdf):
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+        _guard_int64_distances(X, 0)  # centroids are means of X, same bound
         n_c = len(pdf)
         k_local = k2 if k2 is not None else -(-n_c // target_size)
         k_eff = max(1, min(k_local, n_c))

@@ -97,7 +97,21 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, spec in REGISTRY.items():
         if spec.oracle_fn is not None:
-            out[name] = spec.oracle_fn(sf_dir)
+            # oracle_fn reads the corpus (parquet footer counts) at call
+            # time; one unreadable sf_dir/table must degrade ONLY that entry
+            # to a rows-only check, not break retrieval of every static
+            # oracle in the dict (r14 advice)
+            import warnings
+
+            try:
+                out[name] = spec.oracle_fn(sf_dir)
+            except Exception as e:  # noqa: BLE001 — any corpus/IO failure
+                warnings.warn(
+                    f"oracle_sql: derived oracle for {name!r} failed against "
+                    f"{sf_dir!r} ({type(e).__name__}: {e}); entry degrades "
+                    f"to rows-only",
+                    stacklevel=2,
+                )
         elif spec.oracle is not None:
             out[name] = spec.oracle
     return out

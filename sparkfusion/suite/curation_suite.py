@@ -78,10 +78,13 @@ def _semdedup_auto_oracle(sf_dir: str) -> str:
     from . import table_rows
 
     n = table_rows(sf_dir, "embeddings")
-    # mirror the library FLAT path exactly, including its 4096 cap (the
-    # entry runs two_level=False, which warns+clamps past the cap — only
-    # reachable past ~262k embeddings ≈ sf100, but the formulas must agree
-    # at every sf by construction, not by luck)
+    # mirror the library FLAT path exactly. Past k=4096 (~262k embeddings ≈
+    # sf100, far beyond every swept SF) the library DEFAULT auto-escalates
+    # to the two-level hierarchy whose trajectory this flat unrolled CTE
+    # does not model — if that regime is ever oracle-swept, regenerate this
+    # as a two-level unroll; until then the formulas agree by construction
+    # at every checked sf (r14: warn+clamp retired, auto-escalation is the
+    # default).
     k = min(4096, max(2, -(-n // _SEMDEDUP_AUTO_TCS)))
     return (
         _kmeans_ctes(k=k, iterations=2, scale_pow=6)

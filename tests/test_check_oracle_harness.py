@@ -166,3 +166,19 @@ def test_derived_constant_oracles_follow_sf_dir(monkeypatch):
     assert "% 15" in small["neg_pair_auto_buckets"]
     assert "embedding[2]" not in small["dedup_cosine_auto_bits"]
     assert "embedding[3]" in big["dedup_cosine_auto_bits"]
+
+
+def test_unreadable_corpus_degrades_only_derived_entries(monkeypatch, recwarn):
+    """A missing sf_dir must fail ONLY the derived-constant entries (they
+    degrade to rows-only with a named warning), never break retrieval of
+    the static oracles (r14 advice)."""
+    from sparkfusion import suite
+
+    monkeypatch.setenv(suite.ORACLE_SF_ENV, "/nonexistent/sfX")
+    out = suite.oracle_sql()
+    for name in ("semdedup2_auto_k", "dedup_cosine_auto_bits",
+                 "neg_pair_auto_buckets"):
+        assert name not in out, name
+    assert "q1_pricing_summary" in out and len(out) > 300
+    msgs = [str(w.message) for w in recwarn.list]
+    assert any("semdedup2_auto_k" in m and "rows-only" in m for m in msgs)

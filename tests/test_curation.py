@@ -257,9 +257,11 @@ def test_semdedup_two_level_hierarchical_soundness(spark, sf_dir):
     assert all(keep for _, keep in best.values())
 
 
-def test_semdedup_flat_cap_warns(spark):
-    """Explicit/derived k past the flat-path cap must warn and clamp, naming
-    the two_level escape hatch (r12 advice: caps must not engage silently)."""
+def test_semdedup_auto_escalates_past_flat_cap(spark):
+    """The library DEFAULT (two_level unspecified) must take the two_level
+    path automatically when k exceeds the flat cap — identical output to an
+    explicit two_level=True, no warning emitted (r13 verdict #1: the
+    warn+clamp was the last silent-quadratic door)."""
     import warnings
 
     df = spark.createDataFrame(
@@ -268,5 +270,52 @@ def test_semdedup_flat_cap_warns(spark):
     )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        semdedup(df, k=5000, iterations=0, threshold=0.9).collect()
-    assert any("two_level" in str(x.message) for x in w)
+        auto = semdedup(df, k=5000, iterations=0, threshold=0.9).collect()
+    assert not [x for x in w if "semdedup" in str(x.message)]
+    explicit = semdedup(
+        df, k=5000, iterations=0, threshold=0.9, two_level=True
+    ).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+
+
+def test_semdedup_explicit_flat_past_cap_raises(spark):
+    """An EXPLICIT two_level=False past the flat cap raises instead of
+    clamping: a clamped k grows per-cluster size with the corpus (quadratic
+    pair work, CLAUDE.md pinned-constant rule)."""
+    from sparkfusion.errors import PlanError
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(PlanError, match="flat-path cap"):
+        semdedup(df, k=5000, iterations=0, threshold=0.9, two_level=False)
+
+
+def test_semdedup_default_is_flat_below_cap(spark):
+    """Below the cap the default and an explicit two_level=False are the
+    same flat path — output-identical (auto==flat equivalence pin)."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    auto = semdedup(df, k=4, iterations=2, threshold=0.9).collect()
+    flat = semdedup(df, k=4, iterations=2, threshold=0.9, two_level=False).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, flat))
+
+
+def test_semdedup_two_level_preserves_string_ids(spark):
+    """sub_cluster_cells must derive the id column's type from the input
+    schema (r14 advice): the hierarchical path with STRING ids has to return
+    the same type the flat path preserves, not coerce/fail on `vec_id long`."""
+    df = spark.createDataFrame(
+        [(f"doc-{i:03d}", [float(i), 1.0]) for i in range(30)],
+        "doc string, embedding array<double>",
+    )
+    res = semdedup(
+        df, "doc", "embedding", k=20, iterations=1, threshold=0.9,
+        two_level=True,
+    )
+    assert dict(res.dtypes)["vec_id"] == "string"
+    rows = res.collect()
+    assert len(rows) == 30 and all(r["vec_id"].startswith("doc-") for r in rows)

@@ -949,3 +949,87 @@ def test_within_group_pairs_np_bit_parity(spark, sf_dir):
     }
     assert via_join == via_group  # keys AND float values exactly equal
     assert len(via_group) > 50  # non-trivial at test SF
+
+
+def test_within_group_pairs_np_zero_norm_and_duplicate_id(spark):
+    """Two r14-advice edge cases:
+
+    (1) a zero-norm embedding makes the cosine undefined. A silent numpy
+    NaN would be coerced to NULL by the pandas→Arrow transit and the pair
+    DROPPED — parity with neither engine (the replaced expression path
+    under Spark 4 ANSI raises DIVIDE_BY_ZERO). The kernel must raise a
+    named PlanError instead.
+
+    (2) duplicate id VALUES must never pair (the join's ``id_a < id_b`` is
+    a value test, not positional), and pair multiplicity matches the join
+    path's M×N semantics."""
+    from sparkfusion.llm.similarity import (
+        cosine_r9_pre,
+        norm,
+        within_group_pairs_np,
+    )
+
+    zero = spark.createDataFrame(
+        [(1, 10, [0.0, 0.0]), (1, 11, [1.0, 0.0]), (1, 12, [1.0, 0.1])],
+        "bucket int, vec_id long, embedding array<double>",
+    ).select(
+        "bucket", "vec_id",
+        F.col("embedding").alias("e"), norm(F.col("embedding")).alias("nrm"),
+    )
+    with pytest.raises(Exception, match="non-positive/NaN norm"):
+        within_group_pairs_np(zero, group_col="bucket", threshold=0.5).collect()
+
+    side = spark.createDataFrame(
+        [(2, 20, [1.0, 0.0]), (2, 20, [1.0, 0.0]), (2, 21, [1.0, 0.0])],
+        "bucket int, vec_id long, embedding array<double>",
+    ).select(
+        "bucket", "vec_id",
+        F.col("embedding").alias("e"), norm(F.col("embedding")).alias("nrm"),
+    )
+    thresh = 0.5
+    via_group = sorted(
+        (r["id_a"], r["id_b"], str(r["cos"]))
+        for r in within_group_pairs_np(side, group_col="bucket",
+                                       threshold=thresh)
+        .withColumn("cos", F.round(F.col("cos_raw"), 9))
+        .filter(F.col("cos") >= thresh).collect()
+    )
+    # duplicate id 20 never self-pairs; (20,21) appears once per duplicated
+    # row, exactly like the join path's M×N semantics
+    assert [(ia, ib) for ia, ib, _ in via_group] == [(20, 21), (20, 21)]
+    # the expression-fold twin agrees wherever it is defined
+    a = side.select(F.col("vec_id").alias("id_a"), "bucket",
+                    F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = side.select(F.col("vec_id").alias("id_b"), "bucket",
+                    F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    via_join = sorted(
+        (r["id_a"], r["id_b"], str(r["cos"]))
+        for r in a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_r9_pre(F.col("ea"), F.col("eb"),
+                                         F.col("na"), F.col("nb")))
+        .filter(F.col("cos") >= thresh).collect()
+    )
+    assert via_join == via_group
+
+
+def test_within_group_pairs_np_block_derivation(spark, sf_dir):
+    """The per-task accumulator block must honor an explicit small row_block
+    (blocked-loop coverage) and produce the identical pair set — the budget
+    derivation only SHRINKS blocks for huge groups, never changes output."""
+    from sparkfusion.llm.similarity import norm, within_group_pairs_np
+    from sparkfusion.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    side = emb.select(
+        F.lit(1).alias("g"),
+        "vec_id",
+        F.col("embedding").alias("e"),
+        norm(F.col("embedding")).alias("nrm"),
+    ).limit(120)
+    big = {(r["id_a"], r["id_b"], r["cos_raw"])
+           for r in within_group_pairs_np(side, group_col="g",
+                                          threshold=0.3).collect()}
+    small = {(r["id_a"], r["id_b"], r["cos_raw"])
+             for r in within_group_pairs_np(side, group_col="g", threshold=0.3,
+                                            row_block=7).collect()}
+    assert big == small and len(big) > 10

@@ -120,9 +120,11 @@ def main() -> int:
 
     import os
 
+    from sparkfusion.suite import ORACLE_SF_ENV
+
     # derived-constant oracles (semdedup k, LSH bits, negative-pair buckets)
     # re-derive for THIS sf_dir's corpus — must be set before oracle_sql()
-    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+    os.environ[ORACLE_SF_ENV] = sf_dir
 
     import __spark_entry__ as e
     from sparkfusion.session import STAR_TABLES, get_session
