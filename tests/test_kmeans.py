@@ -191,3 +191,33 @@ def test_runtime_int64_guard_fires(spark):
     )
     with _pytest.raises(Exception, match="int64 distance overflow"):
         semdedup(df, k=20, iterations=1, scale=9, two_level=True).collect()
+
+
+def test_exact_dot_int_blas_path_is_bitexact_and_falls_back():
+    """The float64-BLAS dot fast path must be bit-identical to the int64
+    matmul inside its proven envelope (d·Qx·Qc < 2^53: every product and
+    partial sum is an exactly-representable integer), and must FALL BACK to
+    int64 past it — values near the envelope edge are the adversarial case."""
+    import numpy as np
+
+    from sparkfusion.operators.kmeans import _exact_dot_int
+
+    rng = np.random.default_rng(7)
+    # inside the envelope: unit-norm scale-6 magnitudes at production dims
+    X = rng.integers(-(10**6), 10**6, size=(500, 768), dtype=np.int64)
+    C = rng.integers(-(10**6), 10**6, size=(64, 768), dtype=np.int64)
+    assert 768 * 10**6 * 10**6 < 2**53  # the envelope this case exercises
+    assert (_exact_dot_int(X, C) == X @ C.T).all()
+    # past the 2^53 envelope (but int64-safe): must still be exact — i.e.
+    # the implementation must NOT have taken the lossy float64 path
+    q = 3 * 10**7
+    Xb = rng.integers(q - 100, q, size=(40, 768), dtype=np.int64)
+    Cb = rng.integers(q - 100, q, size=(8, 768), dtype=np.int64)
+    assert 768 * q * q >= 2**53
+    want = Xb @ Cb.T
+    got = _exact_dot_int(Xb, Cb)
+    assert (got == want).all()
+    # and the float64 route would actually have been lossy here (sanity
+    # that the boundary test is adversarial, not vacuous)
+    lossy = (Xb.astype(np.float64) @ Cb.astype(np.float64).T).astype(np.int64)
+    assert (lossy != want).any()
