@@ -28,6 +28,16 @@ explode, the shuffle carries one partial row per cluster per partition).
 Driver-side state is k·d ints per round — the same bounded-scalar pattern as
 the BPE trainer's per-round merge pick (llm/text.py).
 
+Overflow envelope (r14, probed at d=768): the exact-int64 distance math
+requires ``4·d·Q² < 2^63`` with ``Q = 10^scale·max|x|`` — checkable up
+front via :func:`check_quantization_envelope` (safe scale:
+``s < (63·log10 2 − log10 4d)/2 − log10 max|x|``; at d=768 scale=6 is safe
+to max|x|≈54) and enforced per actual batch by ``_guard_int64_distances``
+inside the numpy kernels. Within the tighter ``d·Qx·Qc < 2^53`` bound the
+dot products run through float64 BLAS **bit-exactly** (every product and
+partial sum is an integer below 2^53 — see :func:`_exact_dot_int`;
+measured 15× over numpy's BLAS-less int64 matmul at d=768).
+
 Reference exercises iterative algos via examples/algo (see
 examples/algo/src/main.rs); k-means itself is an extension operator.
 """

@@ -44,12 +44,10 @@ PLAIN_SLICE = [
 # ways only a fresh PLAIN session exposes (the r4/r5 failure mode). These
 # run every round regardless of sampling history; any NEW query lands here
 # until a driver round has sampled it (regeneration rule: round rhythm).
-NEVER_SAMPLED: list[str] = [  # recomputed r13 (driver r11): the r13-new set
-    "j10_range_join_agg",
-    "j11_overlap_agg",
-    "semdedup2_auto_k",
-    "dedup_cosine_auto_bits",
-    "neg_pair_auto_buckets",
+NEVER_SAMPLED: list[str] = [  # recomputed r14 (driver r11): the r11 sample
+    # drew the r13-new set, so every registered query now has at least one
+    # driver CORRECTNESS row — the list holds only round-new registrations
+    # until the next driver sample
 ]
 
 CONF_RISK_STANDING = [
