@@ -162,6 +162,7 @@ HEADLINE = {
     "j11_overlap_agg": "j11_overlap_agg",
     "semdedup2_auto_k": "semdedup2_auto_k",
     "dedup_cosine_auto_bits": "dedup_cosine_auto_bits",
+    "dedup_cosine_banded": "dedup_cosine_banded",
     "neg_pair_auto_buckets": "neg_pair_auto_buckets",
 }
 

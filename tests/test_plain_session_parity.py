@@ -48,6 +48,7 @@ NEVER_SAMPLED: list[str] = [  # recomputed r14 (driver r11): the r11 sample
     # drew the r13-new set, so every registered query now has at least one
     # driver CORRECTNESS row — the list holds only round-new registrations
     # until the next driver sample
+    "dedup_cosine_banded",
 ]
 
 CONF_RISK_STANDING = [
