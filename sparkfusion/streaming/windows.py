@@ -606,8 +606,11 @@ def session_timeout_tws(
     rather than assumed deleted. Requires the caller to have applied
     ``withWatermark`` on ``ts`` and set the RocksDB state store provider.
 
-    Expects columns (user_id, ts [timestamp], event_id); ``ts`` must carry
-    the stream's watermark.
+    Expects columns (user_id, ts [timestamp], ts_us [epoch-µs BIGINT twin of
+    ts — the engine-neutral value the state schema stores]); ``ts`` must
+    carry the stream's watermark. A missing ``ts_us`` raises in the
+    processor rather than skipping (r14: the tolerant branch turned a
+    mis-wired ingest into a silent 0-row stream).
     """
     from ..protoruntime import ensure_protobuf_runtime, worker_env_overrides
 
@@ -659,8 +662,15 @@ def session_timeout_tws(
             uid = key[0]
             ts_all = []
             for pdf in rows:
-                if "ts_us" in pdf.columns:
-                    ts_all.extend(int(v) for v in pdf["ts_us"])
+                if "ts_us" not in pdf.columns:
+                    # fail LOUDLY: a tolerant skip here ran a 1M-row ingest
+                    # probe to a silent 0-row stream (r14) — the exact
+                    # silent-drop failure mode the NaN/ANSI rules exist for
+                    raise KeyError(
+                        "session_timeout_tws: input must carry ts_us "
+                        f"(epoch-us BIGINT); got columns {list(pdf.columns)}"
+                    )
+                ts_all.extend(int(v) for v in pdf["ts_us"])
             if not ts_all:
                 return
             ts_all.sort()

@@ -124,18 +124,43 @@ def run(spark) -> None:
         user_type_counts_tws,
     )
 
-    results = [
-        _drive(spark, "value_state_counts", stateful_user_counts_tws, "update"),
-        _drive(spark, "list_state_recent", recent_events_tws, "update"),
-        _drive(spark, "map_state_type_counts", user_type_counts_tws, "update"),
-        _drive(
-            spark,
-            "timer_session_timeout",
+    from pyspark.sql import functions as F
+
+    cases = {
+        "value_state_counts": (stateful_user_counts_tws, "update"),
+        "list_state_recent": (
+            lambda s: recent_events_tws(
+                s.select(
+                    "user_id",
+                    F.unix_micros(F.col("ts")).alias("ts_us"),
+                    "event_id",
+                ),
+                k=3,
+            ),
+            "update",
+        ),
+        "map_state_type_counts": (
+            lambda s: user_type_counts_tws(s.select("user_id", "event_type")),
+            "update",
+        ),
+        # mirror the suite entry exactly: watermark on ts, plus the
+        # epoch-us twin column the processor's state schema uses
+        "timer_session_timeout": (
             lambda s: session_timeout_tws(
-                s.withWatermark("ts", "1 hour"), gap_minutes=30
+                s.withWatermark("ts", "1 hour").select(
+                    "user_id", "ts",
+                    F.unix_micros(F.col("ts")).alias("ts_us"),
+                ),
+                gap_minutes=30,
             ),
             "append",
         ),
+    }
+    only = set(sys.argv[2:])
+    results = [
+        _drive(spark, label, fn, mode)
+        for label, (fn, mode) in cases.items()
+        if not only or label in only
     ]
     with open("/tmp/probe_stream_ingest.json", "w") as f:
         json.dump(results, f, indent=1)
