@@ -563,12 +563,17 @@ def gram_matrix(
     )
 
     def partial_gram(batches):
+        from ..operators.kmeans import _exact_dot_int
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
             Q = np.rint(X * scale).astype(np.int64)
-            G = Q.T @ Q
+            # Qᵀ·Q via the proven-exact BLAS path when batch_rows·scale²
+            # < 2^53 (every partial sum an exactly-representable integer —
+            # see kmeans._exact_dot_int; int64 matmul has no BLAS kernel)
+            G = _exact_dot_int(Q.T, Q.T)
             iu, ju = np.triu_indices(G.shape[0])
             yield pd.DataFrame({"i": iu, "j": ju, "part_q": G[iu, ju]})
 
