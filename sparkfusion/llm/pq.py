@@ -401,6 +401,112 @@ def ivfpq_encode_literal(
     return base.select(id_col, "cell", *code_cols)
 
 
+def ivfpq_encode_batch(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Production twin of :func:`ivfpq_encode_literal` — same literal index
+    parameters, same ``(round-9 distance, lowest-id)`` argmin contract, same
+    ``(id, cell, code0..code{m-1})`` output — but the per-row work runs as
+    numpy float64 batches inside ``mapInPandas`` instead of an interpreted
+    ``n_cells·dim``-literal Catalyst expression. The r14 d=768 probe measured
+    the literal path at 595 rows/s (interpreted-expression-bound, the r13
+    element-op model); this path is the `_exact_dot_int`-class lever for the
+    PQ family. Still a pure map (no aggregate, no join), so it remains legal
+    under Structured Streaming in append mode — the actual 100 TB ingest
+    shape.
+
+    Parity argument (the within_group_pairs_np discipline):
+
+    - squared-diff accumulation loops over dimensions SEQUENTIALLY
+      (``acc += diff²`` from dim 0 upward), so every partial sum replays
+      ``euclid_r9``'s ``F.aggregate`` fold order bit-for-bit; ``np.sqrt`` is
+      the same correctly-rounded IEEE-754 op as ``java.lang.Math.sqrt``;
+      residual subtraction is the same elementwise double subtract.
+    - the 9-dp HALF_UP round is compared via integer keys
+      ``floor(d·1e9 + 0.5)`` (ordering-equivalent to rounding both
+      operands); this agrees with the JVM's BigDecimal HALF_UP except when
+      ``d·1e9``'s ≤1-ulp representation error crosses an exact ``.5``
+      boundary — the same measure-zero caveat as the xxhash64/md5 twin
+      paths, with exact output equality vs the literal encoder pinned in
+      tests/test_pq.py on the canonical frames.
+    - ``np.argmin`` returns the FIRST minimum → lowest cell/code id, matching
+      ``F.array_min`` over ``struct(d, id)``.
+
+    Row blocks are bounded by a 2^24-double working set (the
+    within_group_pairs_np budget rule) so ``b·n_cells`` accumulators never
+    outgrow executor memory regardless of index size. Non-finite embedding
+    components raise a named error up front — a NaN would otherwise flow
+    through argmin silently (CLAUDE.md pandas→Arrow NaN rule).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents_np = np.asarray(centroids, dtype=np.float64)
+    if cents_np.ndim != 2:
+        raise PlanError("ivfpq_encode_batch: centroids must be a (cells, dim) list")
+    n_cells, dim = cents_np.shape
+    m = len(codebook)
+    cb_np = np.asarray(codebook, dtype=np.float64)
+    if cb_np.ndim != 3 or cb_np.shape[0] != m:
+        raise PlanError("ivfpq_encode_batch: codebook must be (m, n_codes, dsub)")
+    n_codes, dsub = cb_np.shape[1], cb_np.shape[2]
+    if m * dsub != dim:
+        raise PlanError(
+            f"ivfpq_encode_batch: m·dsub = {m}·{dsub} != centroid dim {dim}"
+        )
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"`{id_col}` {id_type}, cell int, " + ", ".join(
+        f"code{j} int" for j in range(m)
+    )
+    row_block = max(64, (1 << 24) // max(n_cells, n_codes, dim))
+
+    def _r9_key(d2: "np.ndarray") -> "np.ndarray":
+        return np.floor(np.sqrt(d2) * 1e9 + 0.5)
+
+    def _seq_sqdist(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+        # (b, d) vs (k, d) -> (b, k); per-element accumulation order is
+        # dim 0..d-1 left-to-right, replaying the F.aggregate fold exactly
+        acc = np.zeros((x.shape[0], y.shape[0]))
+        for t in range(x.shape[1]):
+            diff = x[:, t, None] - y[None, :, t]
+            acc += diff * diff
+        return acc
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            )
+            if vecs.shape[1] != dim:
+                raise PlanError(
+                    f"ivfpq_encode_batch: embedding dim {vecs.shape[1]} != "
+                    f"centroid dim {dim}"
+                )
+            if not np.isfinite(vecs).all():
+                raise PlanError(
+                    "ivfpq_encode_batch: non-finite embedding component"
+                )
+            ids = pdf[id_col].to_numpy()
+            for lo in range(0, len(pdf), row_block):
+                v = vecs[lo : lo + row_block]
+                cell = np.argmin(_r9_key(_seq_sqdist(v, cents_np)), axis=1)
+                resid = v - cents_np[cell]
+                out = {id_col: ids[lo : lo + row_block], "cell": cell.astype("int32")}
+                for j in range(m):
+                    sub = resid[:, j * dsub : (j + 1) * dsub]
+                    keys = _r9_key(_seq_sqdist(sub, cb_np[j]))
+                    out[f"code{j}"] = np.argmin(keys, axis=1).astype("int32")
+                yield pd.DataFrame(out)
+
+    return df.select(id_col, emb_col).mapInPandas(enc, schema=schema)
+
+
 def probe_cells_for_query(
     query_vec: list[float], centroids: list[list[float]], nprobe: int = 2
 ) -> list[int]:

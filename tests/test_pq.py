@@ -228,3 +228,41 @@ def test_literal_encoder_matches_distributed_assignment(spark, sf_dir):
     )
     for r in dist.collect():
         assert got[r["vec_id"]]["cell"] == r["cell"], r["vec_id"]
+
+
+def test_batch_encoder_matches_literal(spark, sf_dir):
+    """ivfpq_encode_batch is the production (numpy mapInPandas) twin of the
+    literal expression encoder: identical (id, cell, code*) output on the
+    canonical embeddings table — the sequential-fold parity argument in its
+    docstring, pinned here row-for-row."""
+    from sparkfusion.llm.pq import (
+        derive_ivfpq_params,
+        ivfpq_encode_batch,
+        ivfpq_encode_literal,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, cb = derive_ivfpq_params(emb)
+    lit = {r["vec_id"]: r for r in ivfpq_encode_literal(emb, cents, cb).collect()}
+    bat = ivfpq_encode_batch(emb, cents, cb).collect()
+    assert len(bat) == len(lit) > 0
+    for r in bat:
+        assert tuple(r) == tuple(lit[r["vec_id"]]), r["vec_id"]
+
+
+def test_batch_encoder_guards(spark, sf_dir):
+    from sparkfusion.errors import PlanError
+    from sparkfusion.llm.pq import derive_ivfpq_params, ivfpq_encode_batch
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, cb = derive_ivfpq_params(emb)
+    with pytest.raises(PlanError, match="!= centroid dim"):
+        ivfpq_encode_batch(emb, [c[: DIM // 2] for c in cents], cb)
+    bad = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.lit(float("nan"))).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        ivfpq_encode_batch(bad, cents, cb).collect()
