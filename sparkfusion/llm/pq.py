@@ -462,7 +462,7 @@ def ivfpq_encode_batch(
     schema = f"`{id_col}` {id_type}, cell int, " + ", ".join(
         f"code{j} int" for j in range(m)
     )
-    row_block = max(64, (1 << 24) // max(n_cells, n_codes, dim))
+    row_block = _encode_row_block(n_cells, n_codes, dim)
 
     def _r9_key(d2: "np.ndarray") -> "np.ndarray":
         return np.floor(np.sqrt(d2) * 1e9 + 0.5)
@@ -505,6 +505,16 @@ def ivfpq_encode_batch(
                 yield pd.DataFrame(out)
 
     return df.select(id_col, emb_col).mapInPandas(enc, schema=schema)
+
+
+def _encode_row_block(n_cells: int, n_codes: int, dim: int) -> int:
+    """Row-block height for the batched encode kernels: the largest height
+    whose widest per-block accumulator (``block × max(n_cells, n_codes,
+    dim)`` doubles) stays within the 2^24-double working-set budget (the
+    within_group_pairs_np rule). Floor of 1, not a fixed positive floor: a
+    fixed floor times a huge index (n_cells=2^20 → 64·2^20 = 2^26 doubles)
+    would overshoot the promised budget 4× (r15 advice)."""
+    return max(1, (1 << 24) // max(n_cells, n_codes, dim))
 
 
 def probe_cells_for_query(

@@ -639,8 +639,13 @@ def within_group_pairs_np(
       validates norms up front and raises a named ``PlanError`` (exact
       parity with the expression path it replaced; callers with zero-norm
       rows must filter or epsilon-floor them explicitly). The candidate
-      test is still ``~(cos < margin)`` so any residual non-finite never
-      silently drops.
+      test is still ``~(cos < margin)`` so a residual non-finite SURVIVES
+      selection — and is then finite-checked and raised as a named error
+      before emission, because a NaN that left the kernel would be coerced
+      to NULL by the pandas→Arrow transit and dropped downstream by the
+      caller's ``round(cos) >= threshold`` filter (r15 advice: the norm
+      guard alone only covers NaN reachable through zero/NaN norms; an Inf
+      component passes it and yields Inf/Inf = NaN here).
     - the ``id_a < id_b`` guard compares VALUES, not positions: with
       duplicate ids the positions are distinct but the join path's
       ``a.id < b.id`` excludes the pair, so a positional test would emit a
@@ -688,9 +693,20 @@ def within_group_pairs_np(
             ii, kk = np.nonzero(~(cos < margin))  # NaN survives (see doc)
             keep = ids[ii + lo] < ids[kk]  # VALUE guard: dup ids never pair
             ii, kk = ii[keep], kk[keep]
+            vals = cos[ii, kk]
+            if not np.isfinite(vals).all():
+                from ..errors import PlanError
+
+                bad_a = ids[ii + lo][~np.isfinite(vals)][:5]
+                raise PlanError(
+                    f"within_group_pairs_np: non-finite cosine for id_a in "
+                    f"{list(bad_a)} — an Inf embedding component survived "
+                    f"the norm guard; emitting it would become NULL in the "
+                    f"pandas→Arrow transit and silently drop downstream"
+                )
             out_a.append(ids[ii + lo])
             out_b.append(ids[kk])
-            out_c.append(cos[ii, kk])
+            out_c.append(vals)
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a) if out_a else [],

@@ -131,7 +131,12 @@ def _safe_scale(d: int, max_abs: float) -> int:
     import math
 
     # 4·d·(10^s·max_abs)² < 2^63  ⇒  s < (63·log10(2) − log10(4d))/2 − log10(max_abs)
-    return int((63 * math.log10(2) - math.log10(4 * d)) / 2 - math.log10(max_abs))
+    # floor, not int(): int() truncates toward zero, which rounds UP for the
+    # negative scales very-large max_abs produces, returning a scale that
+    # fails check_quantization_envelope (r15 advice)
+    return math.floor(
+        (63 * math.log10(2) - math.log10(4 * d)) / 2 - math.log10(max_abs)
+    )
 
 
 def _exact_dot_int(X, C):

@@ -81,11 +81,18 @@ def _semdedup_auto_oracle(sf_dir: str) -> str:
     # mirror the library FLAT path exactly. Past k=4096 (~262k embeddings ≈
     # sf100, far beyond every swept SF) the library DEFAULT auto-escalates
     # to the two-level hierarchy whose trajectory this flat unrolled CTE
-    # does not model — if that regime is ever oracle-swept, regenerate this
-    # as a two-level unroll; until then the formulas agree by construction
-    # at every checked sf (r14: warn+clamp retired, auto-escalation is the
-    # default).
-    k = min(4096, max(2, -(-n // _SEMDEDUP_AUTO_TCS)))
+    # does not model — that regime must FAIL LOUDLY here (degrading the
+    # entry to an artifact-visible rows-only check), never produce a wrong
+    # flat oracle against a two-level engine result (r15 advice; the clamp
+    # that silently diverged is gone).
+    k = max(2, -(-n // _SEMDEDUP_AUTO_TCS))
+    if k > 4096:
+        raise ValueError(
+            f"_semdedup_auto_oracle: derived k={k} exceeds the flat-path cap "
+            f"4096 (n={n}); the library default escalates to the two-level "
+            f"hierarchy here, which this flat unrolled CTE does not model — "
+            f"regenerate as a two-level unroll before sweeping this corpus"
+        )
     return (
         _kmeans_ctes(k=k, iterations=2, scale_pow=6)
         + f""",

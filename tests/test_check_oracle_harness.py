@@ -147,6 +147,95 @@ def test_matching_query_writes_no_dump(spark, tmp_path, monkeypatch):
     assert not os.path.exists(str(tmp_path / "none"))
 
 
+def test_unknown_query_names_fail_loudly(monkeypatch, capsys):
+    """A typo'd query list must NOT read as a clean run: unknown names are
+    listed, recorded in results, and the exit code is nonzero (r14 verdict
+    item 3 — 'check_oracle.py <sf> typo_name' used to exit 0 with
+    '0 passed, 0 failed')."""
+    co = _load_check_oracle()
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["check_oracle.py", "/root/testdata/sf0.001", "no_such_query_xyz"],
+    )
+    rc = co.main()
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "no_such_query_xyz" in out and "unknown query" in out
+    assert "0 passed, 1 failed" in out
+
+
+def test_degraded_oracles_visible_in_artifact(spark, tmp_path, monkeypatch):
+    """A derived oracle_fn that raises must surface in the JSON artifact's
+    `degraded` list with an error-class tag — not just as a stderr warning
+    (r14 verdict item 4). A ValueError is a PROGRAMMING error; an OSError
+    is an IO degrade."""
+    import dataclasses
+    import json
+    import warnings
+
+    from sparkfusion import suite
+
+    suite._load_all()
+    spec = suite.REGISTRY["semdedup2_auto_k"]
+
+    def boom(sf_dir):
+        raise ValueError("deliberate generator bug")
+
+    monkeypatch.setitem(
+        suite.REGISTRY, "semdedup2_auto_k", dataclasses.replace(spec, oracle_fn=boom)
+    )
+    co = _load_check_oracle()
+    artifact = tmp_path / "art.json"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["check_oracle.py", "/root/testdata/sf0.001", "s8_literal_dataframe",
+         "--json", str(artifact)],
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rc = co.main()
+    assert rc == 0  # the checked query itself passes
+    data = json.loads(artifact.read_text())
+    assert data["degraded"] == [
+        {
+            "name": "semdedup2_auto_k",
+            "kind": "programming",
+            "error": "ValueError: deliberate generator bug",
+        }
+    ]
+    # IO failures classify as "io" — the designed degrade path
+    monkeypatch.setenv(suite.ORACLE_SF_ENV, "/nonexistent/sfX")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        suite.oracle_sql()
+    kinds = {d["name"]: d["kind"] for d in suite.ORACLE_DEGRADES}
+    assert kinds.get("dedup_cosine_auto_bits") == "io"
+    monkeypatch.delenv(suite.ORACLE_SF_ENV)
+
+
+def test_semdedup_auto_oracle_refuses_two_level_regime(tmp_path):
+    """Past the flat k=4096 cap the library default escalates to the
+    two-level hierarchy; the flat unrolled-CTE oracle must refuse that
+    regime loudly (→ artifact-visible degrade) instead of producing a wrong
+    oracle (r15 advice)."""
+    import pytest as _pytest
+
+    import sparkfusion.suite as suite_pkg
+    from sparkfusion.suite import curation_suite as cs
+
+    # fake a corpus big enough to cross the cap: n > 4096 * tcs
+    # (_semdedup_auto_oracle resolves table_rows from the package at call
+    # time, so patching the package attribute is sufficient)
+    orig = suite_pkg.table_rows
+    try:
+        suite_pkg.table_rows = lambda sf, t: 4097 * cs._SEMDEDUP_AUTO_TCS
+        with _pytest.raises(ValueError, match="two-level"):
+            cs._semdedup_auto_oracle("/root/testdata/sf0.01")
+    finally:
+        suite_pkg.table_rows = orig
+
+
 def test_derived_constant_oracles_follow_sf_dir(monkeypatch):
     """The three auto-derived entries (r10 verdict #4) must generate
     DIFFERENT oracle SQL per sf_dir — the embedded constant re-derives from

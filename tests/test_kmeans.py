@@ -168,12 +168,17 @@ def test_quantization_envelope_bounds():
     # scale 9 at production dims with unnormalized features overflows
     with _pytest.raises(PlanError, match="envelope"):
         check_quantization_envelope(768, 9, 10.0)
-    # _safe_scale is consistent with the check: safe passes, +1 fails
-    for d, m in ((64, 1.0), (768, 1.0), (768, 50.0), (4096, 10.0)):
+    # _safe_scale is consistent with the check: safe passes, +1 fails.
+    # The last two tuples force NEGATIVE safe scales — int() truncation
+    # rounded those toward zero (UP), returning a scale that failed its own
+    # check; floor() is required (r15 advice)
+    for d, m in ((64, 1.0), (768, 1.0), (768, 50.0), (4096, 10.0),
+                 (768, 1e9), (64, 1e12)):
         s = _safe_scale(d, m)
         check_quantization_envelope(d, s, m)
         with _pytest.raises(PlanError):
             check_quantization_envelope(d, s + 1, m)
+    assert _safe_scale(768, 1e9) < 0  # the truncation-trap regime is covered
 
 
 def test_runtime_int64_guard_fires(spark):

@@ -1012,6 +1012,26 @@ def test_within_group_pairs_np_zero_norm_and_duplicate_id(spark):
     assert via_join == via_group
 
 
+def test_within_group_pairs_np_nonfinite_cos_raises(spark):
+    """An Inf embedding component passes the norm guard (norm = Inf > 0) but
+    yields Inf/Inf = NaN cosines; the candidate test keeps NaN, and the
+    kernel must RAISE before emission — an emitted NaN would be coerced to
+    NULL by the pandas→Arrow transit and silently dropped by the caller's
+    round(cos) >= threshold filter (r15 advice)."""
+    from sparkfusion.llm.similarity import norm, within_group_pairs_np
+
+    inf = float("inf")
+    side = spark.createDataFrame(
+        [(1, 10, [inf, 0.0]), (1, 11, [1.0, 0.5])],
+        "bucket int, vec_id long, embedding array<double>",
+    ).select(
+        "bucket", "vec_id",
+        F.col("embedding").alias("e"), norm(F.col("embedding")).alias("nrm"),
+    )
+    with pytest.raises(Exception, match="non-finite cosine"):
+        within_group_pairs_np(side, group_col="bucket", threshold=0.5).collect()
+
+
 def test_within_group_pairs_np_block_derivation(spark, sf_dir):
     """The per-task accumulator block must honor an explicit small row_block
     (blocked-loop coverage) and produce the identical pair set — the budget

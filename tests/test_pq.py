@@ -266,3 +266,19 @@ def test_batch_encoder_guards(spark, sf_dir):
     )
     with pytest.raises(Exception, match="non-finite"):
         ivfpq_encode_batch(bad, cents, cb).collect()
+
+
+def test_encode_row_block_budget():
+    """The batched-encode row block must keep block·max(n_cells, n_codes,
+    dim) within the 2^24-double accumulator budget for EVERY index size —
+    the old fixed floor of 64 overshot 4× at n_cells=2^20 (r15 advice)."""
+    from sparkfusion.llm.pq import _encode_row_block
+
+    for n_cells, n_codes, dim in (
+        (8, 8, 64), (256, 256, 768), (1 << 20, 256, 768), (1 << 26, 256, 768),
+    ):
+        blk = _encode_row_block(n_cells, n_codes, dim)
+        assert blk >= 1
+        assert blk * max(n_cells, n_codes, dim) <= (1 << 24) or blk == 1
+    # small indexes still get large blocks (vectorization intact)
+    assert _encode_row_block(8, 8, 64) >= 1 << 18

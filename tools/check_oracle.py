@@ -150,7 +150,23 @@ def main() -> int:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs, oracles = e.queries(), e.oracle_sql()
+
+    # derived-oracle degrades (oracle_fn raised → entry silently rows-only)
+    # must be artifact-visible, not stderr-only (r14 verdict item 4)
+    from sparkfusion.suite import ORACLE_DEGRADES
+
+    degraded = list(ORACLE_DEGRADES)
+    for d in degraded:
+        print(f"WARN degraded oracle for {d['name']} ({d['kind']}): {d['error']}")
+
     n_pass = n_fail = 0
+    # a typo'd query list must not read as a clean run (r14 verdict item 3:
+    # "check_oracle.py <sf> typo_name" used to exit 0 with "0 passed")
+    unknown = sorted(only - set(qs))
+    for name in unknown:
+        print(f"FAIL {name}: unknown query (not in the registry)")
+        results[name] = {"status": "unknown_query"}
+        n_fail += 1
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -232,6 +248,10 @@ def main() -> int:
                     "local_round": driver_round + 2,
                     "passed": n_pass,
                     "failed": n_fail,
+                    # asserted EMPTY by round-end sweeps: a non-empty list
+                    # means some entry was hash-checked last round but only
+                    # rows-checked in this artifact (r14 verdict item 4)
+                    "degraded": degraded,
                     "queries": results,
                 },
                 f,
