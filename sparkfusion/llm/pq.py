@@ -39,7 +39,14 @@ from pyspark.sql import functions as F
 from .ivf import euclid_r9
 from ..errors import PlanError
 
-__all__ = ["pq_subvectors", "pq_encode", "pq_adc_topk", "ivfpq_adc_topk"]
+__all__ = [
+    "pq_subvectors",
+    "pq_encode",
+    "pq_adc_topk",
+    "ivfpq_adc_topk",
+    "ivfpq_adc_table",
+    "ivfpq_store_adc_topk",
+]
 
 
 def pq_subvectors(
@@ -515,6 +522,128 @@ def _encode_row_block(n_cells: int, n_codes: int, dim: int) -> int:
     fixed floor times a huge index (n_cells=2^20 → 64·2^20 = 2^26 doubles)
     would overshoot the promised budget 4× (r15 advice)."""
     return max(1, (1 << 24) // max(n_cells, n_codes, dim))
+
+
+def ivfpq_adc_table(
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    nprobe: int = 2,
+) -> dict[int, "object"]:
+    """Per-probed-cell ADC lookup tables for ONE query, as INT64 keys —
+    bounded driver math (``nprobe · m · n_codes`` entries, a few KB).
+
+    ``table[cell][j, code] = floor(round9dist · 1e9 + 0.5)`` where
+    ``round9dist`` is the round-9 L2 distance between the query's residual
+    subvector ``(q − centroid[cell])[j·dsub:(j+1)·dsub]`` and codeword
+    ``codebook[j][code]`` — exactly the ``qd`` value :func:`ivfpq_adc_topk`
+    computes in-plan and casts to DECIMAL(18,9), represented as the integer
+    numerator at scale 9. Summing ``m`` int64 keys per candidate is EXACT
+    integer arithmetic equal to the DECIMAL sum scaled by 10^9; dividing the
+    int total by 1e9 in float64 (exact inputs below 2^53, one correctly-
+    rounded IEEE division) reproduces the DECIMAL→double cast bit-for-bit.
+    The squared-diff accumulation runs dim 0..dsub-1 sequentially, replaying
+    ``euclid_r9``'s fold order (the :func:`ivfpq_encode_batch` parity
+    discipline, same measure-zero HALF_UP caveat)."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebook, dtype=np.float64)
+    m, n_codes, dsub = cb.shape
+    qv = np.asarray(query_vec, dtype=np.float64)
+    if not np.isfinite(qv).all():
+        raise PlanError("ivfpq_adc_table: non-finite query component")
+    out: dict[int, object] = {}
+    for cell in probe_cells_for_query(list(qv), centroids, nprobe):
+        qr = qv - cents[cell]
+        tab = np.empty((m, n_codes), dtype=np.int64)
+        for j in range(m):
+            sub = qr[j * dsub : (j + 1) * dsub]
+            acc = np.zeros(n_codes)
+            for t in range(dsub):  # sequential fold == F.aggregate order
+                diff = sub[t] - cb[j, :, t]
+                acc += diff * diff
+            tab[j] = np.floor(np.sqrt(acc) * 1e9 + 0.5).astype(np.int64)
+        out[cell] = tab
+    return out
+
+
+def ivfpq_store_adc_topk(
+    stored: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    q_id: int,
+    id_col: str = "vec_id",
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Query the CELL-PARTITIONED code store with a batched numpy ADC kernel
+    — the production query path that closes the IVF-PQ family (r14 verdict
+    #1): ``sim_ivfpq_store_probe`` proved the store prunes partitions;
+    :func:`ivfpq_encode_batch` made ingest numpy-speed; this makes the
+    query itself numpy-speed instead of re-deriving assignment + codes
+    in-plan like :func:`ivfpq_adc_topk` (measured 110.5 s/query at
+    d=768/100k, interpreted-bound — BASELINE.md r14 probe).
+
+    ``stored`` is the encoded corpus ``(id, cell, code0..code{m-1})`` as
+    written by :func:`ivfpq_encode_literal` / :func:`ivfpq_encode_batch`;
+    read it from a ``partitionBy("cell")`` parquet store so the probe-cell
+    filter applied here becomes a PartitionFilters prune (only
+    ``nprobe/n_cells`` of the data is listed or scanned). Per candidate row
+    the kernel does m int64 table lookups and one add — no float math, no
+    join, no shuffle; the only rows that leave the scan are the per-task
+    top-k heap's (TakeOrderedAndProject). Output ``(q_id, id, adist)`` is
+    bit-identical to :func:`ivfpq_adc_topk` (pytest-pinned): the int64 ADC
+    sum over :func:`ivfpq_adc_table` keys equals the in-plan DECIMAL(18,9)
+    sum at scale 9, and the final ``total/1e9`` float64 division reproduces
+    the DECIMAL→double cast.
+
+    Mirrors the reference's query-over-registered-store pattern
+    (``examples/dataframe/query.rs:118-123``) at index scale."""
+    import numpy as np
+    import pandas as pd
+
+    tabs = ivfpq_adc_table(query_vec, centroids, codebook, nprobe)
+    m = len(codebook)
+    code_cols = [f"code{j}" for j in range(m)]
+    id_type = stored.schema[id_col].dataType.simpleString()
+    schema = f"q_id {id_type}, `{id_col}` {id_type}, adist double"
+    probed = sorted(tabs)
+    j_idx = None
+
+    def score(batches):
+        nonlocal j_idx
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if j_idx is None:
+                j_idx = np.arange(m)
+            codes = pdf[code_cols].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            total = np.zeros(len(pdf), dtype=np.int64)
+            for cell in probed:
+                mask = cells == cell
+                if not mask.any():
+                    continue
+                # (rows, m) gather from the (m, n_codes) int64 table, exact
+                # integer sum across subspaces
+                total[mask] = tabs[cell][j_idx[None, :], codes[mask]].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.full(len(pdf), q_id),
+                    id_col: pdf[id_col].to_numpy(),
+                    "adist": total.astype(np.float64) / 1e9,
+                }
+            )
+
+    pruned = stored.filter(
+        F.col("cell").isin([int(c) for c in probed]) & (F.col(id_col) != q_id)
+    )
+    scored = pruned.select(id_col, "cell", *code_cols).mapInPandas(
+        score, schema=schema
+    )
+    return scored.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(k)
 
 
 def probe_cells_for_query(

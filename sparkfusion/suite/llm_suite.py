@@ -2929,9 +2929,11 @@ def pmi1_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pmi_collocations(docs, "text", min_count=5, k=50)
 
 
-@register(
-    "sim_ivfpq_topk",
-    oracle="""
+# Shared by sim_ivfpq_topk (in-plan composite) and sim_ivfpq_batch_probe
+# (pruned-store numpy kernel): the two paths compute the SAME top-10 by
+# construction — storage layout, partition pruning and the int64 table
+# kernel change what is read and how it is summed, never what is true.
+_IVFPQ_ADC_TOPK_SQL = """
     WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cvec FROM e WHERE vec_id < 8),
@@ -2983,8 +2985,10 @@ def pmi1_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.q_id, c.vec_id
     ORDER BY adist ASC, c.vec_id ASC
     LIMIT 10
-    """,
-)
+    """
+
+
+@register("sim_ivfpq_topk", oracle=_IVFPQ_ADC_TOPK_SQL)
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ residual ANN top-k (query = vec 0, nprobe 2 of 8 cells, 4×16-dim
     residual subspaces, 8 codewords) — the FAISS-IndexIVFPQ composition that
@@ -3228,4 +3232,45 @@ def sim_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stored.filter(F.col("cell").isin(probed)).select(
         "vec_id", F.col("cell").cast("int").alias("cell"),
         "code0", "code1", "code2", "code3",
+    )
+
+
+@register("sim_ivfpq_batch_probe", oracle=_IVFPQ_ADC_TOPK_SQL)
+def sim_ivfpq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF-PQ query path end-to-end (r14 verdict #1): encode
+    the corpus with the numpy batch encoder, write it partitioned by cell,
+    then answer the query by reading ONLY the probed partitions and scoring
+    candidates with the int64 ADC table kernel
+    (:func:`sparkfusion.llm.pq.ivfpq_store_adc_topk`) — m integer lookups +
+    one add per candidate, no float math, no join, no shuffle. Same oracle
+    as ``sim_ivfpq_topk``: the store layout, partition pruning and batch
+    kernel change what is read and how it is summed, never the top-10 (the
+    int64 keys ARE the DECIMAL(18,9) numerators the in-plan path sums;
+    bit-parity with ``ivfpq_adc_topk`` is pinned in tests/test_pq.py). The
+    r15 d=768 probe measures this path vs the 110.5 s/query in-plan number
+    (BASELINE.md)."""
+    import os
+
+    from ..llm.pq import (
+        derive_ivfpq_params,
+        ivfpq_encode_batch,
+        ivfpq_store_adc_topk,
+    )
+    from .sources_suite import IO_DIR
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, cb = derive_ivfpq_params(emb)
+    codes = ivfpq_encode_batch(emb, cents, cb)
+    path = os.path.join(IO_DIR, "ivfpq_codes_batch")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    stored = spark.read.parquet(path).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"),
+        "code0", "code1", "code2", "code3",
+    )
+    return ivfpq_store_adc_topk(
+        stored, qv, cents, cb, q_id=0, id_col="vec_id", nprobe=2, k=10
     )

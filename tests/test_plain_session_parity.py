@@ -44,11 +44,11 @@ PLAIN_SLICE = [
 # ways only a fresh PLAIN session exposes (the r4/r5 failure mode). These
 # run every round regardless of sampling history; any NEW query lands here
 # until a driver round has sampled it (regeneration rule: round rhythm).
-NEVER_SAMPLED: list[str] = [  # recomputed r14 (driver r11): the r11 sample
-    # drew the r13-new set, so every registered query now has at least one
-    # driver CORRECTNESS row — the list holds only round-new registrations
-    # until the next driver sample
-    "dedup_cosine_banded",
+NEVER_SAMPLED: list[str] = [  # recomputed r15 (driver r12): the r12 sample
+    # drew dedup_cosine_banded (green), so every registered query has at
+    # least one driver CORRECTNESS row — the list holds only round-new
+    # registrations until the next driver sample
+    "sim_ivfpq_batch_probe",
 ]
 
 CONF_RISK_STANDING = [

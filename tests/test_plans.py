@@ -462,3 +462,20 @@ def test_ivfpq_store_probe_prunes_partitions(spark, sf_dir):
     plan = plan_of(df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1) and "IN" in m.group(1).upper(), m
+
+
+def test_ivfpq_batch_probe_prunes_and_stays_mapside(spark, sf_dir):
+    """The production query path (r14 verdict #1) must (a) serve the probe
+    as a PARTITION-pruned scan of the cell-partitioned store and (b) score
+    without any join/aggregate — the only post-scan operators are the
+    Python map and the TakeOrderedAndProject top-k heap."""
+    import re
+
+    from sparkfusion.suite.llm_suite import sim_ivfpq_batch_probe
+
+    df = sim_ivfpq_batch_probe(spark, sf_dir)
+    plan = plan_of(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1) and "IN" in m.group(1).upper(), m
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Aggregate" not in plan

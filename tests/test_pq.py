@@ -282,3 +282,76 @@ def test_encode_row_block_budget():
         assert blk * max(n_cells, n_codes, dim) <= (1 << 24) or blk == 1
     # small indexes still get large blocks (vectorization intact)
     assert _encode_row_block(8, 8, 64) >= 1 << 18
+
+
+def test_store_adc_topk_bit_parity_with_inplan(spark, sf_dir, tmp_path):
+    """The pruned-store numpy ADC kernel must return the BIT-IDENTICAL
+    (q_id, vec_id, adist) top-10 as the in-plan ivfpq_adc_topk composite:
+    the int64 table keys are the DECIMAL(18,9) numerators the in-plan path
+    sums, and total/1e9 in float64 reproduces the DECIMAL→double cast
+    (r14 verdict #1)."""
+    from sparkfusion.llm.pq import (
+        derive_ivfpq_params,
+        ivfpq_adc_topk,
+        ivfpq_encode_batch,
+        ivfpq_store_adc_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    inplan = ivfpq_adc_topk(
+        emb, q, "vec_id", "embedding",
+        n_cells=8, nprobe=2, m=M, dim=DIM, n_codes=NC, k=10,
+    ).collect()
+
+    cents, cb = derive_ivfpq_params(emb)
+    path = str(tmp_path / "codes")
+    ivfpq_encode_batch(emb, cents, cb).write.partitionBy("cell").parquet(path)
+    stored = spark.read.parquet(path).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"),
+        *[f"code{j}" for j in range(M)],
+    )
+    qv = [float(x) for x in q.select("embedding").first()[0]]
+    store = ivfpq_store_adc_topk(
+        stored, qv, cents, cb, q_id=0, nprobe=2, k=10
+    ).collect()
+
+    assert [tuple(r) for r in store] == [tuple(r) for r in inplan]
+    # adist is bit-identical, not just close
+    assert [r["adist"] for r in store] == [r["adist"] for r in inplan]
+
+
+def test_adc_table_keys_match_decimal_path(spark, sf_dir):
+    """ivfpq_adc_table's int64 keys equal the engine-side DECIMAL(18,9)
+    numerators: rebuild the in-plan dtab for the probed cells and compare
+    every (cell, j, code) entry."""
+    from decimal import Decimal
+
+    from sparkfusion.llm.pq import derive_ivfpq_params, ivfpq_adc_table
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, cb = derive_ivfpq_params(emb)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    tabs = ivfpq_adc_table(qv, cents, cb, nprobe=2)
+
+    from sparkfusion.llm.ivf import euclid_r9
+
+    for cell, tab in tabs.items():
+        qr = [a - b for a, b in zip(qv, cents[cell])]
+        d = DIM // M
+        rows = []
+        for j in range(M):
+            for code in range(NC):
+                rows.append((j, code, qr[j * d:(j + 1) * d], cb[j][code]))
+        rdf = spark.createDataFrame(
+            rows, "j int, code int, qsub array<double>, csub array<double>"
+        ).select(
+            "j", "code",
+            euclid_r9(F.col("qsub"), F.col("csub"))
+            .cast("decimal(18,9)").alias("qd"),
+        )
+        for r in rdf.collect():
+            assert int(r["qd"].scaleb(9)) == int(tab[r["j"], r["code"]]), (
+                cell, r["j"], r["code"]
+            )

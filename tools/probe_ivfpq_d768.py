@@ -22,7 +22,15 @@ probe times ENGINE work, not pair output):
    JVM, triangle-inequality pruned) is unrelated to the literal path.
 
 Usage: python tools/probe_ivfpq_d768.py [n]   (default 100000)
+       python tools/probe_ivfpq_d768.py [n] --store-query
 Solo rule: never run while another Spark JVM is up (bench/sweeps/pytest).
+
+``--store-query`` (r15, verdict #1) measures the PRODUCTION query path at
+the same config as the in-plan ``adc_topk_cells64_nprobe8`` number
+(110.5 s/query at n=100k in the r14 probe): batch-encode the corpus
+(``ivfpq_encode_batch``), write it partitioned by cell, then answer 3
+queries via ``ivfpq_store_adc_topk`` — partition-pruned scan + int64 ADC
+table kernel. Reported per-query wall is the apples-to-apples comparison.
 """
 
 from __future__ import annotations
@@ -69,11 +77,59 @@ def timed(label: str, fn) -> dict:
     return {"label": label, "wall": wall, "out": out}
 
 
+def store_query_probe(spark, df, n: int) -> None:
+    """The production query path vs the in-plan composite (verdict #1)."""
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sparkfusion.llm.pq import (
+        derive_ivfpq_params,
+        ivfpq_encode_batch,
+        ivfpq_store_adc_topk,
+    )
+
+    n_cells, m, n_codes = 64, 96, 32
+    results = []
+    cents, cb = derive_ivfpq_params(df, n_cells=n_cells, m=m, dim=D, n_codes=n_codes)
+    path = "/root/repo/.tmp/ivfpq_store_d768"
+    shutil.rmtree(path, ignore_errors=True)
+    r = timed(
+        f"batch_encode_write_cells{n_cells}_m{m}",
+        lambda: ivfpq_encode_batch(df, cents, cb)
+        .write.mode("overwrite").partitionBy("cell").parquet(path),
+    )
+    r["rows_per_s"] = round(n / r["wall"], 1)
+    results.append(r)
+    code_cols = [f"code{j}" for j in range(m)]
+    stored = spark.read.parquet(path).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), *code_cols
+    )
+    for i, qid in enumerate((n - 1, n // 2, 1)):
+        qv = [
+            float(x)
+            for x in df.filter(F.col("vec_id") == qid).select("embedding").first()[0]
+        ]
+        results.append(
+            timed(
+                f"store_adc_query{i}_nprobe8",
+                lambda qv=qv, qid=qid: ivfpq_store_adc_topk(
+                    stored, qv, cents, cb, q_id=qid, nprobe=8, k=10
+                ).count(),
+            )
+        )
+    print(json.dumps(results))
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     spark = get_session()
     df = make_frame(spark, n)
     print(f"== IVF-PQ d={D} probe, n={n} ==", flush=True)
+    if "--store-query" in sys.argv:
+        store_query_probe(spark, df, n)
+        return
     results = []
 
     from sparkfusion.llm.ivf import ivf_build
