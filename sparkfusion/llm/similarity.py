@@ -440,31 +440,34 @@ def cosine_pairs(
                 f"bands*bits = {bands * bits} exceeds embedding dim {dim}; "
                 "disjoint-slice banding needs bands*bits <= dim"
             )
-        slim = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
-        cands: DataFrame | None = None
+        # per-band grouped vectorized verify (the same within_group_pairs_np
+        # kernel as the single-band default), then pair-level dedup. The
+        # r15 1M-probe smoke caught the old shape — candidate pair list
+        # joined back to BOTH embeddings and verified with the interpreted
+        # cosine_r9_pre fold — at 11× the single-band wall (21.1s vs 1.9s
+        # at n=20k d=768): O(candidates·d) shuffle plus ~µs-per-pair
+        # interpreted folds. Verifying inside each band's buckets keeps
+        # transfer at O(bands·n·d) and the fold vectorized; a pair
+        # colliding on several bands pays the (cheap, bit-deterministic)
+        # kernel ≤ bands times and dedups exactly on ids afterwards.
+        slim = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(emb_col).alias("e"),
+            norm(F.col(emb_col)).alias("nrm"),
+        )
+        pairs: DataFrame | None = None
         for band in range(bands):
-            ba = slim.select(
-                F.col("id").alias("id_a"),
+            side_b = slim.select(
+                "vec_id", "e", "nrm",
                 sign_bucket(F.col("e"), bits, band * bits).alias("bucket"),
             )
-            bb = slim.select(
-                F.col("id").alias("id_b"),
-                sign_bucket(F.col("e"), bits, band * bits).alias("bucket"),
+            p = within_group_pairs_np(
+                side_b, group_col="bucket", threshold=threshold
             )
-            c = (
-                ba.join(bb, "bucket")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
-            )
-            cands = c if cands is None else cands.unionByName(c)
-        # dedup candidates BEFORE the verify join so a pair colliding on
-        # several bands pays the exact-cosine fold once, not ``bands`` times
-        joined = cands.distinct().join(a, "id_a").join(b, "id_b")
+            pairs = p if pairs is None else pairs.unionByName(p)
         return (
-            joined.withColumn(
-                "cos",
-                cosine_r9_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
-            )
+            pairs.dropDuplicates(["id_a", "id_b"])
+            .withColumn("cos", F.round(F.col("cos_raw"), 9))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos")
         )

@@ -62,7 +62,112 @@ def timed(label: str, fn, reps: int = 3) -> dict:
     return {"label": label, "best": min(walls), "reps": walls, "out": out}
 
 
+class RssSampler:
+    """Peak resident memory of the WHOLE process tree (python driver + JVM +
+    pyspark daemons), sampled from /proc every 0.5s — the honest local-mode
+    stand-in for 'peak task memory' in the r14 verdict #2 probe (local[32]
+    shares one JVM heap; per-task peaks aren't separable, tree RSS is the
+    number that decides whether the box survives)."""
+
+    def __init__(self):
+        import threading
+
+        self.peak_gb = 0.0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _tree_rss_gb(self) -> float:
+        import os
+
+        me = os.getpid()
+        ppid = {}
+        rss = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                ppid[int(pid)] = int(parts[1])
+                rss[int(pid)] = int(parts[21]) * 4096  # pages -> bytes
+            except (OSError, IndexError, ValueError):
+                continue
+        total = 0
+        for pid in rss:
+            p = pid
+            for _ in range(40):
+                if p == me:
+                    total += rss[pid]
+                    break
+                p = ppid.get(p, 0)
+                if p <= 1:
+                    break
+        return total / 1e9
+
+    def _run(self):
+        while not self._stop.wait(0.5):
+            self.peak_gb = max(self.peak_gb, self._tree_rss_gb())
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+
+def big_probe(ns: list[int]) -> None:
+    """r14 verdict #2: the embedding family's own 4th scaling point — the
+    lexical pipelines have 5M docs, the embedding paths stopped at 200k.
+    Runs semdedup (two-level — at these n the auto default escalates past
+    the flat k=4096 cap anyway), cosine_pairs auto-bits, and the banded
+    recall path at n up to 1M+, d=768, with tree-RSS peaks per step."""
+    check_quantization_envelope(D, SCALE, 1.0)
+    spark = get_session()
+    results = []
+    from sparkfusion.llm.similarity import cosine_pairs, semdedup
+
+    for n in ns:
+        print(f"== BIG n={n} d={D} ==", flush=True)
+        df = make_frame(spark, n)
+        print(f"  frame ~{n * D * 8 / 1e9:.1f} GB as float64", flush=True)
+        steps = [
+            (
+                f"semdedup_two_level_n{n}",
+                lambda: semdedup(
+                    df, "vec_id", "embedding", iterations=2,
+                    threshold=0.8, scale=SCALE, two_level=True,
+                ).filter("NOT keep").count(),
+            ),
+            (
+                f"cosine_pairs_auto_n{n}",
+                lambda: cosine_pairs(
+                    df, "vec_id", "embedding", threshold=0.95
+                ).count(),
+            ),
+            (
+                f"cosine_pairs_banded2_n{n}",
+                lambda: cosine_pairs(
+                    df, "vec_id", "embedding", threshold=0.95, bands=2
+                ).count(),
+            ),
+        ]
+        for label, fn in steps:
+            with RssSampler() as s:
+                r = timed(label, fn, reps=1)
+            r["peak_tree_rss_gb"] = round(s.peak_gb, 1)
+            print(f"    peak tree RSS: {r['peak_tree_rss_gb']} GB", flush=True)
+            results.append(r)
+        spark.catalog.clearCache()
+    print(json.dumps(results))
+
+
 def main() -> None:
+    if "--big" in sys.argv:
+        sys.argv.remove("--big")
+        big_probe([int(a) for a in sys.argv[1:]] or [500_000, 1_000_000])
+        return
     ns = [int(a) for a in sys.argv[1:]] or [100_000, 200_000]
     # the static envelope holds at unit-norm d=768 scale=6 (and would raise
     # here if a future edit broke it)
