@@ -859,8 +859,14 @@ def semdedup(
     # materialize (assignment ⋈ embedding+norm) ONCE: the grouped pair pass
     # and the final verdict rows both read it, so the argmin and the norm
     # fold run one time per row, not two (localCheckpoint, not cache —
-    # the CacheManager-leak rule; eager=False, the pair pass materializes it)
-    side = asg.join(emb, "vec_id").localCheckpoint(eager=False)
+    # the CacheManager-leak rule; eager=False, the pair pass materializes it).
+    # hint("merge"): asg is O(n) rows but the two-level path emits it from
+    # applyInPandas, whose narrow output makes Catalyst's size estimate
+    # tiny — without the hint the planner BROADCASTS a corpus-scaling
+    # frame (the r15 500k×d=768 probe died on exactly that: "Not enough
+    # memory to build and broadcast"). Both sides are O(n): sort-merge is
+    # the only scale-correct strategy.
+    side = asg.hint("merge").join(emb, "vec_id").localCheckpoint(eager=False)
     # within-cluster pairs via the grouped vectorized verify — bit-identical
     # to the cid-self-join + expression fold it replaces (r13 A/B: 4.2×,
     # exact pair-set and cosine parity; see within_group_pairs_np). The
@@ -876,10 +882,13 @@ def semdedup(
     # final verdict rows come from the MATERIALIZED side, not asg: joining
     # asg directly would re-run the k·d-literal argmin over every point a
     # third time (side's inner join on vec_id keeps exactly asg's rows, so
-    # the result is identical) — r10 A/B of the semdedup1 cost
-    return side.select("vec_id", "cid").join(dups, "vec_id", "left").select(
-        "vec_id", "cid", F.col("dup").isNull().alias("keep")
-    )
+    # the result is identical) — r10 A/B of the semdedup1 cost.
+    # hint("merge") on dups: it is O(duplicates) ≤ O(n) and flows out of
+    # applyInPandas with the same too-small size estimate as asg above —
+    # never broadcast a corpus-scaling frame.
+    return side.select("vec_id", "cid").join(
+        dups.hint("merge"), "vec_id", "left"
+    ).select("vec_id", "cid", F.col("dup").isNull().alias("keep"))
 
 
 def rrf_fuse(

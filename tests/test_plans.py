@@ -479,3 +479,21 @@ def test_ivfpq_batch_probe_prunes_and_stays_mapside(spark, sf_dir):
     assert m and "cell" in m.group(1) and "IN" in m.group(1).upper(), m
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_semdedup_two_level_never_broadcasts_corpus_frames(spark, sf_dir):
+    """The two-level assignment flows out of applyInPandas, whose narrow
+    output resets Catalyst's size estimate to ~tiny — without explicit
+    merge hints the planner BROADCASTS the O(n) assignment and dup frames
+    (the r15 500k×d=768 probe died on 'Not enough memory to build and
+    broadcast'). Every join in the semdedup plan must be sort-merge."""
+    from sparkfusion.llm.similarity import semdedup
+    from sparkfusion.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    plan = plan_of(
+        semdedup(emb, "vec_id", "embedding", k=8, iterations=1,
+                 threshold=0.8, scale=6, two_level=True)
+    )
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan

@@ -122,6 +122,42 @@ def store_query_probe(spark, df, n: int) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def gram_probe(spark, df, n: int) -> None:
+    """r14 verdict #6: A/B the opt-in BLAS3 gram encode (exact=False)
+    against the bit-parity fold at production dims, and COUNT row
+    mismatches (the docstring's error envelope predicts zero outside
+    measure-zero rounding-boundary straddles)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sparkfusion.llm.pq import derive_ivfpq_params, ivfpq_encode_batch
+
+    n_cells, m, n_codes = 64, 96, 32
+    cents, cb = derive_ivfpq_params(df, n_cells=n_cells, m=m, dim=D, n_codes=n_codes)
+    results = []
+    frames = {}
+    for label, exact in (("encode_exact_fold", True), ("encode_gram_blas3", False)):
+        enc = ivfpq_encode_batch(df, cents, cb, exact=exact).localCheckpoint(
+            eager=False
+        )
+        r = timed(f"{label}_cells{n_cells}_m{m}", enc.count)
+        r["rows_per_s"] = round(n / r["wall"], 1)
+        results.append(r)
+        frames[exact] = enc
+    a, b = frames[True], frames[False]
+    cols = a.columns
+    mismatches = (
+        a.alias("x")
+        .join(b.alias("y"), "vec_id")
+        .filter(
+            " OR ".join(f"x.{c} <> y.{c}" for c in cols if c != "vec_id")
+        )
+        .count()
+    )
+    results.append({"label": "gram_vs_exact_row_mismatches", "out": mismatches})
+    print(f"  row mismatches gram vs exact: {mismatches} / {n}", flush=True)
+    print(json.dumps(results))
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     spark = get_session()
@@ -129,6 +165,9 @@ def main() -> None:
     print(f"== IVF-PQ d={D} probe, n={n} ==", flush=True)
     if "--store-query" in sys.argv:
         store_query_probe(spark, df, n)
+        return
+    if "--gram" in sys.argv:
+        gram_probe(spark, df, n)
         return
     results = []
 
