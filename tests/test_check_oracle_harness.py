@@ -271,3 +271,35 @@ def test_unreadable_corpus_degrades_only_derived_entries(monkeypatch, recwarn):
     assert "q1_pricing_summary" in out and len(out) > 300
     msgs = [str(w.message) for w in recwarn.list]
     assert any("semdedup2_auto_k" in m and "rows-only" in m for m in msgs)
+
+
+def test_assert_sweep_clean_gate(tmp_path):
+    """The round-end gate must reject artifacts with failures OR degraded
+    oracles, and accept a fully-clean one (r14 verdict item 4)."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "assert_sweep_clean", "/root/repo/tools/assert_sweep_clean.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    clean = tmp_path / "clean.json"
+    clean.write_text(json.dumps(
+        {"passed": 2, "failed": 0, "degraded": [],
+         "queries": {"a": {"status": "pass"}}}))
+    assert mod.check(str(clean))
+
+    degraded = tmp_path / "degraded.json"
+    degraded.write_text(json.dumps(
+        {"passed": 2, "failed": 0,
+         "degraded": [{"name": "x", "kind": "programming", "error": "e"}],
+         "queries": {}}))
+    assert not mod.check(str(degraded))
+
+    failed = tmp_path / "failed.json"
+    failed.write_text(json.dumps(
+        {"passed": 1, "failed": 1, "degraded": [],
+         "queries": {"b": {"status": "value_mismatch"}}}))
+    assert not mod.check(str(failed))
