@@ -155,6 +155,7 @@ HEADLINE = {
     "s29_corrupt_record_quarantine": "s29_corrupt_record_quarantine",
     "g6_personalized_pagerank": "g6_personalized_pagerank",
     "sim_ivfpq_store_probe": "sim_ivfpq_store_probe",
+    "sim_ivfpq_batch_probe": "sim_ivfpq_batch_probe",
     "x10_observed_metrics": "x10_observed_metrics",
     "x11_mapinarrow_stats": "x11_mapinarrow_stats",
     "a32_global_rank": "a32_global_rank",
