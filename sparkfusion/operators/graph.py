@@ -273,6 +273,10 @@ def sssp_distances(
             .groupBy("node")
             .agg(F.min("cand").alias("cand"))
         )
+        # ONE checkpoint per round: `dist` and `improved` are both cheap
+        # views of the same merged frame — checkpointing them separately
+        # re-executed the round's relax join + full_outer merge twice per
+        # round (r13 profile: every round's join stage appeared 2x)
         merged = dist.join(cand, "node", "full_outer").select(
             "node",
             F.least(F.col("dist"), F.col("cand")).alias("dist"),
@@ -280,13 +284,9 @@ def sssp_distances(
                 F.col("dist").isNull()
                 | (F.col("cand").isNotNull() & (F.col("cand") < F.col("dist")))
             ).alias("is_improved"),
-        )
-        dist = merged.select("node", "dist").localCheckpoint(eager=False)
-        improved = (
-            merged.filter("is_improved")
-            .select("node", "dist")
-            .localCheckpoint(eager=False)
-        )
+        ).localCheckpoint(eager=False)
+        dist = merged.select("node", "dist")
+        improved = merged.filter("is_improved").select("node", "dist")
     return dist
 
 

@@ -398,14 +398,16 @@ def kmeans_quantized(
         # emitted as BIGINT — test-scale inertia is far below 2^63
         F.sum(F.col("dist").cast("decimal(38,0)")).cast("long").alias("inertia"),
     )
-    spark = df.sparkSession
-    fingerprints = spark.createDataFrame(
-        [
-            (i, sum(c), sum(v * v for v in c))
-            for i, c in enumerate(cents)
-        ],
-        "cid int, centroid_l1 long, centroid_sq long",
-    )
-    return stats.join(F.broadcast(fingerprints), "cid").select(
-        "cid", "n_points", "inertia", "centroid_l1", "centroid_sq"
+    # centroid fingerprints as LITERAL array lookups on cid — k bounded
+    # driver-side ints, so no createDataFrame (whose parallelize scan spawned
+    # |cores| python workers for k rows — r13 profile: ~7s of task runtime on
+    # a 32-task ExistingRDD stage) and no broadcast join
+    l1 = F.array(*[F.lit(sum(c)).cast("long") for c in cents])
+    sq = F.array(*[F.lit(sum(v * v for v in c)).cast("long") for c in cents])
+    return stats.select(
+        "cid",
+        "n_points",
+        "inertia",
+        F.element_at(l1, F.col("cid") + 1).alias("centroid_l1"),
+        F.element_at(sq, F.col("cid") + 1).alias("centroid_sq"),
     )
