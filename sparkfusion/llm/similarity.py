@@ -803,7 +803,15 @@ def semdedup(
         sub_cluster_cells,
     )
 
-    pts = quantize_points(df, id_col, emb_col, scale)
+    # spread (scale no-op) only when the flat literal-argmin path is certain
+    # up front — the interpreted k·d expression is what serializes on a
+    # one-partition scan; the numpy batch path measured SLOWER spread
+    # (see quantize_points). A derived k lands on the numpy path at any
+    # corpus past 16·target_cluster_size rows, so k=None stays unspread.
+    pts = quantize_points(
+        df, id_col, emb_col, scale,
+        spread=k is not None and k <= _LITERAL_ARGMIN_MAX_K,
+    )
     n = None
     if k is None:
         n = pts.count()  # materializes the checkpoint every path below reads

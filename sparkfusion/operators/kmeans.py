@@ -56,23 +56,26 @@ def _trunc_div(s: int, n: int) -> int:
 
 def _argmin_struct(centroids: list[list[int]]) -> F.Column:
     """Map-only argmin over literal centroids: array_min of (dist, cid)
-    structs — lexicographic struct ordering gives the lower-cid tie-break."""
+    structs — lexicographic struct ordering gives the lower-cid tie-break.
 
-    def dist(c: list[int]) -> F.Column:
-        arr = F.array(*[F.lit(int(v)) for v in c])
-        return F.aggregate(
-            F.zip_with(F.col("xq"), arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(dist(c).alias("d"), F.lit(i).alias("cid"))
-                for i, c in enumerate(centroids)
-            ]
-        )
+    Built as ONE parsed SQL string, not k·d python ``F.lit`` Column calls:
+    each ``F.lit``/operator is a py4j round trip, and at k=8·d=64 the
+    per-round expression build alone measured ~0.7s of driver time (×4
+    passes ≈ 2.8s of km1's 5.1s wall). The nested array literal is
+    constant-folded by Catalyst once, so ``element_at`` is a plain lookup —
+    the same literal-array pattern as the centroid fingerprints below.
+    Arithmetic is token-identical to the Column form it replaces
+    ((a-b)*(a-b) over the same int/long literals, 0L init, lower-cid
+    struct tie-break), so the assignment trajectory is unchanged."""
+    k = len(centroids)
+    cents_sql = ",".join(
+        "array(" + ",".join(str(int(v)) for v in c) + ")" for c in centroids
+    )
+    return F.expr(
+        f"array_min(transform(sequence(0, {k - 1}), i -> named_struct("
+        f"'d', aggregate(zip_with(xq, element_at(array({cents_sql}), i + 1),"
+        f" (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v),"
+        f" 'cid', CAST(i AS INT))))"
     )
 
 
@@ -241,15 +244,31 @@ def assign_quantized(
 
 
 def quantize_points(
-    df: DataFrame, id_col: str, emb_col: str, scale: int
+    df: DataFrame, id_col: str, emb_col: str, scale: int, spread: bool = False
 ) -> DataFrame:
     """(id, xq) frame with ``xq_i = round(x_i · 10^scale)`` as BIGINT,
     localCheckpoint-ed (eager=False) so the iterative consumers below cannot
     accrete lineage across rounds (CLAUDE.md iterative-algorithm rule —
     cache() would also leak a CacheManager entry across repeated
-    invocations, the fi1_item_affinity lesson)."""
+    invocations, the fi1_item_affinity lesson).
+
+    ``spread=True`` widens a narrower-than-cores input across the session's
+    cores BEFORE checkpointing (scale no-op — see
+    :func:`..operators.partitioning.spread_for_compute`). Callers headed for
+    the literal-argmin path set it: higher-order-function lambdas are
+    INTERPRETED per row (no codegen), so a single-row-group parquet scan
+    (one partition) serializes every Lloyd's round on one core — the r13
+    A/B measured km1 5.1s → 2.6s from this plus the parsed-string argmin.
+    The numpy batch path is left unspread: its per-batch kernel is already
+    vectorized and the extra exchange + per-partition Arrow round trips
+    measured ~0.9s SLOWER on semdedup2 at sf0.1."""
+    from .partitioning import spread_for_compute
+
     q = 10**scale
-    return df.select(
+    base = df.select(F.col(id_col), F.col(emb_col))
+    if spread:
+        base = spread_for_compute(base, id_col)
+    return base.select(
         F.col(id_col).alias("vec_id"),
         F.transform(
             F.col(emb_col), lambda x: F.round(x.cast("double") * q).cast("long")
@@ -388,7 +407,11 @@ def kmeans_quantized(
     the FINAL centroids (DECIMAL(38,0) — BIGINT would overflow at 1e9 rows)
     and centroid_l1/centroid_sq fingerprint the final centroid components.
     Empty clusters keep their previous centroid."""
-    pts = quantize_points(df, id_col, emb_col, scale)
+    # spread iff every assignment pass will take the interpreted literal
+    # expression (k bounded by the suite contract) — see quantize_points
+    pts = quantize_points(
+        df, id_col, emb_col, scale, spread=k <= _LITERAL_ARGMIN_MAX_K
+    )
     cents = lloyd_centroids(pts, k, iterations)
 
     final = assign_quantized(pts, cents)
