@@ -2644,16 +2644,34 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     length-difference counts per row and a FIXED-ORDER 27-term double sum,
     so the engines evaluate the same expression tree and round(…, 6)
     absorbs the last libm-log2 ulp (same tolerance class as the tfidf/BM25
-    ln scores). See :func:`sparkfusion.llm.text.char_entropy_bits`."""
-    docs = table(spark, sf_dir, "documents")
+    ln scores). See :func:`sparkfusion.llm.text.char_entropy_bits`.
+
+    The 27 counts cost 54 full string scans per row in ONE map stage — on
+    the single-row-group test parquet that stage is one partition, so the
+    whole query serialized on one core. ``spread_for_compute`` widens it to
+    the session's cores first (plan no-op on an already-wide production
+    scan); the exchange carries only (doc_id, text) once, vs 54 scans of
+    every text. The ``n_alpha > 0`` gate is applied as the EQUIVALENT
+    single-scan predicate ``lower(text) rlike '[a-z ]'`` BEFORE the
+    exchange — filtering on the computed column would be pushed below it
+    by Catalyst, re-expanding all 27 count terms serially in the
+    one-partition scan stage (the same re-expansion that sank the r13
+    element_at attempt). n_alpha counts exactly the chars of
+    ENTROPY_ALPHABET in lower(text), so ``n_alpha > 0`` ⟺ the text
+    contains one of them ⟺ the rlike. r13 A/B: 3.24s → 0.45s."""
+    from ..operators.partitioning import spread_for_compute
+
+    docs = spread_for_compute(
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.lower(F.col("text")).rlike("[a-z ]")),
+        "doc_id",
+    )
     n, ent = text.char_entropy_bits("text")
-    return (
-        docs.select(
-            "doc_id",
-            n.cast("long").alias("n_alpha"),
-            F.round(ent, 6).alias("entropy_bits"),
-        )
-        .filter(F.col("n_alpha") > 0)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_alpha"),
+        F.round(ent, 6).alias("entropy_bits"),
     )
 
 

@@ -846,6 +846,31 @@ def test_char_entropy_closed_form_cases(spark):
     assert got[3] == (2, 1.0)  # only 'a','b' count; digits/punct excluded
 
 
+def test_char_entropy_rlike_gate_equals_nalpha_gate(spark):
+    """The suite entry's pre-exchange gate ``lower(text) rlike '[a-z ]'``
+    must admit EXACTLY the rows with ``n_alpha > 0`` (r13 optimization:
+    filtering on the computed column re-expanded all 27 count terms below
+    the spread exchange). Edge rows: empty, digits/punct-only, space-only,
+    uppercase-only, mixed."""
+    from pyspark.sql import functions as F
+
+    from sparkfusion.llm.text import char_entropy_bits
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "123!?"), (3, " "), (4, "ABC"), (5, "a1"), (6, "\t\n")],
+        "id long, text string",
+    )
+    n, _ = char_entropy_bits("text")
+    via_n = {r["id"] for r in df.filter(n > 0).select("id").collect()}
+    via_rlike = {
+        r["id"]
+        for r in df.filter(F.lower(F.col("text")).rlike("[a-z ]"))
+        .select("id")
+        .collect()
+    }
+    assert via_n == via_rlike == {3, 4, 5}
+
+
 def test_pmi_collocations_separates_mwe_from_frequency(spark):
     """'san francisco' always co-occurs (high PMI); 'the' is frequent next to
     everything (PMI ~ 0) — PMI must rank the true collocation first even
