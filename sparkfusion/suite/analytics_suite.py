@@ -1734,8 +1734,18 @@ def cms1_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition regardless of table size, and the finished sketch
     (<= 1536 rows) broadcasts to the probe join. Deterministic
     md5 bucketing makes the sketch itself bit-reproducible, so the oracle
-    verifies the ESTIMATES exactly, not just the exact counts."""
-    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    verifies the ESTIMATES exactly, not just the exact counts.
+
+    The scan is spread to the session's cores before the 3-hash projection
+    (plan no-op on a wide production scan): the sketch md5s otherwise run
+    on the test table's 3 scan splits; the spread exchange carries one
+    BIGINT per row, and the exact-counts subtree reuses the resulting
+    hashpartitioning(l_partkey) for its groupBy with no second exchange."""
+    from ..operators.partitioning import spread_for_compute
+
+    li = spread_for_compute(
+        table(spark, sf_dir, "lineitem").select("l_partkey"), "l_partkey"
+    )
 
     def bucket(i: int) -> F.Column:
         return (
