@@ -3226,25 +3226,28 @@ def sim_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cells: storage layout and probe pruning change WHAT IS READ,
     never what is true. Completes the IVF-PQ trilogy: query-time composite
     (sim_ivfpq_topk), streaming ingest (stream_ivfpq_ingest), pruned store
-    (this)."""
+    (this).
+
+    r13: encodes with the numpy batch kernel (bit-parity with the literal
+    encoder pinned in tests/test_pq.py — sim_ivfpq_topk remains the
+    literal/oracle twin), and the query vector is taken from the derived
+    params (vec_id 0 IS centroid 0 — the cells are trained on ids
+    [0, n_cells)), cutting a whole first() action."""
     import os
 
     from ..llm.pq import (
         derive_ivfpq_params,
-        ivfpq_encode_literal,
+        ivfpq_encode_batch,
         probe_cells_for_query,
     )
     from .sources_suite import IO_DIR
 
     emb = table(spark, sf_dir, "embeddings")
     cents, cb = derive_ivfpq_params(emb)
-    codes = ivfpq_encode_literal(emb, cents, cb)
+    codes = ivfpq_encode_batch(emb, cents, cb)
     path = os.path.join(IO_DIR, "ivfpq_codes")
     codes.write.mode("overwrite").partitionBy("cell").parquet(path)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    qv = list(cents[0])
     probed = probe_cells_for_query(qv, cents, nprobe=2)
     stored = spark.read.parquet(path)
     return stored.filter(F.col("cell").isin(probed)).select(
@@ -3281,10 +3284,9 @@ def sim_ivfpq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = ivfpq_encode_batch(emb, cents, cb)
     path = os.path.join(IO_DIR, "ivfpq_codes_batch")
     codes.write.mode("overwrite").partitionBy("cell").parquet(path)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    # vec_id 0 IS centroid 0 (cells train on ids [0, n_cells)) — reuse the
+    # derived params instead of a second collect action (r13)
+    qv = list(cents[0])
     stored = spark.read.parquet(path).select(
         "vec_id", F.col("cell").cast("int").alias("cell"),
         "code0", "code1", "code2", "code3",
