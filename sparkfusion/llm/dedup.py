@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import repartition_for_compute
+
 from .text import fingerprint, words
 from ..errors import ConvergenceError, PlanError
 
@@ -66,8 +68,7 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     measured 9s -> 0.6s at sf0.1 for this split alone).
     """
     wordified = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(F.col(id_col))
+        repartition_for_compute(df.select(F.col(id_col), F.col(text_col)), id_col)
         .select(F.col(id_col), words(F.lower(F.col(text_col))).alias("__w"))
     )
     w = F.col("__w")
@@ -514,8 +515,7 @@ def span_chunks(df: DataFrame, id_col: str, text_col: str, w: int = 10) -> DataF
     exploding so the shuffle moves compact docs, not exploded spans.
     """
     wordified = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(F.col(id_col))
+        repartition_for_compute(df.select(F.col(id_col), F.col(text_col)), id_col)
         .select(F.col(id_col), words(F.lower(F.col(text_col))).alias("__w"))
     )
     wcol = F.col("__w")
@@ -701,8 +701,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, hash_fn: str = "md5") -> 
     groupBys — all map-side combinable, final shuffle ∝ docs × 32.
     """
     toks = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(F.col(id_col))  # parallelize hashing; co-partitions groupBys
+        repartition_for_compute(df.select(F.col(id_col), F.col(text_col)), id_col)
+        # ^ parallelize hashing; co-partitions groupBys (explicit count: AQE-coalesce-proof)
         .select(F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("tok"))
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))

@@ -20,13 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import repartition_for_compute
+
 
 def qgrams(df: DataFrame, id_col: str, text_col: str, q: int = 4) -> DataFrame:
     """Explode each string into its positional q-grams → ``(id, gram)``.
     Repartitions by id BEFORE the explode so row growth spreads across the
     cluster (CLAUDE.md posture)."""
     return (
-        df.repartition(id_col)
+        repartition_for_compute(df, id_col)
         .select(
             F.col(id_col),
             F.explode(

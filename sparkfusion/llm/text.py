@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..operators.partitioning import repartition_for_compute
 from ..errors import PlanError
 
 # Minimal per-language stopword sets for the n-gram/stopword-overlap heuristic.
@@ -156,9 +158,9 @@ def repetition_stats(df, id_col: str, text_col: str):
 
     All ratios are single integer→double divisions (cross-engine exact).
     """
-    base = df.select(
+    base = repartition_for_compute(df, id_col).select(
         F.col(id_col), words(F.lower(F.col(text_col))).alias("__w")
-    ).repartition(F.col(id_col))
+    )
     counts = base.select(
         id_col,
         F.size("__w").alias("n_words"),
@@ -300,7 +302,7 @@ def bm25_scores(
     if not query_terms:
         raise PlanError("bm25_scores: query_terms must be non-empty")
     docs = (
-        df.repartition(id_col)
+        repartition_for_compute(df, id_col)
         .select(F.col(id_col), words(F.lower(F.col(text_col))).alias("ws"))
         .withColumn("dl", F.size("ws"))
     )
@@ -359,7 +361,7 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     terms = (
-        df.repartition(id_col)
+        repartition_for_compute(df, id_col)
         .select(
             F.col(id_col),
             F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
@@ -403,7 +405,7 @@ def bpe_pair_counts(df, id_col: str = "doc_id", text_col: str = "text", k: int =
     aggregation.
     """
     pairs = (
-        df.repartition(id_col)
+        repartition_for_compute(df, id_col)
         .select(F.explode(words(F.lower(F.col(text_col)))).alias("word"))
         # single-char words emit no pairs — and Spark's sequence(1, 0) counts
         # DOWN rather than being empty, so the guard is load-bearing
@@ -453,7 +455,7 @@ def _bpe_merges_list(
     merge list ``[(rank, pair, n), …]`` for callers that APPLY the merges
     (``bpe_encode_counts``) rather than report them."""
     word_freq = (
-        df.repartition(id_col)
+        repartition_for_compute(df, id_col)
         .select(F.explode(words(F.lower(F.col(text_col)))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wn"))

@@ -35,3 +35,25 @@ def spread_for_compute(df: DataFrame, *key_cols: str) -> DataFrame:
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])
     return df.repartition(target)
+
+
+def repartition_for_compute(df: DataFrame, *key_cols: str) -> DataFrame:
+    """``df.repartition(key_cols)`` with an EXPLICIT partition count of
+    ``max(session cores, current partitions)`` — for pipelines that need the
+    hash co-partitioning downstream (their groupBys on the same key reuse
+    the exchange) AND the pre-explode compute parallelism.
+
+    A bare ``repartition(col)`` carries no user partition count, so AQE's
+    coalescer is free to shrink it by bytes — and on the small single-split
+    test parquet it shrinks to ONE partition, serializing the very
+    hash/shingle stage the repartition was written to parallelize (measured
+    r13: exploded_shingles ran 1-partition at sf0.1 despite its docstring).
+    An explicit count is exempt from AQE coalescing; deriving it from the
+    input width and core count keeps it scale-adaptive — at production the
+    scan is already ≥ cores partitions and the count simply preserves that
+    width, never a local constant."""
+    target = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+    return df.repartition(target, *[F.col(c) for c in key_cols])

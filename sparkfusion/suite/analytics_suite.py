@@ -20,6 +20,7 @@ from ..operators.analytics import cohort_retention, funnel, scd2_intervals
 from ..operators.merge import merge_upsert
 from ..session import events_with_ts, table
 from . import register
+from ..operators.partitioning import repartition_for_compute
 from .sources_suite import IO_DIR
 
 
@@ -312,8 +313,8 @@ def chunk_sliding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (50-char overlap). Row-exploding map — repartitioned by doc_id BEFORE
     the explode so growth spreads across the cluster (CLAUDE.md posture).
     See :func:`sparkfusion.llm.chunking.chunk_sliding`."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
-        "doc_id"
+    docs = repartition_for_compute(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
     out = chunk_sliding(docs, size=200, stride=150)
     return out.select(

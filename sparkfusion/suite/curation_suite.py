@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..llm import similarity, text
 from ..session import table
 from . import register
+from ..operators.partitioning import repartition_for_compute
 from .llm_suite import _W, _kmeans_ctes
 
 # ---------------------------------------------------------------------------
@@ -183,7 +184,7 @@ def dsir1_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection is a TakeOrderedAndProject."""
     docs = table(spark, sf_dir, "documents")
     w = (
-        docs.repartition("doc_id")
+        repartition_for_compute(docs, "doc_id")
         .select(
             "doc_id", "lang",
             F.explode(text.words(F.lower(F.col("text")))).alias("word"),
@@ -299,7 +300,7 @@ def tok1_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (bounded at 500 rows → broadcast), one broadcast
     LEFT join on the word stream, one per-doc aggregation."""
     docs = table(spark, sf_dir, "documents")
-    w = docs.repartition("doc_id").select(
+    w = repartition_for_compute(docs, "doc_id").select(
         "doc_id", F.explode(text.words(F.lower(F.col("text")))).alias("word")
     )
     vocab = (
@@ -445,7 +446,7 @@ def boot1_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable aggregation (shuffle carries B×partitions partial rows), and
     a 100-row window. No RNG, no collect."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    rep = docs.repartition("doc_id").select(
+    rep = repartition_for_compute(docs, "doc_id").select(
         "doc_id", "n_chars",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     )
@@ -562,7 +563,7 @@ def tok2_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the VOCAB aggregate, never the token stream — the cross join is
     |vocab|×5, shuffle-free after broadcast)."""
     docs = table(spark, sf_dir, "documents")
-    w = docs.repartition("doc_id").select(
+    w = repartition_for_compute(docs, "doc_id").select(
         "doc_id", F.explode(text.words(F.lower(F.col("text")))).alias("word")
     )
     from ..operators.ranks import global_rank

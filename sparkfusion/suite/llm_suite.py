@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..llm import dedup, multimodal, similarity, text
 from ..session import table
 from . import register
+from ..operators.partitioning import repartition_for_compute
 
 # shared oracle CTE fragments ------------------------------------------------
 
@@ -2313,9 +2314,9 @@ def lm2_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     base = (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 2)
-        .repartition("doc_id")
+        repartition_for_compute(
+            docs.select("doc_id", w.alias("w")).filter(F.size("w") >= 2), "doc_id"
+        )
     )
     bg = base.select(
         "doc_id",
@@ -2570,9 +2571,10 @@ def rake1_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("lang") == "en")
-        .repartition("doc_id")
+        repartition_for_compute(
+            table(spark, sf_dir, "documents").filter(F.col("lang") == "en"),
+            "doc_id",
+        )
     )
     toks = docs.select(
         "doc_id", F.posexplode(text.words(F.col("text"))).alias("pos0", "w")
@@ -2757,7 +2759,9 @@ def mm_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker walk to SOF) is verified without DuckDB touching a single blob.
     See :func:`sparkfusion.llm.multimodal.probe_headers`."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    media = multimodal.mixed_media_table(docs.repartition("doc_id"), "doc_id")
+    media = multimodal.mixed_media_table(
+        repartition_for_compute(docs, "doc_id"), "doc_id"
+    )
     return multimodal.probe_headers(media)
 
 
@@ -2793,7 +2797,7 @@ def pipeline3_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode without seeing a byte."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
     media = multimodal.mixed_media_table(
-        docs.repartition("doc_id"), "doc_id"
+        repartition_for_compute(docs, "doc_id"), "doc_id"
     ).localCheckpoint(eager=False)
     probed = multimodal.probe_headers(media)
     selected = (
@@ -2887,7 +2891,7 @@ def er2_tfidf_cosine_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE array() END"
         )
 
-    base = docs.repartition("doc_id").select(
+    base = repartition_for_compute(docs, "doc_id").select(
         "doc_id", text.words(F.lower(F.col("text"))).alias("ws")
     )
     lw = base.select(
