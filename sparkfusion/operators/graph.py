@@ -63,7 +63,12 @@ def pagerank(
     e_deg = e.join(deg, "src").repartition(n_parts, "src").cache()
     # nodes reads the CACHED e_deg (same src set: every src in e has a
     # degree), so the scan+distinct edge-build pipeline runs exactly once —
-    # nodes.count() below populates both caches in one pass.
+    # nodes.count() below populates both caches in one pass. (r14 A/B: an
+    # explicit repartition(n_parts, "node") before the cache — intended to
+    # let the per-iteration left join reuse the partitioning — measured
+    # SLOWER at bench scale, 1.87s → 2.07s: the distinct's own output
+    # partitioning already feeds the join, and the extra exchange at cache
+    # build is pure cost. Left as-is.)
     nodes = e_deg.select("src").distinct().withColumnRenamed("src", "node").cache()
     n_nodes = nodes.count()  # one scalar action; N parameterizes the formula
     init_fp = one // n_nodes

@@ -58,9 +58,10 @@ def kmv_mins(
     partition at this data size)."""
     from .partitioning import spread_for_compute
 
-    narrow = spread_for_compute(
-        df.select(*group_cols, F.col(key_col)), *group_cols, key_col
-    )
+    # key_col may itself be a group column — don't select (or spread-key) it
+    # twice, a duplicate column makes the hash projection below ambiguous
+    cols = list(group_cols) + ([key_col] if key_col not in group_cols else [])
+    narrow = spread_for_compute(df.select(*cols), *cols)
     h = (
         narrow.select(*group_cols, _h32(F.col(key_col)).alias("__h"))
         # NULL keys hash to NULL and would occupy a k-min slot (Spark windows

@@ -607,7 +607,9 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition(cores, doc_id) at 4.5s → 5.7s here (and 5.97s → 8.72s for
     # pipeline2) — the dedup/text operators repartition internally before
     # their heavy hashing, so the single-split scan stage only carries the
-    # cheap projection and the extra shuffle is pure cost.
+    # cheap projection and the extra shuffle is pure cost. (r14 A/B'd both
+    # an eager localCheckpoint and a cache-materializing count() here —
+    # neither beat the plain lazy cache outside session noise.)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text").cache()
     qual = (
         docs.select("doc_id", text.quality_score("text").alias("q"))
@@ -3236,7 +3238,16 @@ def sim_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder pinned in tests/test_pq.py — sim_ivfpq_topk remains the
     literal/oracle twin), and the query vector is taken from the derived
     params (vec_id 0 IS centroid 0 — the cells are trained on ids
-    [0, n_cells)), cutting a whole first() action."""
+    [0, n_cells)), cutting a whole first() action.
+
+    ACCEPTED RISK (r13 advisor): the batch kernel's float64
+    ``floor(d·1e9 + 0.5)`` distance key has a measure-zero divergence from
+    the JVM BigDecimal HALF_UP round-9 the literal encoder computes — a
+    distance landing EXACTLY on a half-boundary could pick a different
+    (equidistant) code than DuckDB's round-9. Same risk class the md5/
+    xxhash twins already accept and document; the corpus embeddings are
+    8-decimal-quantized so no half-boundary distance has been observed
+    (tests/test_pq.py asserts full-corpus encode parity every run)."""
     import os
 
     from ..llm.pq import (
