@@ -255,10 +255,13 @@ def rebalance_by_lang(
     map-only. DuckDB-mirror: same CTE chain with
     ``('0x' || substr(md5(id), 1, 8))::BIGINT % 1000000 < rate_ppm``.
     """
+    from ..operators.localrel import inline_rows
+
     spark = df.sparkSession
-    target = spark.createDataFrame(
-        list(targets), f"{lang_col} string, target_ppm long"
-    )
+    # pure-JVM VALUES relation: createDataFrame's pickled-row RDD spun a
+    # Python worker per core to scan a handful of static rows (r14, the km1
+    # r13 lesson applied suite-wide — see operators/localrel.py)
+    target = inline_rows(spark, list(targets), f"{lang_col} string, target_ppm long")
     actual = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("__n_l"))
     total = actual.agg(F.sum("__n_l").alias("__n"))
     rates = (

@@ -443,9 +443,13 @@ def bpe_train_merges(df, id_col: str, text_col: str, iters: int = 2):
     ``localCheckpoint``-ed so lineage cannot accrete across rounds
     (CLAUDE.md iterative-algorithm rule). Returns (merge_rank, pair, n).
     """
+    from ..operators.localrel import inline_rows
+
     spark = df.sparkSession
     merges = _bpe_merges_list(df, id_col, text_col, iters)
-    return spark.createDataFrame(merges, "merge_rank int, pair string, n bigint")
+    # bounded driver-side list → JVM VALUES relation (no Python-RDD scan;
+    # see operators/localrel.py)
+    return inline_rows(spark, merges, "merge_rank int, pair string, n bigint")
 
 
 def _bpe_merges_list(

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..llm import similarity, text
 from ..session import table
 from . import register
+from ..operators.localrel import inline_rows
 from ..operators.partitioning import repartition_for_compute
 from .llm_suite import _W, _kmeans_ctes
 
@@ -578,8 +579,8 @@ def tok2_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="rnk",
     )
     tot = vocab.agg(F.sum("c").alias("n_tok"))
-    sizes = spark.createDataFrame(
-        [(100,), (200,), (300,), (400,), (500,)], "vocab_size int"
+    sizes = inline_rows(
+        spark, [(100,), (200,), (300,), (400,), (500,)], "vocab_size int"
     )
     return (
         vocab.crossJoin(F.broadcast(sizes))

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.bloom import bloom_semi_join
+from ..operators.localrel import inline_rows
 from ..session import table
 from . import register
 
@@ -328,8 +329,10 @@ def j12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("skey")
     )
-    dim = spark.createDataFrame(
-        [("F", "finished"), ("P", "pending"), (None, "open")], ["skey", "label"]
+    dim = inline_rows(
+        spark,
+        [("F", "finished"), ("P", "pending"), (None, "open")],
+        "skey string, label string",
     )
     return (
         orders.join(F.broadcast(dim), orders["skey"].eqNullSafe(dim["skey"]))

@@ -22,6 +22,7 @@ from ..operators.timeseries import (
     resample_counts,
     zscore_outliers,
 )
+from ..operators.localrel import inline_rows
 from ..session import events_with_ts
 from . import register
 
@@ -348,7 +349,7 @@ def ts7_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("den")
         )
     )
-    ks = spark.createDataFrame([(1,), (2,), (3,)], "lag_k int")
+    ks = inline_rows(spark, [(1,), (2,), (3,)], "lag_k int")
     a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
     b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
     num = (
