@@ -652,7 +652,20 @@ def a18_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized customer<->supplier trade graph shared by g1/g3/g4/g6.
+    """Symmetrized customer<->supplier trade graph shared by g1/g3/g4/g6 —
+    node ids encoded as BIGINTs (customer k → 2k, supplier k → 2k+1,
+    disjoint and reversible via :func:`_decode_trade_node`).
+
+    The string ids the oracles name ('c'||custkey / 's'||suppkey) are
+    applied only in each query's FINAL projection: every iterative
+    operator on this graph is relabeling-invariant (rank/dist/degree
+    values never depend on the node representation, only on equality),
+    and the per-round hash aggregations dominate the g-family's cost —
+    r14 profile: ~10-11s of HashAggregate build time per pagerank/relax
+    round on two-string keys at sf0.1, the single largest line in the
+    family's stage table (guide §2.3 "narrower types": halve the key,
+    halve the hash/compare work — here string(6-8B + offsets) → one
+    BIGINT).
 
     Deliberately NOT checkpointed before the symmetrizing union: the two
     branches are identical up to a projection, so Spark reuses the
@@ -668,14 +681,23 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+            (F.col("o_custkey") * 2).cast("long").alias("a"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("b"),
         )
         .distinct()
     )
     return base.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
+def _decode_trade_node(col: str = "node"):
+    """BIGINT trade-graph node id back to the oracle's string id
+    ('c'||custkey for even = customers, 's'||suppkey for odd = suppliers)."""
+    return F.expr(
+        f"IF({col} % 2 = 0, concat('c', CAST({col} div 2 AS STRING)),"
+        f" concat('s', CAST({col} div 2 AS STRING)))"
+    )
 
 
 def _pagerank_oracle(iters: int = 3) -> str:
@@ -719,7 +741,9 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _trade_edges(spark, sf_dir)
     out = pagerank(edges, iterations=3)
-    return out.select("node", "rank_fp")
+    # iterate on BIGINT node ids, emit the oracle's string ids once at the
+    # end (see _trade_edges — r14 narrow-key change, guide §2.3)
+    return out.select(_decode_trade_node("node").alias("node"), "rank_fp")
 
 
 def _bfs_oracle(hops: int = 4) -> str:
@@ -761,9 +785,10 @@ def g3_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_nationkey") == 0)
-        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+        .select((F.col("c_custkey") * 2).cast("long").alias("node"))
     )
-    return bfs_distances(edges, seeds, max_hops=4)
+    out = bfs_distances(edges, seeds, max_hops=4)
+    return out.select(_decode_trade_node("node").alias("node"), "dist")
 
 
 _OLD_SQL = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 <> 1"
@@ -1840,24 +1865,20 @@ def g4_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import sssp_distances
 
     pairs = _trade_edges(spark, sf_dir)
+    # node div 2 recovers the raw key for BOTH endpoints (2k div 2 = k,
+    # (2k+1) div 2 = k), so the custkey+suppkey weight is direction-free
     edges = pairs.select(
         "src",
         "dst",
-        (
-            F.lit(1)
-            + (
-                F.expr("CAST(substring(src, 2) AS BIGINT)")
-                + F.expr("CAST(substring(dst, 2) AS BIGINT)")
-            )
-            % 5
-        ).alias("w"),
+        (F.lit(1) + (F.expr("src div 2") + F.expr("dst div 2")) % 5).alias("w"),
     )
     seeds = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_nationkey") == 0)
-        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+        .select((F.col("c_custkey") * 2).cast("long").alias("node"))
     )
-    return sssp_distances(edges, seeds, rounds=4)
+    out = sssp_distances(edges, seeds, rounds=4)
+    return out.select(_decode_trade_node("node").alias("node"), "dist")
 
 
 @register(
@@ -2734,8 +2755,9 @@ def g6_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import personalized_pagerank
 
     edges = _trade_edges(spark, sf_dir)
-    out = personalized_pagerank(edges, ["c1", "c2", "c3"], iterations=3)
-    return out.select("node", "rank_fp")
+    # seeds c1/c2/c3 under the BIGINT encoding (customer k -> 2k)
+    out = personalized_pagerank(edges, [2, 4, 6], iterations=3)
+    return out.select(_decode_trade_node("node").alias("node"), "rank_fp")
 
 
 @register(
