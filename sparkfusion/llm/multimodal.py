@@ -170,8 +170,20 @@ def make_ppm(media_id: int, width: int = 8, height: int = 6) -> bytes:
     return header + body
 
 
+#: fan-out floor for the Python/Arrow payload stages: below ~600 rows a task
+#: is dominated by worker spin-up + Arrow batch setup, not payload work
+#: (r14 paired A/B at sf0.1, 5k docs: 32-way spread vs the rows-derived
+#: 9-way — mm_header_probe 1.49s → 0.62s, pipeline3_media_triage 1.71s →
+#: 1.11s, decode-heavy queries neutral; the r13 driver bench's worst
+#: 32-core scaling ratios, 0.28-0.38, were exactly these paths). The cap is
+#: derived from input rows, never a partition constant: at 10x the rows the
+#: same call fans out the full core width (pinned in tests).
+MM_ROWS_PER_TASK = 600
+
+
 def _ids_spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Project the bare id column and spread it across the session's cores.
+    """Project the bare id column and spread it across the session's cores,
+    capped by the input's estimated rows (``MM_ROWS_PER_TASK``).
 
     The synthetic media builders attach payloads to ids read from a SMALL
     parquet table — often a single input split, which would run the whole
@@ -181,8 +193,10 @@ def _ids_spread(df: DataFrame, id_col: str) -> DataFrame:
     mm_scene_cut single-task 5.8s → multi-task, CLAUDE.md "repartition by
     key BEFORE exploding"). Real binary corpora arrive pre-split
     (binaryFile / parquet row groups) and never hit this path."""
+    from ..operators.partitioning import spread_for_compute
+
     ids = df.select(F.col(id_col).alias("media_id"))
-    return ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    return spread_for_compute(ids, "media_id", min_rows_per_part=MM_ROWS_PER_TASK)
 
 
 def ppm_media_table(df: DataFrame, id_col: str) -> DataFrame:

@@ -2760,10 +2760,11 @@ def mm_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     of all three container headers (PPM ASCII triple, PNG IHDR, JPEG
     marker walk to SOF) is verified without DuckDB touching a single blob.
     See :func:`sparkfusion.llm.multimodal.probe_headers`."""
+    # no outer repartition: mixed_media_table spreads the bare ids itself
+    # (rows-capped — see multimodal._ids_spread), so an exchange here would
+    # be immediately re-shuffled away (r14)
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    media = multimodal.mixed_media_table(
-        repartition_for_compute(docs, "doc_id"), "doc_id"
-    )
+    media = multimodal.mixed_media_table(docs, "doc_id")
     return multimodal.probe_headers(media)
 
 
@@ -2797,10 +2798,11 @@ def pipeline3_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decode branch. Oracle: the analytic pixel sums over each selected
     blob's VARIABLE (4+id%5 × 3+id%4) grid — DuckDB verifies the routed
     decode without seeing a byte."""
+    # no outer repartition — see mm_header_probe (r14)
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    media = multimodal.mixed_media_table(
-        repartition_for_compute(docs, "doc_id"), "doc_id"
-    ).localCheckpoint(eager=False)
+    media = multimodal.mixed_media_table(docs, "doc_id").localCheckpoint(
+        eager=False
+    )
     probed = multimodal.probe_headers(media)
     selected = (
         probed.filter(F.col("codec") == "ppm")

@@ -121,3 +121,19 @@ def test_kmv_mins_key_col_in_group_cols(spark, small_parquet):
     out = kmv_mins(df, "grp", ["grp"], k=4)
     assert out.columns == ["grp", "__h"]
     assert out.count() > 0
+
+
+def test_mm_ids_spread_rows_capped(spark, small_parquet, tmp_path):
+    # the media builders' fan-out derives from rows (MM_ROWS_PER_TASK),
+    # never a partition constant (r14 change; CLAUDE.md pinned-constant rule)
+    from sparkfusion.llm.multimodal import MM_ROWS_PER_TASK, _ids_spread
+
+    small = _ids_spread(spark.read.parquet(small_parquet), "doc_id")
+    assert small.rdd.getNumPartitions() == 1  # 200 rows < one task floor
+    cores = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "big.parquet")
+    spark.range(0, MM_ROWS_PER_TASK * cores * 2).select(
+        F.col("id").alias("doc_id")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    big = _ids_spread(spark.read.parquet(path), "doc_id")
+    assert big.rdd.getNumPartitions() >= cores
