@@ -103,6 +103,21 @@ def range_join_bucketed(
             )
         ),
     )
+    # EXPLICIT equal partition counts on both sides of the bucket join: the
+    # candidate-pair evaluation inside each bucket is quadratic in temporal
+    # density, so the join stage is CPU-dense while its shuffle is tiny —
+    # AQE's byte-based coalescer shrank it to 8 tasks at sf1 and ONE at
+    # sf0.1 (r14 profile: 284s of executor time on 8 of 32 cores — the #2
+    # query of the sf1 suite). An explicit count is AQE-coalesce-exempt and
+    # keeps both sides co-partitioned; it is derived from input width, so
+    # at production scale it preserves the scan width rather than pinning a
+    # local constant (guide §2.5). Time buckets are uniform by construction
+    # (width ≈ interval length), so forgoing AQE's skew split here is safe.
+    from .partitioning import _target_parts
+
+    n = max(_target_parts(b_points, 1)[1], _target_parts(b_intervals, 1)[1])
+    b_points = b_points.repartition(n, F.col("__bucket"))
+    b_intervals = b_intervals.repartition(n, F.col("__bucket"))
     return (
         b_points.join(b_intervals, "__bucket")
         .filter(

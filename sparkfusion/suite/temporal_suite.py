@@ -154,6 +154,11 @@ def j10_range_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors, sessions, "ts_us", "session_start", "session_end",
         bucket_width=3_600_000_000,
     )
+    # NOTE (r14): an explicit repartition(user_id) here A/B'd catastrophic
+    # at sf1 — it shuffles the RAW quadratic pair set (759MB) that the
+    # partial aggregation otherwise collapses map-side. The parallelism fix
+    # lives inside range_join_bucketed (explicit bucket-join width), which
+    # keeps the partial agg on the join's 32-wide output.
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_hits"),
         F.countDistinct("event_id").alias("n_errors"),
