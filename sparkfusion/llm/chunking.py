@@ -169,6 +169,22 @@ def negative_pairs(
         F.col(id_col).alias("neg_id"),
         ((bucket + F.lit(n_buckets) - 1) % n_buckets).alias("b"),
     )
+    # EXPLICIT equal partition counts on both sides of the bucket join
+    # (guide §2.5): the in-bucket candidate work (one md5 per
+    # anchor×candidate pair) is CPU-dense while the exchanges are tiny —
+    # AQE's byte-based coalescer ran the join 10-wide at sf1 and ONE-wide
+    # at sf0.1 (the window's rank-limit pushdown keeps the join OUTPUT
+    # small, so shuffle bytes never reflect the work). Width derives from
+    # the input scan, never a constant. A pinned n_buckets close to the
+    # width still leaves a hash-collision straggler (≈3 buckets on the
+    # busiest partition) — the r14 salt experiment that splits it
+    # replicated the candidate build side and measured net SLOWER
+    # (sf0.1 0.80→1.36s), so plain widening stays.
+    from ..operators.partitioning import _target_parts
+
+    n_parts = max(_target_parts(anchors, 1)[1], _target_parts(cands, 1)[1])
+    anchors = anchors.repartition(n_parts, F.col("b"))
+    cands = cands.repartition(n_parts, F.col("b"))
     w = Window.partitionBy("anchor_id").orderBy("pair_h", "neg_id")
     return (
         anchors.join(cands, "b")
